@@ -1,0 +1,293 @@
+"""Deduplication suite for training-data pipelines (north-star
+greenfield — BASELINE.json).
+
+Five detectors, each a pure DataFrame plan designed around its
+100 TB shuffle profile:
+
+- **exact** — hash groupBy on a canonical key. One shuffle on the
+  key; map-side partial aggregation keeps it near-linear.
+- **fingerprint** — md5 over normalized text, then exact dedup.
+- **n-gram Jaccard** — shingle sets + blocked self-join + set
+  intersection. The block column bounds candidate pairs (never an
+  unblocked n² self-join).
+- **MinHash + LSH** — k md5-derived min-hashes → banded signatures →
+  bucket self-join. The classic sub-quadratic near-dup path: at
+  100 TB only same-band-bucket pairs are ever materialized.
+- **SimHash** — 32-bit sign-of-weighted-bits signature; pairs within
+  a Hamming radius, blocked by signature prefix so the join is an
+  equi-join on the prefix.
+
+Hashes are md5-derived 60-bit integers (same formula in the DuckDB
+oracles: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), so every
+detector is deterministic and cross-engine checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.operators.text import normalize_text, tokens
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash (md5-derived) — same value as
+    the oracle expression CAST('0x' || substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def oracle_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Group rows by an exact key; keep the minimum id as the canonical
+    representative. Returns (keep_id, n_dups, key)."""
+    return df.groupBy(key.alias("dedup_key")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def drop_exact_dups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep one row (min id) per key — the actual dedup operator. A
+    single shuffle on the key; no window needed (min-id join back)."""
+    keep = df.groupBy(key.alias("__k")).agg(F.min(id_col).alias(id_col))
+    return df.join(keep.drop("__k"), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the *normalized* text.
+    n=1 → distinct tokens."""
+    toks = tokens(normalize_text(col))
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def oracle_word_shingles(expr: str, n: int) -> str:
+    from duckdb_distributed_execution_spark.operators.text import oracle_normalize
+
+    toks = f"regexp_split_to_array({oracle_normalize(expr)}, '\\s+')"
+    if n == 1:
+        return f"list_distinct({toks})"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold. ``block_col``
+    bounds the self-join (same-block pairs only) — at scale, blocking
+    is mandatory; pass e.g. a language or LSH-band column."""
+    sh = df.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_col)] if block_col else []),
+        word_shingles(F.col(text_col), n).alias("sh_a"),
+    )
+    sh_b = sh.select(
+        F.col("id_a").alias("id_b"),
+        *([F.col(block_col)] if block_col else []),
+        F.col("sh_a").alias("sh_b"),
+    )
+    on = [block_col] if block_col else []
+    pairs = (
+        sh.join(sh_b, on=on) if on else sh.crossJoin(sh_b)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def _seeded_hash_fn(seed: int):
+    # NB: must be a single-argument lambda — PySpark dispatches
+    # higher-order-function arity on the Python signature, so a
+    # default-arg closure (lambda s, i=i: ...) would silently become
+    # the (element, index) variant.
+    suffix = f"#{seed}"
+    return lambda s: F.conv(
+        F.substring(F.md5(F.concat(s, F.lit(suffix))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """k independent min-hashes: min over shingles of
+    hash60(shingle || '#' || seed)."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_hash_fn(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def oracle_minhash_sig(shingles_expr: str, i: int) -> str:
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> CAST('0x' || substr(md5(s || '#{i}'), 1, 15) AS BIGINT)))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    verify_threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection:
+    shingle → k min-hashes → bands of ``band_size`` → same-band-bucket
+    candidate pairs → exact Jaccard verification ≥ threshold.
+
+    The only shuffles are the band-bucket exchange and the final
+    distinct — no all-pairs stage anywhere, so this is the 100 TB
+    near-dup path."""
+    assert num_hashes % band_size == 0
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sig = sh.select("doc", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select("doc", "sh", *band_cols)
+    # candidates: same value in ANY band → stack bands, self-join per band
+    stacked = banded.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
+            ])
+        ).alias("bucket"),
+    )
+    left = stacked.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
+    right = stacked.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    cand = (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= verify_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-of-weighted-bits signature over distinct normalized tokens.
+    Token hashes are computed once (array of 60-bit ints); bit b of the
+    signature is 1 iff sum over tokens of (2·bit_b(h) − 1) > 0."""
+    toks = F.array_distinct(tokens(normalize_text(col)))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    def _vote_fn(bit: int):
+        mask = F.lit(1 << bit).cast("long")
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b))
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def oracle_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
+    from duckdb_distributed_execution_spark.operators.text import oracle_normalize
+
+    toks = f"list_distinct(regexp_split_to_array({oracle_normalize(expr)}, '\\s+'))"
+    hashes = (
+        f"list_transform({toks}, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+    )
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_reduce(list_transform({hashes}, h -> ((h >> {b}) & 1) * 2 - 1), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs whose simhash Hamming distance ≤ max_hamming, blocked to
+    bound the self-join."""
+    s = df.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_col)] if block_col else []),
+        simhash(F.col(text_col)).alias("sh_a"),
+    )
+    s_b = s.select(
+        F.col("id_a").alias("id_b"),
+        *([F.col(block_col)] if block_col else []),
+        F.col("sh_a").alias("sh_b"),
+    )
+    on = [block_col] if block_col else []
+    pairs = (s.join(s_b, on=on) if on else s.crossJoin(s_b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

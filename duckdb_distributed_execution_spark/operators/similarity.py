@@ -1,0 +1,79 @@
+"""Similarity search API over embedding columns (array<float>).
+
+Two paths (north-star greenfield, BASELINE.json):
+
+- ``brute_force_topk`` — exact: broadcast the query set, stream the
+  corpus, per-query top-k via window. The corpus never shuffles.
+- ``lsh_topk`` — approximate scale path: random-hyperplane signatures
+  bucket the corpus; candidates come only from the query's bucket
+  (equi-join), then exact cosine re-ranks. An IVF variant is the same
+  plan with learned centroids instead of hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import cosine_similarity
+from duckdb_distributed_execution_spark.queries.vectors import _hyperplanes, lsh_bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within candidates."""
+    planes = _hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    sims = c.join(F.broadcast(q), on="__bucket").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines (north-star greenfield;
+no counterpart in the reference — BASELINE.json mandate).
+
+Everything is built-in-function column algebra (regexp, split,
+aggregate over arrays) so the hot path stays in whole-stage codegen —
+no Python UDFs. Each helper has an exact SQL mirror used by the
+DuckDB oracles (``oracle_*`` functions), which doubles as the
+documentation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately small, deterministic English stopword list (shared
+# literal with the oracle SQL).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+_WS = r"\s+"
+_NON_ALNUM = r"[^a-z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → strip non-alphanumerics → collapse whitespace → trim.
+    The canonical form used by fingerprints and exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), _NON_ALNUM, " "), _WS, " "))
+
+
+def oracle_normalize(expr: str) -> str:
+    return (
+        f"TRIM(regexp_replace(regexp_replace(LOWER({expr}), "
+        f"'{_NON_ALNUM}', ' ', 'g'), '{_WS}', ' ', 'g'))"
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. (A content
+    hash over a canonical form — the batch analog of a rolling hash;
+    stable across whitespace/punctuation/case noise.)"""
+    return F.md5(normalize_text(col))
+
+
+def oracle_fingerprint(expr: str) -> str:
+    return f"md5({oracle_normalize(expr)})"
+
+
+def stopword_count(col: Column | str) -> Column:
+    toks = tokens(normalize_text(col))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def oracle_stopword_count(expr: str) -> str:
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array({oracle_normalize(expr)}, '{_WS}'), "
+        f"t -> list_contains({sw}, t))) AS BIGINT)"
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]:
+    0.4·min(1, n_tokens/64) + 0.3·distinct-token ratio +
+    0.3·(1 − stopword ratio). Pure double arithmetic with a fixed
+    operation order — identical across engines."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    sw = stopword_count(col).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(64.0))
+        + F.lit(0.3) * (uniq / n)
+        + F.lit(0.3) * (F.lit(1.0) - sw / n)
+    )
+
+
+def oracle_quality_score(expr: str) -> str:
+    norm = oracle_normalize(expr)
+    toks = f"regexp_split_to_array({norm}, '{_WS}')"
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    uniq = f"CAST(len(list_distinct({toks})) AS DOUBLE)"
+    swc = f"CAST(len(list_filter({toks}, t -> list_contains({sw}, t))) AS DOUBLE)"
+    return (
+        f"(0.4 * least(1.0, {n} / 64.0) + 0.3 * ({uniq} / {n}) "
+        f"+ 0.3 * (1.0 - {swc} / {n}))"
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/stopword language heuristic: English if the stopword
+    ratio clears a threshold, else bucketed by mean token length
+    (CJK-like scripts → short 'tokens' after normalization)."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks).cast("double")
+    sw_ratio = stopword_count(col).cast("double") / n
+    mean_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")) / n
+    )
+    return (
+        F.when(sw_ratio >= 0.08, F.lit("en"))
+        .when(mean_len < 3.5, F.lit("cjk-like"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def oracle_lang_id(expr: str) -> str:
+    norm = oracle_normalize(expr)
+    toks = f"regexp_split_to_array({norm}, '{_WS}')"
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    swr = f"(CAST(len(list_filter({toks}, t -> list_contains({sw}, t))) AS DOUBLE) / {n})"
+    mean_len = (
+        f"(list_reduce(list_transform({toks}, t -> CAST(length(t) AS DOUBLE)), "
+        f"(a, b) -> a + b) / {n})"
+    )
+    return (
+        f"CASE WHEN {swr} >= 0.08 THEN 'en' "
+        f"WHEN {mean_len} < 3.5 THEN 'cjk-like' ELSE 'other' END"
+    )

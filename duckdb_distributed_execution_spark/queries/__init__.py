@@ -1,0 +1,84 @@
+"""Query inventory — the correctness surface of the engine.
+
+Every operator claimed in SURVEY.md §2 gets a named entry here: a
+PySpark DataFrame program plus (where SQL-expressible) an equivalent
+ANSI-SQL oracle string that DuckDB runs on the same parquet tables.
+The driver executes both at sf=0.01 and compares row count + column
+names + order-insensitive value hashes.
+
+Determinism conventions (see functions/__init__.py):
+
+- double SUM/AVG go through exact decimal arithmetic on BOTH sides so
+  results are bit-identical regardless of partitioning/accumulation
+  order;
+- per-row double expressions are written with identical operation
+  order on both sides (IEEE ops are deterministic given order);
+- similarity scores (cosine etc.) are ROUND()ed to 4 decimals — the
+  cross-engine discrepancy is O(1e-12) on O(1) values, so rounding is
+  stable;
+- queries returning a row subset (top-k, limit/offset) order by a
+  unique key so the subset is well-defined.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+_ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Register the requested testdata tables as temp views (matching
+    the oracle's pre-registered DuckDB view names) and return them."""
+    from duckdb_distributed_execution_spark.sources import read_parquet_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out: dict[str, DataFrame] = {}
+    for n in names or _ALL_TABLES:
+        df = read_parquet_table(spark, os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect populates REGISTRY.
+    from duckdb_distributed_execution_spark.queries import (  # noqa: F401
+        core,
+        joins,
+        llm,
+        nested,
+        vectors,
+        window,
+    )
+
+    return REGISTRY

@@ -1,0 +1,289 @@
+"""LLM training-data pipeline queries — dedup, text analysis,
+multimodal — exercised over the ``documents`` table with DuckDB
+oracles wherever the op is SQL-expressible (everything here except
+the mapInPandas feature extraction, which gets a rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import exact_avg, oracle_exact_avg
+from duckdb_distributed_execution_spark.operators import dedup as D
+from duckdb_distributed_execution_spark.operators import multimodal as M
+from duckdb_distributed_execution_spark.operators import text as X
+from duckdb_distributed_execution_spark.queries import load, register
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {X.oracle_fingerprint('text')} AS dedup_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups on the normalized-text fingerprint — one
+    hash shuffle, map-side combined."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup_groups(d, X.fingerprint("text"), "doc_id").select(
+        "dedup_key", "keep_id", "n_dups"
+    )
+
+
+@register(
+    "dedup_exact_prefix",
+    oracle=f"""
+    SELECT substr({X.oracle_normalize('text')}, 1, 30) AS prefix_key,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_prefix(spark, sf_dir):
+    """Prefix-key dedup (catches boilerplate-leading near-dups that
+    full-text hashing misses)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    key = F.substring(X.normalize_text("text"), 1, 30)
+    return (
+        d.groupBy(key.alias("prefix_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {D.oracle_word_shingles('text', 2)} AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Bigram-shingle Jaccard near-dup pairs, blocked by language."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.12, block_col="lang"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # banded-bucket candidate generation is not
+    # reasonably SQL-expressible; driver records rows-only. The
+    # signature math itself IS oracle-checked via dedup_minhash_sigs.
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: shingle → 8 min-hashes → 4 bands →
+    bucket join → exact-Jaccard verify (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
+        verify_threshold=0.12,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_SH = D.oracle_word_shingles("text", 2)
+
+
+@register(
+    "dedup_minhash_sigs",
+    oracle=f"""
+    SELECT doc_id,
+           {D.oracle_minhash_sig(_SH, 0)} AS mh_0,
+           {D.oracle_minhash_sig(_SH, 1)} AS mh_1,
+           {D.oracle_minhash_sig(_SH, 2)} AS mh_2,
+           {D.oracle_minhash_sig(_SH, 3)} AS mh_3
+    FROM documents
+    """,
+)
+def dedup_minhash_sigs(spark, sf_dir):
+    """MinHash signature computation itself, oracle-checked exactly
+    (md5-derived 60-bit hashes are engine-independent)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    sh = D.word_shingles(F.col("text"), 2)
+    return d.select("doc_id", *D.minhash_signature(sh, 4))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {D.oracle_simhash('text', 16)} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (oracle-checked bit-exactly; the
+    pair search runs at 32 bits in operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming radius, lang-blocked."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=6, block_col="lang")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (the generic
+    blocked self-join; LSH-blocked variant in ann_lsh_candidates)."""
+    from duckdb_distributed_execution_spark.functions import cosine_similarity
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
+    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    return sims.filter(F.col("sim") >= 0.9).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+_NTOK = r"CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT)"
+_NTOK_D = r"CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE)"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens,
+           {oracle_exact_avg(_NTOK_D)} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) aggregated per language."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    n = X.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        exact_avg(n.cast("double")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND({X.oracle_quality_score('text')}, 6) AS quality,
+           {X.oracle_stopword_count('text')} AS n_stopwords
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality scoring (length/diversity/stopword mix)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.round(X.quality_score("text"), 6).alias("quality"),
+        X.stopword_count("text").alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT {X.oracle_lang_id('text')} AS predicted,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID (stopword ratio + token-length shape)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.groupBy(X.lang_id("text").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {X.oracle_fingerprint('text')} AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes,
+           UPPER(substr(hex(CAST(text AS BLOB)), 1, 8)) AS head_hex,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Binary-column metadata extraction (pure column funcs; payload =
+    UTF-8 bytes standing in for media bytes)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    media = M.attach_binary_payload(d, "text", "doc_id")
+    return M.extract_metadata(media).select(
+        "media_id", "n_bytes", "head_hex", "content_md5"
+    )
+
+
+@register("multimodal_features", oracle=None)
+def multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (decode
+    stubbed deterministically — see operators/multimodal.py). Driver
+    records rows-only; exactness is covered by pytest golden tests."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    media = M.attach_binary_payload(d, "text", "doc_id")
+    feats = M.extract_features(media, dim=8, decode_stub=True)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
+    )

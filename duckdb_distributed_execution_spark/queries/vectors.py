@@ -1,0 +1,259 @@
+"""Array-column surface + similarity search over embeddings.
+
+Array ops mirror the reference's LIST support
+(test/sql/list_type_support.test: len, 1-based indexing, unnest,
+list_contains → SURVEY §2.C). Similarity search is north-star
+greenfield (BASELINE.json): brute-force cosine top-k as the exact
+baseline, and a random-hyperplane LSH bucketed variant as the scale
+path (at 100 TB the brute-force candidate set is the whole table;
+LSH buckets cut candidates by orders of magnitude and the bucket
+join is a plain shuffled hash join).
+
+Cross-engine determinism: dot products fold left-to-right over
+doubles on both sides (Spark ``F.aggregate`` ≡ DuckDB
+``list_dot_product`` over ``DOUBLE[]``); reported similarities are
+ROUND()ed to 4 decimals (cross-engine drift is O(1e-12) on O(1)
+values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import (
+    EXACT_DECIMAL,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+
+@register(
+    "array_ops",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_elem,
+           embedding[-1] AS last_elem,
+           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 4) AS head_sum
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+)
+def array_ops(spark, sf_dir):
+    """LIST parity: len / 1-based index / negative index
+    (list_type_support.test:82-118)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return e.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.element_at("embedding", -1).alias("last_elem"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double"),
+            4,
+        ).alias("head_sum"),
+    )
+
+
+@register(
+    "array_explode",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_elems,
+           CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sum_elems
+    FROM (SELECT label, UNNEST(embedding) AS e FROM embeddings)
+    GROUP BY label
+    """,
+)
+def array_explode(spark, sf_dir):
+    """UNNEST parity — explode 64-dim vectors and aggregate."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.select("label", F.explode("embedding").alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.sum(F.col("e").cast("double").cast(EXACT_DECIMAL))
+            .cast("double")
+            .alias("sum_elems"),
+        )
+    )
+
+
+@register(
+    "vector_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def vector_norms(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    norm = l2_norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min(norm), 4).alias("min_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
+
+
+_ORACLE_COSINE = """
+    list_dot_product({a}, {b})
+    / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    headline=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+         sims AS (
+           SELECT query_id, neighbor_id,
+                  {_ORACLE_COSINE.format(a='qv', b='cv')} AS sim
+           FROM q CROSS JOIN c)
+    SELECT query_id, neighbor_id,
+           CAST(rn AS INTEGER) AS rank,
+           ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Exact ANN baseline: broadcast the (small) query set against the
+    partitioned corpus — the corpus never shuffles, cosine runs in
+    whole-stage codegen, per-query top-k via window. At scale the
+    window shuffle is on query_id (tiny cardinality); a 100 TB corpus
+    streams through map-side."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    sims = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random ±small-integer hyperplanes — shared
+    literal between the Spark plan and the DuckDB oracle (no RNG: the
+    workflow runtime and the oracle must agree bit-for-bit)."""
+    return [
+        [float(((3 + 7 * j + 11 * i + (i * i + j * j * 5) % 17) % 13) - 6)
+         for i in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def _oracle_lsh_bucket(col: str, planes: list[list[float]]) -> str:
+    bits = []
+    for j, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in w) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({col}, {arr}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             {_oracle_lsh_bucket('CAST(embedding AS DOUBLE[])', _hyperplanes())} AS bucket
+      FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+    FROM b GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing — the scale path for ANN: a
+    deterministic 8-bit signature partitions the corpus into 256
+    buckets; neighbor candidates come from one bucket (or
+    Hamming-adjacent buckets), turning ANN into an equi-join."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    bucket = lsh_bucket(F.col("embedding"), _hyperplanes())
+    return (
+        e.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def lsh_bucket(vec, planes: list[list[float]]):
+    """Spark column: LSH bucket id from sign bits of plane projections."""
+    total = F.lit(0)
+    for j, w in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in w])
+        proj = dot_product(vec, arr)
+        total = total + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "ann_lsh_candidates",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {_oracle_lsh_bucket('CAST(embedding AS DOUBLE[])', _hyperplanes())} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             {_ORACLE_COSINE.format(a='a.v', b='b2.v')} AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, ROUND(sim, 4) AS sim
+    FROM pairs WHERE sim >= 0.5
+    """,
+)
+def ann_lsh_candidates(spark, sf_dir):
+    """LSH candidate generation + verification: same-bucket pairs via
+    shuffled self-join on bucket, exact cosine verify ≥ 0.5. This is
+    the embedding near-dup detector at scale (bucket join ≪ n²)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    b = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        lsh_bucket(F.col("embedding"), _hyperplanes()).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(c, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim")
+    )
+    return sims.filter(F.col("sim") >= 0.5).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )

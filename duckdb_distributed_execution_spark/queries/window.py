@@ -1,0 +1,213 @@
+"""Window function surface — SURVEY §2.B WINDOW / STREAMING_WINDOW
+(query_plan_analyzer.cpp:134-135; the reference delegates these to
+single-node DuckDB). Spark distributes: one shuffle on the partition
+key, sorted within partitions.
+
+All window orderings use a unique tie-break key so results are
+deterministic; running sums go through exact decimal arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import EXACT_DECIMAL
+from duckdb_distributed_execution_spark.queries import load, register
+
+
+@register(
+    "window_rownum_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_rownum_latest(spark, sf_dir):
+    """Latest order per customer — ROW_NUMBER + filter (the standard
+    distributed 'argmax per group')."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+)
+def window_rank_dense(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(F.col("value").cast(EXACT_DECIMAL)).over(w).cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           value - LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS mov_avg
+    FROM events
+    WHERE event_type = 'view'
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """ROWS BETWEEN frame — moving average over the trailing 3 events,
+    exact-decimal sum / count so it hashes identically."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.sum(F.col("value").cast(EXACT_DECIMAL)).over(w).cast("double")
+                / F.count("value").over(w)
+            ).alias("mov_avg"),
+        )
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window — the batch expression of the
+    Structured Streaming plan in streaming/ (same F.window call runs
+    under readStream with a watermark; see
+    streaming/__init__.py::windowed_event_counts)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(EXACT_DECIMAL)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_percent_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS pct,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def window_percent_ntile(spark, sf_dir):
+    """Global (unpartitioned) window — Spark plans a single-partition
+    sort for the window, which is exactly why the frame is pre-filtered
+    to a small slice; a global rank over 100 TB would be re-expressed
+    as a range-partitioned sort + offset merge."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+    )

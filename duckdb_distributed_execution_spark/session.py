@@ -1,0 +1,320 @@
+"""Engine — the session facade mirroring the reference's user surface.
+
+Reference surface being re-expressed (SURVEY §2.A):
+
+- ``duckherder_start_local_server(port, workers)`` →
+  ``Engine.start_local(workers)`` (a local SparkSession; reference:
+  src/server/driver/distributed_server_function.cpp:35-239)
+- ``PRAGMA duckherder_register_remote_table(local, remote)`` →
+  ``register_table(name, path)`` (reference:
+  src/client/duckherder_pragmas.cpp:16-35,
+  duckherder_catalog.cpp:203-241)
+- CREATE/DROP/ALTER TABLE, CREATE/DROP INDEX →
+  ``create_table/drop_table/alter_*/create_index`` (reference:
+  duckherder_schema_catalog_entry.cpp:173-213, 359-447,
+  src/utils/catalog_utils.cpp:23-84)
+- distributed INSERT/DELETE → ``insert_into``/``delete_from``;
+  DELETE applies the *true* predicate, fixing the reference's
+  first-column-IN rewrite hazard (distributed_delete.cpp:73-110,
+  SURVEY §4.3 #5)
+- query stats → ``get_query_execution_stats()`` etc. (stats.py)
+
+Everything data-plane is a plain DataFrame/Spark-SQL operation; Spark's
+planner replaces the reference's distributability gate, task
+partitioner, SQL-rewriting scatter and result mergers wholesale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.stats import QueryRecorder, Timer
+from duckdb_distributed_execution_spark.typemap import schema_from_ddl
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class RegisteredTable:
+    name: str
+    path: str | None  # None for managed (engine-created) tables
+    fmt: str
+    managed: bool
+
+
+@dataclass
+class IndexEntry:
+    """Catalog bookkeeping for CREATE INDEX — Spark has no secondary
+    indexes; parity is the catalog surface + duplicate-create errors
+    (reference: test/sql/index_operations.test:21-36,
+    duckherder_schema_catalog_entry.cpp:121-165)."""
+
+    name: str
+    table: str
+    columns: tuple[str, ...]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, num_workers: int | None = None,
+                 warehouse: str | None = None):
+        self.spark = spark
+        self.num_workers = num_workers or spark.sparkContext.defaultParallelism
+        self._tables: dict[str, RegisteredTable] = {}
+        self._indexes: dict[str, IndexEntry] = {}
+        self.recorder = QueryRecorder(spark, self.num_workers)
+        self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
+        # Deterministic timestamp semantics (DuckDB timestamps are
+        # naive; treat everything as UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # ------------------------------------------------------------------
+    # Session bootstrap (≈ duckherder_start_local_server)
+    # ------------------------------------------------------------------
+    @classmethod
+    def start_local(cls, workers: int = 4, app_name: str = "dde-spark",
+                    shuffle_partitions: int | None = None) -> "Engine":
+        builder = (
+            SparkSession.builder.master(f"local[{workers}]")
+            .appName(app_name)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(workers * 4, 4)),
+            )
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+        )
+        spark = builder.getOrCreate()
+        return cls(spark, num_workers=workers)
+
+    # ------------------------------------------------------------------
+    # Table registry (≈ duckherder_register_remote_table)
+    # ------------------------------------------------------------------
+    def register_table(self, name: str, path: str, fmt: str = "parquet") -> DataFrame:
+        """Register an external dataset under ``name``; analogous to
+        attaching a remote table — scans, DML and DDL then address it
+        by name. Column pruning + predicate pushdown to the scan are
+        native (the reference pushes projection only and explicitly
+        not filters, distributed_table_scan_function.cpp:40-41)."""
+        if fmt == "parquet":
+            from duckdb_distributed_execution_spark.sources import read_parquet_table
+
+            df = read_parquet_table(self.spark, path)
+        else:
+            df = self.spark.read.format(fmt).load(path)
+        df.createOrReplaceTempView(name)
+        self._tables[name] = RegisteredTable(name, path, fmt, managed=False)
+        return df
+
+    def register_testdata(self, sf_dir: str) -> None:
+        """Register the full driver-provided star schema from
+        ``/root/testdata/sf*`` (TESTDATA.md)."""
+        for t in TESTDATA_TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_table(t, p)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def table_exists(self, name: str) -> bool:
+        # ≈ the reference's information_schema.tables probe
+        # (distributed_flight_server.cpp:462-463)
+        return name in self._tables or self.spark.catalog.tableExists(name)
+
+    # ------------------------------------------------------------------
+    # SQL entry points
+    # ------------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Lazy SQL — plan only; stats recorded on execute()."""
+        return self.spark.sql(query)
+
+    def execute(self, query: str) -> list:
+        """Run a query eagerly and record execution stats, like the
+        reference's driver path (distributed_executor.cpp:51-212 →
+        query_recorder.cpp)."""
+        df = self.spark.sql(query)
+        with Timer() as t:
+            rows = df.collect()
+        self.recorder.record(query, df, t.ms)
+        return rows
+
+    # ------------------------------------------------------------------
+    # Stats introspection (≈ duckherder_get_query_execution_stats)
+    # ------------------------------------------------------------------
+    def get_query_execution_stats(self) -> DataFrame:
+        return self.recorder.stats_df()
+
+    def get_query_history(self) -> DataFrame:
+        return self.recorder.history_df()
+
+    def clear_query_recorder_stats(self) -> None:
+        self.recorder.clear()
+
+    # ------------------------------------------------------------------
+    # DDL (≈ duckherder_schema_catalog_entry.cpp CreateTable/Drop/Alter)
+    # ------------------------------------------------------------------
+    def _managed_path(self, name: str) -> str:
+        return os.path.join(self._warehouse, name)
+
+    def create_table(self, name: str, columns_ddl: str) -> None:
+        """CREATE TABLE name (col type, …) with DuckDB-style types
+        mapped per SURVEY §1.2."""
+        if self.table_exists(name):
+            raise ValueError(f"table {name!r} already exists")
+        schema = schema_from_ddl(columns_ddl)
+        empty = self.spark.createDataFrame([], schema)
+        path = self._managed_path(name)
+        empty.write.mode("overwrite").parquet(path)
+        self._attach_managed(name, path)
+
+    def _attach_managed(self, name: str, path: str) -> None:
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self._tables[name] = RegisteredTable(name, path, "parquet", managed=True)
+
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        t = self._tables.get(name)
+        if t is None:
+            if if_exists:
+                return
+            raise ValueError(f"table {name!r} does not exist")
+        self.spark.catalog.dropTempView(name)
+        if t.managed and t.path:
+            shutil.rmtree(t.path, ignore_errors=True)
+        del self._tables[name]
+        for iname in [i for i, e in self._indexes.items() if e.table == name]:
+            del self._indexes[iname]
+
+    def _rewrite(self, name: str, df: DataFrame) -> None:
+        """Copy-on-write rewrite of a managed table (Spark parquet
+        tables are immutable; ALTER/DELETE rewrite — same approach a
+        lakehouse format takes, minus the transaction log)."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError(
+                f"table {name!r} is an external registered table; "
+                "ALTER/DELETE require a managed table"
+            )
+        tmp = t.path + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(t.path, ignore_errors=True)
+        os.rename(tmp, t.path)
+        self._attach_managed(name, t.path)
+
+    # ALTER TABLE family — parity with GenerateAlterTableSQL
+    # (src/utils/catalog_utils.cpp:23-84; test/sql/alter_table.test)
+    def add_column(self, name: str, col: str, type_str: str,
+                   default=None) -> None:
+        from duckdb_distributed_execution_spark.typemap import duckdb_to_spark
+
+        dt = duckdb_to_spark(type_str)
+        df = self.table(name).withColumn(col, F.lit(default).cast(dt))
+        self._rewrite(name, df)
+
+    def drop_column(self, name: str, col: str) -> None:
+        self._rewrite(name, self.table(name).drop(col))
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        self._rewrite(name, self.table(name).withColumnRenamed(old, new))
+
+    def rename_table(self, old: str, new: str) -> None:
+        t = self._tables[old]
+        if not t.managed:
+            raise ValueError("rename requires a managed table")
+        new_path = self._managed_path(new)
+        os.rename(t.path, new_path)
+        self.spark.catalog.dropTempView(old)
+        del self._tables[old]
+        self._attach_managed(new, new_path)
+
+    def alter_column_type(self, name: str, col: str, type_str: str) -> None:
+        from duckdb_distributed_execution_spark.typemap import duckdb_to_spark
+
+        dt = duckdb_to_spark(type_str)
+        self._rewrite(name, self.table(name).withColumn(col, F.col(col).cast(dt)))
+
+    # CREATE INDEX — catalog bookkeeping no-op (SURVEY §2.A5: Spark has
+    # no index concept; the observable surface is create/drop/duplicate
+    # errors per test/sql/index_operations.test).
+    def create_index(self, index_name: str, table: str, columns: list[str]) -> None:
+        if index_name in self._indexes:
+            raise ValueError(f"index {index_name!r} already exists")
+        if not self.table_exists(table):
+            raise ValueError(f"table {table!r} does not exist")
+        self._indexes[index_name] = IndexEntry(index_name, table, tuple(columns))
+
+    def drop_index(self, index_name: str, if_exists: bool = False) -> None:
+        if index_name not in self._indexes:
+            if if_exists:
+                return
+            raise ValueError(f"index {index_name!r} does not exist")
+        del self._indexes[index_name]
+
+    def list_indexes(self) -> list[IndexEntry]:
+        return list(self._indexes.values())
+
+    # ------------------------------------------------------------------
+    # DML (≈ PhysicalDistributedInsert / PhysicalDistributedDelete)
+    # ------------------------------------------------------------------
+    def insert_into(self, name: str, df: DataFrame) -> None:
+        """Distributed columnar append — never the reference's
+        row-by-row VALUES-string path (distributed_insert.cpp:71-86)."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError("INSERT requires a managed table")
+        target = self.table(name)
+        aligned = df.select(*[F.col(c).cast(f.dataType) for c, f in
+                              zip(df.columns, target.schema.fields)])
+        aligned.write.mode("append").parquet(t.path)
+        self._attach_managed(name, t.path)
+
+    def insert_values(self, name: str, rows: list[tuple]) -> None:
+        target = self.table(name)
+        df = self.spark.createDataFrame(rows, target.schema)
+        self.insert_into(name, df)
+
+    def delete_from(self, name: str, condition: str) -> int:
+        """DELETE FROM name WHERE condition — applies the *true*
+        predicate (fixes reference hazard #5: distributed_delete.cpp
+        rewrites the predicate as first-column IN (...), which is wrong
+        unless column 1 is a key). Returns rows deleted."""
+        df = self.table(name)
+        before = df.count()
+        remaining = df.filter(~F.expr(condition) | F.expr(condition).isNull())
+        self._rewrite(name, remaining)
+        return before - self.table(name).count()
+
+    def update_table(self, name: str, set_exprs: dict[str, str],
+                     condition: str = "true") -> None:
+        """UPDATE ... SET ... WHERE — copy-on-write."""
+        df = self.table(name)
+        cond = F.expr(condition)
+        out = df
+        for col, expr in set_exprs.items():
+            out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+        self._rewrite(name, out)
+
+    def close(self) -> None:
+        shutil.rmtree(self._warehouse, ignore_errors=True)

@@ -1,0 +1,72 @@
+"""Source/sink connectors.
+
+The reference's only source is its own remote-table scan over Arrow
+Flight (SURVEY §2.A1/A2); Spark's DataSource V2 already covers
+parquet/csv/json/orc + streaming file sources, so this module is a
+thin façade that adds the engine's registration semantics and the
+write-path guarantees the reference lacks (distributed columnar
+append — never the row-by-row VALUES path of
+distributed_insert.cpp:71-86)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READERS = ("parquet", "csv", "json", "orc")
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported source format {fmt!r}; one of {_READERS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "false" if schema else "true")
+    return reader.options(**options).load(path)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns (Spark has
+    no nanosecond timestamps): on PARQUET_TYPE_ILLEGAL, re-read with
+    nanos-as-long and floor any ``*_NANOS`` long column back to a
+    microsecond timestamp — the same truncation DuckDB applies when
+    fetching TIMESTAMP_NS."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    nanos_cols = [
+        field.name
+        for field in pq.read_schema(path)
+        if str(field.type) == "timestamp[ns]"
+    ]
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for name in nanos_cols:
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
+    return df
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Distributed write; ``partition_by`` produces hive-style
+    directory partitioning so downstream scans get partition pruning."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

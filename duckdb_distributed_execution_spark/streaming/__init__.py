@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+The reference has **no** streaming operators (SURVEY §2.C: "Streaming
+operators: none") — this module is north-star greenfield: the same
+event-analytics queries expressed over ``readStream`` so they run
+incrementally with watermarked state.
+
+Design: every streaming query is the SAME logical plan as its batch
+twin in queries/ (tumbling window ≡ events_tumbling_window); pytest
+asserts batch/stream parity by running the stream with
+``trigger(availableNow=True)`` into a memory sink and comparing
+against the batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts → micros,
+    same truncation as the batch path in queries/__init__.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the
+    watermark are dropped and window state is evicted (bounded state
+    at unbounded input, the 100 TB/day requirement)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (gap-based) per user — built-in
+    ``session_window`` keyed state; sessions close when the watermark
+    passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain all available input into an in-memory table (test sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
