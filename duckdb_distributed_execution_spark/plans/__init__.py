@@ -37,6 +37,10 @@ class PlanSummary:
 
 def summarize(df: DataFrame) -> PlanSummary:
     plan = formatted_plan(df)
+    # In "formatted" explain, whole-stage-codegen membership is the
+    # leading asterisk on a node line ("* Filter (2)"), not the
+    # "WholeStageCodegen" label of "simple" mode.
+    codegen = "WholeStageCodegen" in plan or "\n* " in plan or plan.startswith("* ")
     return PlanSummary(
         n_exchanges=plan.count("Exchange"),
         n_broadcast_joins=plan.count("BroadcastHashJoin"),
@@ -45,7 +49,7 @@ def summarize(df: DataFrame) -> PlanSummary:
         has_pushed_filters="PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         has_partial_agg="partial_" in plan or "HashAggregate" in plan,
-        wholestage_codegen="WholeStageCodegen" in plan,
+        wholestage_codegen=codegen,
     )
 
 

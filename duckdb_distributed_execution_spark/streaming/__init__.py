@@ -32,9 +32,19 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (nanos ts → micros,
-    same truncation as the batch path in queries/__init__.py)."""
+    same truncation as the batch path in queries/__init__.py).
+
+    ``path`` may be the parquet file itself or its directory — the
+    file source requires a directory, so a file path becomes
+    (dirname, pathGlobFilter=basename)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 

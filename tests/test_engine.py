@@ -1,0 +1,167 @@
+"""Engine facade parity tests — mirrors the reference's sqllogictest
+flows (distributed_basic.test, alter_table.test,
+index_operations.test, query_stats.test, small_table_optimization)
+plus the SURVEY §4.3 correctness hazards the reference gets wrong."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def basic_table(engine):
+    # distributed_basic.test:24-31
+    name = "distributed_basic_table"
+    engine.create_table(name, "id INTEGER, value VARCHAR")
+    engine.insert_values(
+        name, [(1, "hello"), (2, "world"), (3, "distributed"), (4, "duckdb")]
+    )
+    yield name
+    engine.drop_table(name, if_exists=True)
+
+
+def test_basic_round_trip(engine, basic_table):
+    rows = engine.execute(f"SELECT * FROM {basic_table} ORDER BY id")
+    assert [(r.id, r.value) for r in rows] == [
+        (1, "hello"), (2, "world"), (3, "distributed"), (4, "duckdb"),
+    ]
+    assert engine.execute(
+        f"SELECT COUNT(*) AS c FROM {basic_table} WHERE id > 2"
+    )[0].c == 2
+
+
+def test_register_external_and_query(engine):
+    engine.register_testdata(SF_SMOKE)
+    rows = engine.execute(
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1"
+    )
+    assert sum(r.cnt for r in rows) == 6000
+    assert engine.table_exists("lineitem")
+    assert not engine.table_exists("not_a_table")
+
+
+def test_alter_table_flow(engine):
+    # alter_table.test:20-80
+    engine.create_table("test_alter_table", "id INTEGER, name VARCHAR")
+    engine.insert_values("test_alter_table", [(1, "Alice"), (2, "Bob")])
+    engine.add_column("test_alter_table", "age", "INTEGER")
+    engine.insert_values("test_alter_table", [(3, "Charlie", 30)])
+    assert set(engine.table("test_alter_table").columns) == {"id", "name", "age"}
+    engine.rename_column("test_alter_table", "name", "full_name")
+    engine.drop_column("test_alter_table", "age")
+    engine.add_column("test_alter_table", "status", "VARCHAR", default="active")
+    rows = {r.id: (r.full_name, r.status)
+            for r in engine.table("test_alter_table").collect()}
+    assert rows[1] == ("Alice", "active") and len(rows) == 3
+    engine.rename_table("test_alter_table", "renamed_table")
+    assert engine.table_exists("renamed_table")
+    engine.drop_table("renamed_table")
+
+
+def test_index_bookkeeping(engine, basic_table):
+    # index_operations.test:21-36
+    engine.create_index("idx_basic_id", basic_table, ["id"])
+    with pytest.raises(ValueError):
+        engine.create_index("idx_basic_id", basic_table, ["id"])
+    engine.create_index("idx_basic_value", basic_table, ["value"])
+    assert {i.name for i in engine.list_indexes()} >= {
+        "idx_basic_id", "idx_basic_value",
+    }
+    # data still readable after (index_operations.test)
+    assert len(engine.execute(f"SELECT * FROM {basic_table}")) == 4
+    engine.drop_index("idx_basic_id")
+    engine.drop_index("idx_basic_id", if_exists=True)
+    with pytest.raises(ValueError):
+        engine.drop_index("idx_basic_id")
+    engine.drop_index("idx_basic_value")
+
+
+def test_delete_true_predicate(engine):
+    """SURVEY §4.3 hazard #5: the reference rewrites DELETE as
+    first-column IN (...) — wrong unless col 1 is a key. Ours applies
+    the real predicate."""
+    engine.create_table("del_t", "k INTEGER, grp VARCHAR, v INTEGER")
+    engine.insert_values(
+        "del_t",
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30), (2, "b", 40), (3, "a", None)],
+    )
+    # predicate on non-key columns; k=1 appears on both sides
+    n = engine.delete_from("del_t", "grp = 'b' AND v >= 20")
+    assert n == 2
+    remaining = sorted(
+        (r.k, r.grp) for r in engine.table("del_t").collect()
+    )
+    assert remaining == [(1, "a"), (2, "a"), (3, "a")]
+    # NULL-predicate rows are kept (v IS NULL never matches v >= 20)
+    engine.drop_table("del_t")
+
+
+def test_update(engine):
+    engine.create_table("upd_t", "id INTEGER, v INTEGER")
+    engine.insert_values("upd_t", [(1, 10), (2, 20), (3, 30)])
+    engine.update_table("upd_t", {"v": "v * 10"}, "id >= 2")
+    assert {r.id: r.v for r in engine.table("upd_t").collect()} == {
+        1: 10, 2: 200, 3: 300,
+    }
+    engine.drop_table("upd_t")
+
+
+def test_query_stats_recording(engine, basic_table):
+    # query_stats.test: history recording + clear
+    engine.clear_query_recorder_stats()
+    engine.execute(f"SELECT COUNT(*) AS c FROM {basic_table}")
+    engine.execute(f"SELECT value, COUNT(*) AS c FROM {basic_table} GROUP BY value")
+    engine.execute(f"SELECT COUNT(*) AS c FROM {basic_table}")
+    stats = engine.get_query_execution_stats().collect()
+    assert len(stats) == 3
+    assert {s.merge_strategy for s in stats} >= {"AGGREGATE", "GROUP_BY"}
+    assert all(s.query_duration_ms >= 0 for s in stats)
+    assert all(s.num_tasks_generated >= 1 for s in stats)
+    hist = {r.query: r.latencies_ms for r in engine.get_query_history().collect()}
+    assert len(hist[f"SELECT COUNT(*) AS c FROM {basic_table}"]) == 2
+    engine.clear_query_recorder_stats()
+    assert engine.get_query_execution_stats().count() == 0
+
+
+def test_skewed_avg_exact(engine, spark):
+    """SURVEY §4.3 hazard #1: the reference merges AVG as
+    AVG-of-partition-AVGs (wrong for skew). Spark's partial/final avg
+    carries sum+count — verify against the true mean on a skewed
+    layout."""
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(1000)] + [(1000, 1001.0)], "id INT, v DOUBLE"
+    ).repartition(2, "id")
+    got = df.agg(F.avg("v").alias("a")).collect()[0].a
+    assert got == pytest.approx((1000 * 1.0 + 1001.0) / 1001, rel=1e-12)
+
+
+def test_aliased_aggregates(engine, basic_table):
+    """SURVEY §4.3 hazard #2: the reference classifies merge columns by
+    name substring ('count', 'sum'); aliased aggregates must still be
+    correct."""
+    rows = engine.execute(
+        f"SELECT value AS category_name, COUNT(*) AS my_total, "
+        f"SUM(id) AS the_answer FROM {basic_table} GROUP BY value"
+    )
+    assert {r.category_name: (r.my_total, r.the_answer) for r in rows}[
+        "hello"
+    ] == (1, 1)
+
+
+def test_failed_task_raises(engine, spark):
+    """SURVEY §4.3 hazard #6: a failed reference worker silently drops
+    its rows. Spark must raise, never truncate."""
+    df = spark.range(10).select(
+        (F.lit(10) / (F.col("id") - 5)).alias("x")  # div by zero at id=5
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    with pytest.raises(Exception):
+        df.collect()
+
+
+def test_create_table_duplicate_raises(engine, basic_table):
+    with pytest.raises(ValueError):
+        engine.create_table(basic_table, "id INTEGER")

@@ -1,0 +1,63 @@
+"""Physical-plan shape tests — the 100 TB readiness checks.
+
+These assert the plan properties that matter at scale, not just
+correctness: filters reach the parquet scan (the reference explicitly
+does NOT push filters — distributed_table_scan_function.cpp:41),
+columns are pruned, small dims broadcast, aggregation is partial+final,
+and whole-stage codegen covers the hot path."""
+
+from __future__ import annotations
+
+from duckdb_distributed_execution_spark.plans import (
+    scan_read_schema,
+    summarize,
+)
+from duckdb_distributed_execution_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = all_queries()["scan_filter_project"].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    assert s.has_pushed_filters, "filters must reach the parquet scan"
+    assert s.wholestage_codegen
+
+
+def test_column_pruning(spark):
+    df = all_queries()["scan_filter_project"].fn(spark, SF_SMOKE)
+    cols = set(scan_read_schema(df))
+    # 11-column lineitem: only the projected + filtered columns are read
+    assert "l_comment" not in cols and "l_tax" not in cols
+    assert cols <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_discount", "l_returnflag",
+    }
+
+
+def test_dim_join_broadcasts(spark):
+    df = all_queries()["join_broadcast_dim"].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    assert s.n_broadcast_joins >= 1
+    assert s.n_sortmerge_joins == 0, "fact table must not shuffle for a dim join"
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = all_queries()["join_multi_star"].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    # customer/nation/region broadcast; only orders⋈lineitem may shuffle
+    assert s.n_broadcast_joins >= 3
+
+
+def test_grouped_agg_is_partial_final(spark):
+    df = all_queries()["agg_pricing_summary"].fn(spark, SF_SMOKE)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "partial" in plan.lower(), "map-side combine expected"
+
+
+def test_asof_join_single_shuffle(spark):
+    df = all_queries()["join_asof"].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    # union + window: exactly one exchange on the key (plus AQE reads);
+    # crucially NO join operator and no per-key explosion.
+    assert s.n_joins == 0
+    assert s.n_exchanges <= 2

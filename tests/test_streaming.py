@@ -1,0 +1,42 @@
+"""Structured Streaming tests: the streaming plans must agree with
+their batch twins (run with availableNow into a memory sink), and
+watermarked session windows must produce sane sessions."""
+
+from __future__ import annotations
+
+import os
+
+from duckdb_distributed_execution_spark import streaming as S
+from duckdb_distributed_execution_spark.queries import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_batch_parity_tumbling(spark):
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
+    S.run_to_memory(stream, "win_counts")
+    got = {
+        (r.w_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = all_queries()["events_tumbling_window"].fn(spark, SF_SMOKE)
+    expected = {
+        (r.w_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_sessionization(spark):
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    stream = S.sessionized_event_counts(
+        S.read_events_stream(spark, events_path), gap="30 minutes"
+    )
+    S.run_to_memory(stream, "sessions")
+    rows = spark.table("sessions").collect()
+    assert len(rows) > 0
+    ev = all_queries()["window_lag_lead"].fn(spark, SF_SMOKE)  # loads events view
+    total_events = spark.table("events").count()
+    assert sum(r.n_events for r in rows) == total_events
+    assert all(r.session_end > r.session_start for r in rows)

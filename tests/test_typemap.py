@@ -1,0 +1,96 @@
+"""Type-system parity tests (SURVEY §1.2; reference
+test/sql/type_support.test, list_type_support.test,
+enum_type_support.test)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from duckdb_distributed_execution_spark.typemap import (
+    duckdb_to_spark,
+    enum_rank_expr,
+    schema_from_ddl,
+    spark_to_duckdb,
+)
+
+
+@pytest.mark.parametrize(
+    ("duck", "spark_t"),
+    [
+        ("BOOLEAN", T.BooleanType()),
+        ("TINYINT", T.ByteType()),
+        ("SMALLINT", T.ShortType()),
+        ("INTEGER", T.IntegerType()),
+        ("BIGINT", T.LongType()),
+        # unsigned widening (type_support.test:25-28)
+        ("UTINYINT", T.ShortType()),
+        ("USMALLINT", T.IntegerType()),
+        ("UINTEGER", T.LongType()),
+        ("UBIGINT", T.DecimalType(20, 0)),
+        # int128 (type_support.test:229-261)
+        ("HUGEINT", T.DecimalType(38, 0)),
+        ("UHUGEINT", T.DecimalType(38, 0)),
+        ("FLOAT", T.FloatType()),
+        ("DOUBLE", T.DoubleType()),
+        ("VARCHAR", T.StringType()),
+        ("BLOB", T.BinaryType()),
+        ("UUID", T.StringType()),
+        ("DATE", T.DateType()),
+        ("TIME", T.LongType()),
+        ("TIMESTAMP", T.TimestampType()),
+        ("TIMESTAMP_NS", T.TimestampType()),
+        ("DECIMAL(10,2)", T.DecimalType(10, 2)),
+        ("INTEGER[]", T.ArrayType(T.IntegerType())),
+        ("VARCHAR[]", T.ArrayType(T.StringType())),
+        ("LIST(DOUBLE)", T.ArrayType(T.DoubleType())),
+    ],
+)
+def test_duckdb_to_spark(duck, spark_t):
+    assert duckdb_to_spark(duck) == spark_t
+
+
+def test_unsigned_ranges_fit():
+    # UBIGINT max from the reference's golden output
+    # (type_support.test:44): 18446744073709551615 must fit.
+    assert T.DecimalType(20, 0).precision >= len("18446744073709551615")
+
+
+def test_roundtrip_core():
+    for duck in ["BOOLEAN", "INTEGER", "BIGINT", "DOUBLE", "VARCHAR",
+                 "BLOB", "DATE", "TIMESTAMP", "DECIMAL(12,3)", "INTEGER[]"]:
+        assert spark_to_duckdb(duckdb_to_spark(duck)).upper().replace(" ", "") in (
+            duck.replace(" ", ""),
+        )
+
+
+def test_schema_from_ddl():
+    s = schema_from_ddl("id INTEGER, name VARCHAR, vals DOUBLE[], amount DECIMAL(10,2)")
+    assert [f.name for f in s.fields] == ["id", "name", "vals", "amount"]
+    assert s["vals"].dataType == T.ArrayType(T.DoubleType())
+    assert s["amount"].dataType == T.DecimalType(10, 2)
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError):
+        duckdb_to_spark("GEOMETRY")
+
+
+def test_enum_declaration_order(spark):
+    """Enum MIN/MAX/ORDER BY follow declaration order, not lexicographic
+    (enum_type_support.test:65-82: happy < sad < neutral)."""
+    from pyspark.sql import functions as F
+
+    moods = ["happy", "sad", "neutral"]
+    df = spark.createDataFrame(
+        [(1, "sad"), (2, "happy"), (3, "neutral"), (4, None)],
+        "id INT, person_mood STRING",
+    )
+    rank = F.expr(enum_rank_expr("person_mood", moods))
+    ordered = df.filter(F.col("person_mood").isNotNull()).orderBy(rank)
+    assert [r.person_mood for r in ordered.collect()] == ["happy", "sad", "neutral"]
+    agg = df.agg(
+        F.min_by("person_mood", rank).alias("mn"),
+        F.max_by("person_mood", rank).alias("mx"),
+    ).collect()[0]
+    assert (agg.mn, agg.mx) == ("happy", "neutral")
