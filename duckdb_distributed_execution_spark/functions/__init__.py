@@ -30,30 +30,49 @@ from pyspark.sql import functions as F
 EXACT_DECIMAL = "decimal(28,6)"
 
 
-def exact_sum(col: Column | str) -> Column:
-    """Order-independent SUM for double columns: exact decimal
-    accumulation, surfaced as DOUBLE. Matches the DuckDB oracle form
-    ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`` bit-for-bit."""
+# Fixed-point scale for the fast exact path: 10^6 covers any value
+# that originated as a ≤2-decimal literal or a product of up to three
+# of them.
+_SCALE = 1_000_000.0
+
+
+def exact_sum(col: Column | str, wide: bool = False) -> Column:
+    """Order-independent SUM for double columns, surfaced as DOUBLE.
+
+    Fast path (default): scale to 6 fixed decimals, round to LONG,
+    sum longs (whole-stage-codegen primitive — ~2.5× faster than
+    decimal accumulation), divide back. Exact because the scaled
+    values are integers and long addition is associative; Spark runs
+    ANSI mode, so a sum beyond ±2^63 (≈9.2e12 in value units) raises
+    ARITHMETIC_OVERFLOW rather than wrapping — pass ``wide=True`` to
+    use DECIMAL(28,6) accumulation (range 1e22) for columns whose
+    global sum can exceed that, e.g. petabyte-scale money totals.
+
+    Oracle form: ``(SUM(CAST(round(x * 1000000.0) AS BIGINT)) /
+    1000000.0)`` — DuckDB sums into int128, and both engines convert
+    the identical integer to double before the final division."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(EXACT_DECIMAL)).cast("double")
+    if wide:
+        return F.sum(c.cast(EXACT_DECIMAL)).cast("double")
+    return F.sum(F.round(c * F.lit(_SCALE)).cast("long")) / F.lit(_SCALE)
 
 
-def exact_avg(col: Column | str) -> Column:
-    """Order-independent AVG: exact decimal sum divided by count, both
-    as doubles — a single IEEE division, identical on any engine.
-    Oracle form: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
-    COUNT(x)``."""
+def exact_avg(col: Column | str, wide: bool = False) -> Column:
+    """Order-independent AVG: exact sum divided by count, both doubles
+    — a single IEEE division, identical on any engine."""
     c = F.col(col) if isinstance(col, str) else col
-    return exact_sum(c) / F.count(c)
+    return exact_sum(c, wide=wide) / F.count(c)
 
 
-def oracle_exact_sum(expr: str) -> str:
+def oracle_exact_sum(expr: str, wide: bool = False) -> str:
     """DuckDB SQL text mirroring exact_sum()."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    if wide:
+        return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"(SUM(CAST(round(({expr}) * 1000000.0) AS BIGINT)) / 1000000.0)"
 
 
-def oracle_exact_avg(expr: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr}))"
+def oracle_exact_avg(expr: str, wide: bool = False) -> str:
+    return f"({oracle_exact_sum(expr, wide)} / COUNT({expr}))"
 
 
 # ---------------------------------------------------------------------------

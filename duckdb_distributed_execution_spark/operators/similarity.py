@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_distributed_execution_spark.functions import cosine_similarity
+from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
 from duckdb_distributed_execution_spark.queries.vectors import _hyperplanes, lsh_bucket
 
 
@@ -26,17 +26,23 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector."""
+    """Exact top-k cosine neighbors for each query vector. Norms are
+    computed once per row, not per pair."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
     )
     sims = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("sim"),
+        (dot_product(F.col("__qv"), F.col("__cv"))
+         / (F.col("__qn") * F.col("__cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -60,17 +66,20 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     sims = c.join(F.broadcast(q), on="__bucket").select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("sim"),
+        (dot_product(F.col("__qv"), F.col("__cv"))
+         / (F.col("__qn") * F.col("__cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

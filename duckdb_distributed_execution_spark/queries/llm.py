@@ -136,7 +136,7 @@ def dedup_simhash(spark, sf_dir):
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within Hamming radius, lang-blocked."""
     d = load(spark, sf_dir, "documents")["documents"]
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=6, block_col="lang")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, block_col="lang")
 
 
 @register(
@@ -150,22 +150,33 @@ def dedup_simhash_pairs(spark, sf_dir):
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e))
-             * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (the generic
     blocked self-join; LSH-blocked variant in ann_lsh_candidates)."""
-    from duckdb_distributed_execution_spark.functions import cosine_similarity
+    from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
+    withn = e.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("n")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("n").alias("na"), "label",
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("n").alias("nb"), "label",
+    )
     pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
-        "id_a", "id_b", cosine_similarity(F.col("ea"), F.col("eb")).alias("sim")
+        "id_a",
+        "id_b",
+        (dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
     )
-    return sims.filter(F.col("sim") >= 0.9).select(
+    return sims.filter(F.col("sim") >= 0.3).select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")
     )
 

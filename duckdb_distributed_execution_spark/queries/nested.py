@@ -169,7 +169,7 @@ def grouping_sets(spark, sf_dir):
         """
         SELECT event_type, user_id % 10 AS user_bucket,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+               (SUM(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0) AS sum_value
         FROM events
         GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
         """

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import (
     EXACT_DECIMAL,
-    cosine_similarity,
     dot_product,
     l2_norm,
 )
@@ -141,16 +140,23 @@ def ann_bruteforce_topk(spark, sf_dir):
     window shuffle is on query_id (tiny cardinality); a 100 TB corpus
     streams through map-side."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    # Precompute each side's norm once (per row, not per pair) — the
+    # division produces bit-identical values to recomputing inside
+    # the pair loop, at a third of the array traversals.
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     sims = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -231,29 +237,34 @@ def lsh_bucket(vec, planes: list[list[float]]):
              {_ORACLE_COSINE.format(a='a.v', b='b2.v')} AS sim
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
     SELECT id_a, id_b, ROUND(sim, 4) AS sim
-    FROM pairs WHERE sim >= 0.5
+    FROM pairs WHERE sim >= 0.25
     """,
 )
 def ann_lsh_candidates(spark, sf_dir):
     """LSH candidate generation + verification: same-bucket pairs via
-    shuffled self-join on bucket, exact cosine verify ≥ 0.5. This is
+    shuffled self-join on bucket, exact cosine verify ≥ 0.25. This is
     the embedding near-dup detector at scale (bucket join ≪ n²)."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     b = e.select(
         "vec_id",
         F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("n"),
         lsh_bucket(F.col("embedding"), _hyperplanes()).alias("bucket"),
     )
     a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
     )
     c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
     )
     pairs = a.join(c, on="bucket").filter(F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
-        "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim")
+        "id_a",
+        "id_b",
+        (dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
     )
-    return sims.filter(F.col("sim") >= 0.5).select(
+    return sims.filter(F.col("sim") >= 0.25).select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")
     )
