@@ -30,43 +30,55 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same key group (backward as-of,
-    matching DuckDB's ``ASOF JOIN`` inclusive semantics).
+    ``right_ts <= left_ts`` (``direction="backward"``, DuckDB
+    ``ASOF JOIN … ON l.ts >= r.ts``) or the smallest
+    ``right_ts >= left_ts`` (``direction="forward"``) within the same
+    key group. Equal timestamps match in both directions.
 
-    Left rows with no prior right row keep NULL right columns (left
-    outer as-of).
+    Left rows with no matching right row keep NULL right columns
+    (left outer as-of).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
 
-    # side=0 sorts right rows before left rows at equal timestamps so
-    # an exactly-equal right timestamp is visible to the left row.
-    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    backward = direction == "backward"
+    # Side ordering makes an exactly-equal right timestamp visible to
+    # the left row: right before left (backward) / after left (forward).
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1 if backward else 0)
+    )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(0 if backward else 1).alias("__side"),
         F.col(right_ts).alias("__asof_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     carried = ["__asof_ts"] + [f"__r_{c}" for c in right_cols]
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in carried}
-    )
-    out = filled.filter(F.col("__side") == 1)
+    base = Window.partitionBy(*keys).orderBy(F.col("__ts").asc(), F.col("__side").asc())
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = {c: F.last(c, ignorenulls=True).over(w) for c in carried}
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = {c: F.first(c, ignorenulls=True).over(w) for c in carried}
+    filled = unioned.withColumns(fill)
+    out = filled.filter(F.col("__side") == (1 if backward else 0))
     if tolerance is not None:
-        within = F.col("__ts") - F.col("__asof_ts") <= tolerance
+        gap = (
+            F.col("__ts") - F.col("__asof_ts")
+            if backward
+            else F.col("__asof_ts") - F.col("__ts")
+        )
         out = out.withColumns(
-            {c: F.when(within, F.col(c)) for c in carried}
+            {c: F.when(gap <= tolerance, F.col(c)) for c in carried}
         )
     renames = {f"__r_{c}": c for c in right_cols}
     out = out.withColumnsRenamed(renames).withColumnRenamed("__asof_ts", "asof_" + right_ts)

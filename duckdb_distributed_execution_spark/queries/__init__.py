@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect populates REGISTRY.
     from duckdb_distributed_execution_spark.queries import (  # noqa: F401
         core,
+        extended,
         joins,
         llm,
         nested,

@@ -1,0 +1,466 @@
+"""Extended SQL surface: pivot/unpivot, positional unnest,
+statistical aggregates, arg-min/max, conditional aggregation, math /
+string / date function breadth, edit-distance dedup, forward as-of,
+gap-filled resampling, and the applyInPandas sessionizer checked
+against its pure-SQL twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import (
+    exact_sum,
+    oracle_exact_sum,
+)
+from duckdb_distributed_execution_spark.operators.asof import asof_join
+from duckdb_distributed_execution_spark.operators.sessionize import (
+    sessionize_pandas,
+    sessionize_window,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+
+@register(
+    "pivot_returnflag",
+    oracle=f"""
+    SELECT l_linestatus,
+           {oracle_exact_sum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_A,
+           {oracle_exact_sum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_N,
+           {oracle_exact_sum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark, sf_dir):
+    """PIVOT — wide aggregation over a known value set (rewrites to
+    the same conditional-aggregate plan as the oracle CASE form)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(exact_sum("l_quantity"))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    SELECT metric, COUNT(*) AS cnt, {oracle_exact_sum('val')} AS total
+    FROM u GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt — long-form metric rows from wide columns."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    long = li.unpivot(
+        [],
+        [F.col("l_quantity").alias("quantity"),
+         F.col("l_discount").alias("discount"),
+         F.col("l_tax").alias("tax")],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("cnt"), exact_sum("val").alias("total")
+    )
+
+
+@register(
+    "posexplode_ordinality",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           UNNEST(embedding) AS elem
+    FROM embeddings
+    WHERE vec_id < 3
+    """,
+)
+def posexplode_ordinality(spark, sf_dir):
+    """UNNEST WITH ORDINALITY ≡ posexplode (0-based position)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "elem"))
+    )
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(stddev_samp(o_totalprice), 4) AS sd,
+           ROUND(var_samp(o_totalprice), 2) AS var,
+           ROUND(covar_samp(o_totalprice, o_custkey), 2) AS cov,
+           ROUND(corr(o_totalprice, o_custkey), 6) AS cor
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregates. These are the one family where exact
+    cross-engine equality is impossible (non-associative float
+    recurrences), so outputs are rounded at precisions far above the
+    O(1e-9) cross-engine drift."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("cov"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("cor"),
+    )
+
+
+@register(
+    "argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_totalprice, o_orderkey) AS first_order_price,
+           arg_max(o_totalprice, o_orderkey) AS last_order_price,
+           arg_min(o_orderkey, o_orderkey) AS first_orderkey
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def argminmax(spark, sf_dir):
+    """min_by/max_by keyed on a UNIQUE column (ties on the ordering
+    key would be engine-dependent)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.min("o_orderkey").alias("first_orderkey"),
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+           COUNT(CASE WHEN l_quantity >= 40 THEN 1 END) AS n_bulk,
+           {oracle_exact_sum('CASE WHEN l_tax = 0 THEN l_extendedprice ELSE 0 END')}
+             AS taxfree_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_quantity") >= 40, 1)).alias("n_bulk"),
+        exact_sum(
+            F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+        ).alias("taxfree_revenue"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS d_abs,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS d_ceil,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS d_floor,
+           ROUND(sqrt(l_extendedprice), 6) AS d_sqrt,
+           ROUND(ln(l_extendedprice), 10) AS d_ln,
+           ROUND(power(l_quantity, 2.0), 4) AS d_pow,
+           GREATEST(l_discount, l_tax) AS d_max2,
+           LEAST(l_discount, l_tax) AS d_min2
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("d_abs"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("d_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("d_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("d_sqrt"),
+        F.round(F.log("l_extendedprice"), 10).alias("d_ln"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 4).alias("d_pow"),
+        F.greatest("l_discount", "l_tax").alias("d_max2"),
+        F.least("l_discount", "l_tax").alias("d_min2"),
+    )
+
+
+@register(
+    "string_funcs_extended",
+    oracle="""
+    SELECT doc_id,
+           replace(source, 'src', 'source_') AS replaced,
+           lpad(lang, 5, '_') AS padded,
+           split_part(source, 'c', 1) AS first_part,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           reverse(lang) AS rev,
+           repeat(lang, 2) AS doubled,
+           contains(text, 'data') AS has_data,
+           starts_with(source, 'src1') AS is_src1,
+           CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def string_funcs_extended(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.replace(F.col("source"), F.lit("src"), F.lit("source_")).alias("replaced"),
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(1)).alias("first_part"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.reverse("lang").alias("rev"),
+        F.repeat("lang", 2).alias("doubled"),
+        F.contains("text", F.lit("data")).alias("has_data"),
+        F.startswith("source", F.lit("src1")).alias("is_src1"),
+        F.instr("text", "spark").cast("long").alias("spark_pos"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders WHERE o_orderkey % 53 = 0
+    """,
+)
+def date_arithmetic(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") % 53 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT e.user_id,
+           COALESCE(NULLIF(e.event_type, 'error'), 'recovered') AS etype,
+           IFNULL(CAST(json_extract_string(e.props, '$.missing') AS VARCHAR), 'absent')
+             AS missing_prop,
+           CASE WHEN e.value IS NULL THEN -1 ELSE e.value END AS v
+    FROM events e WHERE e.event_id < 200
+    """,
+)
+def null_handling(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.filter(F.col("event_id") < 200).select(
+        "user_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("recovered")
+        ).alias("etype"),
+        F.ifnull(
+            F.get_json_object("props", "$.missing"), F.lit("absent")
+        ).alias("missing_prop"),
+        F.when(F.col("value").isNull(), -1.0).otherwise(F.col("value")).alias("v"),
+    )
+
+
+@register(
+    "limit_pushed_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_key
+    FROM (SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 1000)
+    """,
+)
+def limit_pushed_count(spark, sf_dir):
+    """LIMIT inside a subquery (the reference's scan-paging analog,
+    distributed_flight_server.cpp:503-508) — deterministic via sort."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    top = li.orderBy("l_orderkey").select("l_orderkey").limit(1000)
+    return top.agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("l_orderkey").alias("min_key")
+    )
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang,
+             substr(TRIM(regexp_replace(regexp_replace(LOWER(text),
+                    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 24) AS pfx
+      FROM documents WHERE doc_id < 120)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 12
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs on normalized 24-char prefixes,
+    language-blocked (levenshtein is O(m·n) per pair — at scale it is
+    strictly a verification step after cheap blocking, never the
+    candidate generator)."""
+    from duckdb_distributed_execution_spark.operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    p = d.filter(F.col("doc_id") < 120).select(
+        "doc_id", "lang", F.substring(normalize_text("text"), 1, 24).alias("pfx")
+    )
+    a = p.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"), "lang")
+    b = p.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"), "lang")
+    pairs = a.join(b, on="lang").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("pa", "pb").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 12)
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS next_purchase_ts,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of: each click matched to the user's NEXT purchase
+    at-or-after it (operators/asof.py direction='forward')."""
+    ev = load(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["next_purchase_value"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts").alias("next_purchase_ts"),
+        "next_purchase_value",
+    )
+
+
+@register(
+    "resample_gap_fill",
+    oracle=f"""
+    WITH grid AS (
+      SELECT CAST(h AS TIMESTAMP) AS hour_start, t.event_type
+      FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08',
+                 INTERVAL 1 HOUR) AS g(h)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+             COUNT(*) AS cnt, {oracle_exact_sum('value')} AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      GROUP BY 1, 2)
+    SELECT g.hour_start, g.event_type,
+           COALESCE(a.cnt, 0) AS cnt,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a
+      ON g.hour_start = a.hour_start AND g.event_type = a.event_type
+    """,
+)
+def resample_gap_fill(spark, sf_dir):
+    """Time-series resampling with gap filling: a dense hour×type grid
+    (sequence + explode — generated distributed, no driver loop) left
+    joined to the sparse hourly aggregate, missing buckets zero-filled."""
+    ev = load(spark, sf_dir, "events")["events"]
+    types = ev.select("event_type").distinct()
+    grid = types.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-07 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start"),
+    )
+    agg = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), exact_sum("value").alias("sum_value"))
+    )
+    return grid.join(agg, on=["hour_start", "event_type"], how="left").select(
+        "hour_start",
+        "event_type",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+_SESSION_ORACLE = """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN CAST(epoch(ts) AS BIGINT)
+                       - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) AS BIGINT)
+                       > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g),
+    per_sess AS (
+      SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           MAX(n) AS longest_session
+    FROM per_sess GROUP BY user_id
+"""
+
+
+@register("sessionize_pandas_udf", oracle=_SESSION_ORACLE)
+def sessionize_pandas_udf(spark, sf_dir):
+    """Gap-based sessionization via applyInPandas (Arrow-batched
+    grouped custom operator) — oracle is the pure-SQL window
+    formulation, proving the pandas path agrees with relational
+    semantics exactly."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return sessionize_pandas(ev, "user_id", "ts", gap_seconds=1800)
+
+
+@register("sessionize_window_sql", oracle=_SESSION_ORACLE)
+def sessionize_window_sql(spark, sf_dir):
+    """The same sessionization as a pure window-function plan (no
+    Python in the hot path — the preferred form at scale)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return sessionize_window(ev, "user_id", "ts", gap_seconds=1800)

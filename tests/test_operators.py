@@ -52,6 +52,37 @@ def test_asof_join_tolerance(spark):
     assert got[50] is None                    # beyond tolerance
 
 
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 5, 10.0), ("A", 9, 12.0)], "sym STRING, ts LONG, px DOUBLE"
+    )
+    trades = spark.createDataFrame(
+        [("A", 1), ("A", 5), ("A", 7), ("A", 10)], "sym STRING, ts LONG"
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts",
+                    right_cols=["px"], direction="forward")
+    got = {r.ts: (r.px, r.asof_ts) for r in out.collect()}
+    assert got[1] == (10.0, 5)
+    assert got[5] == (10.0, 5)   # equal ts matches forward too
+    assert got[7] == (12.0, 9)
+    assert got[10] == (None, None)
+
+
+def test_sessionize_pandas_matches_window(spark):
+    from duckdb_distributed_execution_spark.operators.sessionize import (
+        sessionize_pandas,
+        sessionize_window,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")["events"]
+    a = {r.user_id: (r.n_sessions, r.n_events, r.longest_session)
+         for r in sessionize_pandas(ev, "user_id", "ts", 1800).collect()}
+    b = {r.user_id: (r.n_sessions, r.n_events, r.longest_session)
+         for r in sessionize_window(ev, "user_id", "ts", 1800).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_range_join(spark):
     points = spark.createDataFrame([(i, float(i)) for i in range(10)],
                                    "id LONG, v DOUBLE")
