@@ -423,6 +423,78 @@ def resample_gap_fill(spark, sf_dir):
     )
 
 
+@register(
+    "recursive_cte_walk",
+    oracle="""
+    WITH RECURSIVE walk(custkey, k, steps) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 12
+      UNION ALL
+      SELECT custkey, k * 2, steps + 1 FROM walk WHERE k * 2 <= 3000
+    )
+    SELECT custkey, COUNT(*) AS n_nodes, MAX(k) AS max_k, MAX(steps) AS depth
+    FROM walk GROUP BY custkey
+    """,
+)
+def recursive_cte_walk(spark, sf_dir):
+    """WITH RECURSIVE ≡ driver-side fixpoint loop over distributed
+    steps (operators/recursive.py): doubling walk from each seed key
+    until a bound — the UNION ALL accumulation and per-seed depths
+    must match DuckDB's native recursive CTE."""
+    from duckdb_distributed_execution_spark.operators.recursive import recursive_cte
+
+    c = load(spark, sf_dir, "customer")["customer"]
+    seed = c.filter(F.col("c_custkey").between(1, 12)).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_custkey").alias("k"),
+        F.lit(0).cast("int").alias("steps"),
+    )
+    walk = recursive_cte(
+        seed,
+        lambda f: f.select(
+            "custkey", (F.col("k") * 2).alias("k"), (F.col("steps") + 1).alias("steps")
+        ).filter(F.col("k") <= 3000),
+        max_iterations=20,
+    )
+    return walk.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("k").alias("max_k"),
+        F.max("steps").cast("int").alias("depth"),
+    )
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_parts_in_window,
+           MIN(p.p_partkey) AS min_part
+    FROM supplier s JOIN part p
+      ON p.p_retailprice >= s.s_acctbal / 10.0 - 20.0
+     AND p.p_retailprice <  s.s_acctbal / 10.0 + 20.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def range_join_bucketed(spark, sf_dir):
+    """Interval-containment join via the bucketed range_join operator
+    (PIECEWISE_MERGE_JOIN in the reference's taxonomy) — the bucket
+    pre-equi-join turns an O(n·m) theta join into a hash join on
+    bucket id + candidate refinement."""
+    from duckdb_distributed_execution_spark.operators.asof import range_join
+
+    t = load(spark, sf_dir, "supplier", "part")
+    intervals = t["supplier"].select(
+        "s_suppkey",
+        (F.col("s_acctbal") / 10.0 - 20.0).alias("lo"),
+        (F.col("s_acctbal") / 10.0 + 20.0).alias("hi"),
+    )
+    joined = range_join(
+        t["part"], intervals, "p_retailprice", "lo", "hi", bucket_width=25.0
+    )
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_parts_in_window"),
+        F.min("p_partkey").alias("min_part"),
+    )
+
+
 _SESSION_ORACLE = """
     WITH g AS (
       SELECT user_id, ts,

@@ -109,18 +109,27 @@ class Engine:
     # ------------------------------------------------------------------
     # Table registry (≈ duckherder_register_remote_table)
     # ------------------------------------------------------------------
-    def register_table(self, name: str, path: str, fmt: str = "parquet") -> DataFrame:
+    def register_table(self, name: str, path: str, fmt: str = "parquet",
+                       target_partitions: int | None = None) -> DataFrame:
         """Register an external dataset under ``name``; analogous to
         attaching a remote table — scans, DML and DDL then address it
         by name. Column pruning + predicate pushdown to the scan are
         native (the reference pushes projection only and explicitly
-        not filters, distributed_table_scan_function.cpp:40-41)."""
+        not filters, distributed_table_scan_function.cpp:40-41).
+
+        ``target_partitions`` is the analog of the reference's task
+        partitioner controls (task_partitioner.cpp:35-160): it forces
+        a repartition so downstream stages see that parallelism —
+        normally unnecessary (file-split planning + AQE pick it), but
+        useful for single-row-group files or skewed layouts."""
         if fmt == "parquet":
             from duckdb_distributed_execution_spark.sources import read_parquet_table
 
             df = read_parquet_table(self.spark, path)
         else:
             df = self.spark.read.format(fmt).load(path)
+        if target_partitions is not None:
+            df = df.repartition(target_partitions)
         df.createOrReplaceTempView(name)
         self._tables[name] = RegisteredTable(name, path, fmt, managed=False)
         return df
@@ -185,7 +194,7 @@ class Engine:
         if self.table_exists(name):
             raise ValueError(f"table {name!r} already exists")
         schema = schema_from_ddl(columns_ddl)
-        empty = self.spark.createDataFrame([], schema)
+        empty = self.spark.createDataFrame([], schema).coalesce(1)
         path = self._managed_path(name)
         empty.write.mode("overwrite").parquet(path)
         self._attach_managed(name, path)
@@ -207,6 +216,19 @@ class Engine:
         for iname in [i for i, e in self._indexes.items() if e.table == name]:
             del self._indexes[iname]
 
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    # Small managed tables compact to one file so a scan is a single
+    # task — the analog of the reference's small-table bypass
+    # (task_partitioner.cpp:14-21: < 1 row group ⇒ one DELEGATED task).
+    _COMPACT_BYTES = 64 * 1024 * 1024
+
     def _rewrite(self, name: str, df: DataFrame) -> None:
         """Copy-on-write rewrite of a managed table (Spark parquet
         tables are immutable; ALTER/DELETE rewrite — same approach a
@@ -217,6 +239,8 @@ class Engine:
                 f"table {name!r} is an external registered table; "
                 "ALTER/DELETE require a managed table"
             )
+        if self._dir_bytes(t.path) < self._COMPACT_BYTES:
+            df = df.coalesce(1)
         tmp = t.path + "__tmp"
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(t.path, ignore_errors=True)
@@ -280,15 +304,20 @@ class Engine:
     # ------------------------------------------------------------------
     def insert_into(self, name: str, df: DataFrame) -> None:
         """Distributed columnar append — never the reference's
-        row-by-row VALUES-string path (distributed_insert.cpp:71-86)."""
+        row-by-row VALUES-string path (distributed_insert.cpp:71-86).
+        Large appends write straight to the table directory; small
+        tables are kept compacted (single file ⇒ single-task scans)."""
         t = self._tables[name]
         if not t.managed:
             raise ValueError("INSERT requires a managed table")
         target = self.table(name)
-        aligned = df.select(*[F.col(c).cast(f.dataType) for c, f in
+        aligned = df.select(*[F.col(c).cast(f.dataType).alias(f.name) for c, f in
                               zip(df.columns, target.schema.fields)])
-        aligned.write.mode("append").parquet(t.path)
-        self._attach_managed(name, t.path)
+        if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
+            aligned.write.mode("append").parquet(t.path)
+            self._attach_managed(name, t.path)
+        else:
+            self._rewrite(name, target.unionByName(aligned))
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
         target = self.table(name)

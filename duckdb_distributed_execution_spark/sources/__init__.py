@@ -39,12 +39,22 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     nanos-as-long and floor any ``*_NANOS`` long column back to a
     microsecond timestamp — the same truncation DuckDB applies when
     fetching TIMESTAMP_NS."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    # Directory tables: probe one part file for the footer schema.
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return spark.read.parquet(path)
+        probe = parts[0]
     nanos_cols = [
         field.name
-        for field in pq.read_schema(path)
+        for field in pq.read_schema(probe)
         if str(field.type) == "timestamp[ns]"
     ]
     if not nanos_cols:

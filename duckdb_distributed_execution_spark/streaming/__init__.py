@@ -84,12 +84,44 @@ def sessionized_event_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+USER_COUNT_STATE = T.StructType([T.StructField("cnt", T.LongType())])
+USER_COUNT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def running_user_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running event count whose state survives across
+    micro-batches (the template for arbitrary keyed state — the
+    reference has no streaming at all, SURVEY §2.C)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        n = prev + sum(len(pdf) for pdf in pdfs)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_COUNT_OUT,
+        stateStructType=USER_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drain all available input into an in-memory table (test sink)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -126,6 +126,24 @@ def test_query_stats_recording(engine, basic_table):
     assert engine.get_query_execution_stats().count() == 0
 
 
+def test_execution_modes(engine, spark):
+    """small_table_optimization parity: a tiny table executes as a
+    single task (DELEGATED); a repartitioned registration shuffles
+    (NATURAL_PARTITION analog). Modes per stats.classify_plan."""
+    engine.clear_query_recorder_stats()
+    engine.create_table("tiny_t", "id INTEGER, v INTEGER")
+    engine.insert_values("tiny_t", [(i, i * 10) for i in range(100)])
+    engine.execute("SELECT * FROM tiny_t WHERE id > 50")
+    engine.register_table(
+        "tiny_rep", engine._tables["tiny_t"].path, target_partitions=4
+    )
+    engine.execute("SELECT v, COUNT(*) AS c FROM tiny_rep GROUP BY v")
+    modes = [r.execution_mode for r in engine.get_query_execution_stats().collect()]
+    assert modes[0] == "DELEGATED"           # tiny scan: one task, no exchange
+    assert modes[1] == "NATURAL_PARTITION"   # repartition+groupBy: exchange
+    engine.drop_table("tiny_t")
+
+
 def test_skewed_avg_exact(engine, spark):
     """SURVEY §4.3 hazard #1: the reference merges AVG as
     AVG-of-partition-AVGs (wrong for skew). Spark's partial/final avg

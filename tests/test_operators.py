@@ -100,6 +100,20 @@ def test_range_join(spark):
     assert got == expected
 
 
+def test_recursive_cte(spark):
+    from duckdb_distributed_execution_spark.operators.recursive import recursive_cte
+
+    seed = spark.createDataFrame([(1,)], "n INT")
+    out = recursive_cte(
+        seed,
+        lambda f: f.select((F.col("n") + 1).alias("n")).filter(F.col("n") <= 10),
+        max_iterations=15,
+    )
+    assert sorted(r.n for r in out.collect()) == list(range(1, 11))
+    with pytest.raises(RuntimeError):
+        recursive_cte(seed, lambda f: f, max_iterations=3)  # never empties
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "Hello, World!"), (2, "hello world"), (3, "different text"),

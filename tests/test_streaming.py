@@ -28,6 +28,28 @@ def test_stream_batch_parity_tumbling(spark):
     assert len(got) > 0
 
 
+def test_stream_stateful_user_counts(spark):
+    """applyInPandasWithState keyed state: final per-user running
+    counts must equal the batch groupBy counts."""
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    stream = S.running_user_counts_stateful(S.read_events_stream(spark, events_path))
+    S.run_to_memory(stream, "user_counts", mode="update")
+    # update mode may emit once per micro-batch; the LAST emission per
+    # user is the running total.
+    rows = spark.table("user_counts").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    ev = all_queries()["window_lag_lead"].fn(spark, SF_SMOKE)  # registers events view
+    expected = {
+        r.user_id: r.c
+        for r in spark.table("events").groupBy("user_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+        ).collect()
+    }
+    assert final == expected
+
+
 def test_stream_sessionization(spark):
     events_path = os.path.join(SF_SMOKE, "events.parquet")
     stream = S.sessionized_event_counts(
