@@ -66,14 +66,23 @@ def drop_exact_dups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
 
 def word_shingles(col: Column, n: int) -> Column:
     """Distinct word n-gram shingles of the *normalized* text.
-    n=1 → distinct tokens."""
+    n=1 → distinct tokens.
+
+    Built by zipping the token array against its k-shifted copies —
+    n−1 array operations per document instead of one slice+join per
+    shingle (the per-shingle form is interpreted and ~20× slower on a
+    corpus). Trailing positions null out through concat-null
+    propagation and are filtered."""
     toks = tokens(normalize_text(col))
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - F.lit(k), F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 def oracle_word_shingles(expr: str, n: int) -> str:
@@ -89,8 +98,11 @@ def oracle_word_shingles(expr: str, n: int) -> str:
 
 
 def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard of two DISTINCT-element arrays. |a∪b| is computed as
+    |a|+|b|−|a∩b| — one set operation per pair instead of two (the
+    array_union allocation dominates blocked self-joins)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return inter / union
 
 
@@ -144,11 +156,41 @@ def _seeded_hash_fn(seed: int):
 
 def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
     """k independent min-hashes: min over shingles of
-    hash60(shingle || '#' || seed)."""
+    hash60(shingle || '#' || seed). Column form (higher-order
+    functions, interpreted) — prefer minhash_signatures_df for bulk
+    work."""
     return [
         F.array_min(F.transform(shingles, _seeded_hash_fn(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, num_hashes: int
+) -> DataFrame:
+    """Bulk MinHash signatures via explode → groupBy-min: every hash
+    is a codegen'd md5 expression over one long (doc, shingle) table
+    and the min-combine is a plain partial/final aggregate — the
+    whole-stage-codegen path (Column-lambda folds are interpreted and
+    ~10× slower at corpus scale). min() is commutative, so the result
+    is identical at any partition count."""
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hashed = exploded.select(
+        "doc",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 15),
+                16, 10,
+            ).cast("long").alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def oracle_minhash_sig(shingles_expr: str, i: int) -> str:
@@ -175,11 +217,7 @@ def minhash_lsh_pairs(
     distinct — no all-pairs stage anywhere, so this is the 100 TB
     near-dup path."""
     assert num_hashes % band_size == 0
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
-    sig = sh.select("doc", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    sig = minhash_signatures_df(df, id_col, text_col, shingle_n, num_hashes)
     n_bands = num_hashes // band_size
     band_cols = [
         F.md5(
@@ -191,27 +229,37 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select("doc", "sh", *band_cols)
-    # candidates: same value in ANY band → stack bands, self-join per band
-    stacked = banded.select(
+    # candidates: same value in ANY band → stack bands, self-join per
+    # band on the (doc, bucket) pairs ONLY — shingle arrays never ride
+    # through this shuffle.
+    stacked = sig.select(*band_cols, "doc").select(
         "doc",
-        "sh",
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
             ])
         ).alias("bucket"),
     )
-    left = stacked.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
-    right = stacked.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    left = stacked.select(F.col("doc").alias("id_a"), "bucket")
+    right = stacked.select(F.col("doc").alias("id_b"), "bucket")
     cand = (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    # exact-Jaccard verification joins the shingle sets back, only for
+    # surviving candidates.
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+                  on="id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+              on="id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
     return verified.filter(F.col("jaccard") >= verify_threshold)
 
@@ -264,6 +312,47 @@ def oracle_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bulk SimHash via explode → groupBy: one codegen'd md5 per
+    distinct token, ±1 bit votes summed as plain integer aggregates
+    (commutative → identical at any partition count), sign bits folded
+    into the signature. ~10× faster than the Column-lambda form on a
+    corpus."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    votes = tok.select(
+        "doc",
+        *[F.col(c) for c in (keep_cols or [])],
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"v_{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy("doc", *[F.col(c) for c in (keep_cols or [])]).agg(
+        *[F.sum(f"v_{b}").alias(f"v_{b}") for b in range(bits)]
+    )
+    sig = agg.select(
+        "doc",
+        *[F.col(c) for c in (keep_cols or [])],
+        sum(
+            [
+                F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -273,10 +362,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs whose simhash Hamming distance ≤ max_hamming, blocked to
     bound the self-join."""
-    s = df.select(
-        F.col(id_col).alias("id_a"),
+    sig = simhash_df(df, id_col, text_col,
+                     keep_cols=[block_col] if block_col else None)
+    s = sig.select(
+        F.col("doc").alias("id_a"),
         *([F.col(block_col)] if block_col else []),
-        simhash(F.col(text_col)).alias("sh_a"),
+        F.col("simhash").alias("sh_a"),
     )
     s_b = s.select(
         F.col("id_a").alias("id_b"),

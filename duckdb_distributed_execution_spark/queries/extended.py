@@ -495,6 +495,44 @@ def range_join_bucketed(spark, sf_dir):
     )
 
 
+@register(
+    "salted_hot_key_agg",
+    headline=True,
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt,
+           {oracle_exact_sum('value')} AS total,
+           MAX(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark, sf_dir):
+    """Skew-safe aggregation: only 5 distinct keys over all rows —
+    the worst GROUP BY skew shape. Two-phase salted aggregation
+    (operators/skew.py) spreads each hot key over 16 reducers; the
+    oracle is the plain GROUP BY, proving the decomposition exact."""
+    from duckdb_distributed_execution_spark.operators.skew import salted_aggregate
+
+    ev = load(spark, sf_dir, "events")["events"]
+    return salted_aggregate(
+        ev,
+        key="event_type",
+        salt_source="event_id",
+        partials={
+            "cnt": lambda: F.count(F.lit(1)),
+            "total": lambda: F.sum(
+                F.round(F.col("value") * F.lit(1000000.0)).cast("long")
+            ),
+            "mx": lambda: F.max("value"),
+        },
+        finals={
+            "cnt": lambda p: F.sum(p).cast("long"),
+            "total": lambda p: (F.sum(p) / F.lit(1000000.0)),
+            "mx": lambda p: F.max(p),
+        },
+        num_salts=16,
+    )
+
+
 _SESSION_ORACLE = """
     WITH g AS (
       SELECT user_id, ts,
@@ -530,7 +568,7 @@ def sessionize_pandas_udf(spark, sf_dir):
     return sessionize_pandas(ev, "user_id", "ts", gap_seconds=1800)
 
 
-@register("sessionize_window_sql", oracle=_SESSION_ORACLE)
+@register("sessionize_window_sql", oracle=_SESSION_ORACLE, headline=True)
 def sessionize_window_sql(spark, sf_dir):
     """The same sessionization as a pure window-function plan (no
     Python in the hot path — the preferred form at scale)."""

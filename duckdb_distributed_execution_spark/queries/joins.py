@@ -241,6 +241,7 @@ def join_inequality(spark, sf_dir):
 
 @register(
     "join_asof",
+    headline=True,
     oracle="""
     SELECT p.event_id, p.user_id, p.value AS purchase_value,
            c.value AS last_click_value,

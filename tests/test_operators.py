@@ -100,6 +100,19 @@ def test_range_join(spark):
     assert got == expected
 
 
+def test_salted_join_matches_plain(spark):
+    from duckdb_distributed_execution_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k INT, v INT"  # 3 hot keys
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k INT, name STRING")
+    plain = {(r.k, r.v, r.name) for r in fact.join(dim, on="k").collect()}
+    salted = {(r.k, r.v, r.name)
+              for r in salted_join(fact, dim, on="k", salt_source="v").collect()}
+    assert salted == plain and len(plain) == 300
+
+
 def test_recursive_cte(spark):
     from duckdb_distributed_execution_spark.operators.recursive import recursive_cte
 
