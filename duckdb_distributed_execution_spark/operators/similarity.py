@@ -51,6 +51,83 @@ def brute_force_topk(
     )
 
 
+def sq_l2(a, b):
+    """Squared L2 distance via the expansion ‖a‖²−2⟨a,b⟩+‖b‖² —
+    written with this exact operation order on both engines so the
+    doubles agree bit-for-bit (the zip-fold form would differ from
+    the oracle's dot-product form in the last ulp)."""
+    return (
+        dot_product(a, a) - F.lit(2.0) * dot_product(a, b)
+    ) + dot_product(b, b)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """IVF index build: assign every corpus vector to its nearest
+    centroid (argmin squared-L2, centroid id as tie-break). Centroids
+    broadcast; the corpus never shuffles except the tiny argmin
+    window keyed by vector id. Returns (id, cid, dist)."""
+    c = centroids.select(
+        F.col(cid_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    v = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    dists = v.join(F.broadcast(c)).select(
+        "__vid", "__cid", sq_l2(F.col("__v"), F.col("__cv")).alias("dist")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("__cid"))
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("__cid").alias(cid_col),
+            "dist",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF probe: route each query to its nearest centroid cell and
+    rank only that cell's members by cosine — candidates shrink by
+    ~n_cells× vs brute force; the cell join is a plain equi-join."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cid"
+    )
+    member = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    ).join(cells, on="neighbor_id")
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).join(q_cells, on="query_id")
+    sims = member.join(F.broadcast(q), on="cid").select(
+        "query_id",
+        "neighbor_id",
+        (dot_product(F.col("__qv"), F.col("__cv"))
+         / (F.col("__qn") * F.col("__cn"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

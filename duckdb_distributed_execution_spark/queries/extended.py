@@ -496,6 +496,30 @@ def range_join_bucketed(spark, sf_dir):
 
 
 @register(
+    "percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles — Spark ``percentile``
+    and DuckDB ``quantile_cont`` agree bit-for-bit (same (n−1)·p
+    interpolation over the sorted values)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@register(
     "salted_hot_key_agg",
     headline=True,
     oracle=f"""

@@ -225,6 +225,87 @@ def lsh_bucket(vec, planes: list[list[float]]):
     return total
 
 
+_IVF_ASSIGN = """
+    cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id >= 8),
+    d AS (SELECT vec_id, cid,
+                 (list_dot_product(v, v) - 2.0 * list_dot_product(v, cv))
+                   + list_dot_product(cv, cv) AS dist,
+                 v
+          FROM vecs CROSS JOIN cents),
+    assign AS (SELECT vec_id, cid, v,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+               FROM d)
+"""
+
+
+@register(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_IVF_ASSIGN}
+    SELECT cid, COUNT(*) AS n_vecs
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """,
+)
+def ann_ivf_cells(spark, sf_dir):
+    """IVF index build: corpus partitioned into centroid cells
+    (centroids = a deterministic seed subset standing in for k-means
+    output; the assignment argmin is the oracle-checked part — swap
+    in trained centroids and nothing else changes)."""
+    from duckdb_distributed_execution_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return (
+        ivf_assign(corpus, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, cid, v AS qv FROM cells WHERE vec_id < 13),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM q JOIN cells c ON q.cid = c.cid)
+    SELECT query_id, neighbor_id, CAST(rn2 AS INTEGER) AS rank, ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM sims)
+    WHERE rn2 <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF probe: each query searches only its centroid cell —
+    candidates shrink ~n_cells× vs brute force, and the cell join is
+    an equi-join (the 100 TB ANN path when LSH recall is not enough)."""
+    from duckdb_distributed_execution_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    out = ivf_topk(corpus, queries, cents, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    )
+
+
 @register(
     "ann_lsh_candidates",
     oracle=f"""

@@ -209,9 +209,13 @@ class Engine:
             if if_exists:
                 return
             raise ValueError(f"table {name!r} does not exist")
-        self.spark.catalog.dropTempView(name)
-        if t.managed and t.path:
-            shutil.rmtree(t.path, ignore_errors=True)
+        if t.path is None:
+            # catalog (e.g. bucketed) table, not a temp view
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        else:
+            self.spark.catalog.dropTempView(name)
+            if t.managed:
+                shutil.rmtree(t.path, ignore_errors=True)
         del self._tables[name]
         for iname in [i for i, e in self._indexes.items() if e.table == name]:
             del self._indexes[iname]
@@ -278,6 +282,32 @@ class Engine:
 
         dt = duckdb_to_spark(type_str)
         self._rewrite(name, self.table(name).withColumn(col, F.col(col).cast(dt)))
+
+    def create_bucketed_table(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Persist ``df`` hash-bucketed (and optionally sorted) on the
+        join key. Two tables bucketed the same way join with NO
+        shuffle exchange — the co-located join that replaces the
+        reference's single-node join fallback at 100 TB. (Analog of a
+        warehouse's distribution key; Spark reads the bucket spec from
+        the catalog, so this uses a catalog table, not a temp view.)"""
+        writer = df.write.format("parquet").mode("errorifexists").bucketBy(
+            num_buckets, *bucket_cols
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        self._tables[name] = RegisteredTable(name, None, "parquet", managed=True)
+
+    def drop_bucketed_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self._tables.pop(name, None)
 
     # CREATE INDEX — catalog bookkeeping no-op (SURVEY §2.A5: Spark has
     # no index concept; the observable surface is create/drop/duplicate

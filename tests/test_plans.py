@@ -54,6 +54,35 @@ def test_grouped_agg_is_partial_final(spark):
     assert "partial" in plan.lower(), "map-side combine expected"
 
 
+def test_bucketed_join_no_shuffle(spark, engine):
+    """Two tables bucketed on the join key join with zero shuffle
+    exchanges — the co-located join."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    engine.drop_bucketed_table("bt_a")
+    engine.drop_bucketed_table("bt_b")
+    engine.create_bucketed_table("bt_a", a, ["k"], num_buckets=8, sort_cols=["k"])
+    engine.create_bucketed_table("bt_b", b, ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), on="k")
+        s = summarize(joined)
+        assert s.n_sortmerge_joins + s.n_shuffle_hash_joins >= 1
+        assert s.n_exchanges == 0, "bucketed join must not shuffle"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        engine.drop_bucketed_table("bt_a")
+        engine.drop_bucketed_table("bt_b")
+
+
 def test_asof_join_single_shuffle(spark):
     df = all_queries()["join_asof"].fn(spark, SF_SMOKE)
     s = summarize(df)
