@@ -18,7 +18,8 @@ def formatted_plan(df: DataFrame) -> str:
 
 @dataclass
 class PlanSummary:
-    n_exchanges: int
+    n_exchanges: int            # all Exchange nodes (incl. broadcast)
+    n_shuffle_exchanges: int    # hash/range/single-partition shuffles only
     n_broadcast_joins: int
     n_sortmerge_joins: int
     n_shuffle_hash_joins: int
@@ -41,8 +42,14 @@ def summarize(df: DataFrame) -> PlanSummary:
     # leading asterisk on a node line ("* Filter (2)"), not the
     # "WholeStageCodegen" label of "simple" mode.
     codegen = "WholeStageCodegen" in plan or "\n* " in plan or plan.startswith("* ")
+    n_shuffles = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
     return PlanSummary(
         n_exchanges=plan.count("Exchange"),
+        n_shuffle_exchanges=n_shuffles,
         n_broadcast_joins=plan.count("BroadcastHashJoin"),
         n_sortmerge_joins=plan.count("SortMergeJoin"),
         n_shuffle_hash_joins=plan.count("ShuffledHashJoin"),

@@ -84,6 +84,19 @@ def sessionized_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    with state bounded by the watermark (keys older than the watermark
+    are evicted — the streaming twin of operators/dedup.py's exact
+    dedup, e.g. keyed on a document fingerprint)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 USER_COUNT_STATE = T.StructType([T.StructField("cnt", T.LongType())])
 USER_COUNT_OUT = T.StructType(
     [

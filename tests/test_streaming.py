@@ -50,6 +50,33 @@ def test_stream_stateful_user_counts(spark):
     assert final == expected
 
 
+def test_streaming_dedup(spark):
+    """dropDuplicatesWithinWatermark keyed on a derived fingerprint:
+    the streamed dedup keeps exactly one event per (user, minute)."""
+    from pyspark.sql import functions as F
+
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    stream = S.read_events_stream(spark, events_path).withColumn(
+        "fp", F.concat_ws("|", F.col("user_id"),
+                          F.date_trunc("minute", "ts").cast("string"))
+    )
+    deduped = S.streaming_dedup(stream, ["fp"], watermark="2 hours")
+    S.run_to_memory(deduped.groupBy("fp").count(), "dedup_out", mode="complete")
+    out = spark.table("dedup_out").collect()
+    assert len(out) > 0
+    assert all(r["count"] == 1 for r in out)
+    # matches the batch distinct count on the same key
+    ev = all_queries()["window_lag_lead"].fn(spark, SF_SMOKE)  # registers events
+    batch_keys = (
+        spark.table("events")
+        .select(F.concat_ws("|", F.col("user_id"),
+                            F.date_trunc("minute", "ts").cast("string")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == batch_keys
+
+
 def test_stream_sessionization(spark):
     events_path = os.path.join(SF_SMOKE, "events.parquet")
     stream = S.sessionized_event_counts(

