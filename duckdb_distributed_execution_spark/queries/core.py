@@ -404,6 +404,112 @@ def modulo_arithmetic(spark, sf_dir):
 
 
 @register(
+    "agg_empty_input",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           COUNT(l_quantity) AS cnt_col,
+           {oracle_exact_sum('l_quantity')} AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem WHERE l_quantity > 1000000
+    """,
+)
+def agg_empty_input(spark, sf_dir):
+    """Global aggregate over zero rows — one row: COUNT 0, SUM/MIN/MAX
+    NULL (a classic distributed-merge edge: an engine that
+    concatenates empty partials returns zero rows instead)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_quantity") > 1000000).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("l_quantity").alias("cnt_col"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "group_by_null_keys",
+    oracle=f"""
+    SELECT NULLIF(event_type, 'error') AS etype,
+           COUNT(*) AS cnt,
+           COUNT(NULLIF(event_type, 'error')) AS cnt_nonnull,
+           {oracle_exact_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def group_by_null_keys(spark, sf_dir):
+    """NULL group keys: all NULLs group together (SQL GROUP BY
+    semantics), COUNT(col) skips them, COUNT(*) does not."""
+    ev = load(spark, sf_dir, "events")["events"]
+    etype = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.groupBy(etype.alias("etype")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(etype).alias("cnt_nonnull"),
+        exact_sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "join_null_keys",
+    oracle="""
+    SELECT COUNT(*) AS n_matches,
+           COUNT(CASE WHEN b.k IS NULL THEN 1 END) AS n_unmatched_left
+    FROM (SELECT NULLIF(user_id % 7, 3) AS k FROM events) a
+    LEFT JOIN (SELECT DISTINCT NULLIF(user_id % 7, 5) AS k FROM events) b
+      ON a.k = b.k
+    """,
+)
+def join_null_keys(spark, sf_dir):
+    """NULL join keys never match (even NULL=NULL) — left rows with
+    NULL keys survive a left join unmatched."""
+    ev = load(spark, sf_dir, "events")["events"]
+    a = ev.select(F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k"))
+    b = ev.select(F.nullif(F.col("user_id") % 7, F.lit(5)).alias("k")).distinct()
+    j = a.join(b.withColumnRenamed("k", "bk"), a["k"] == F.col("bk"), "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.count(F.when(F.col("bk").isNull(), 1)).alias("n_unmatched_left"),
+    )
+
+
+@register(
+    "window_frame_firstlast",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_v,
+           NTH_VALUE(value, 2) OVER w AS second_v
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_frame_firstlast(spark, sf_dir):
+    """FIRST/LAST/NTH_VALUE with an explicit full frame (the default
+    running frame makes LAST_VALUE a footgun — pinned here)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+@register(
     "json_extract",
     oracle=f"""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,

@@ -93,6 +93,62 @@ def test_octet_length_blob(engine, typed_table):
     assert got == {"min": 1, "zero": 3, "max": 2, None: None}
 
 
+def test_uuid_round_trip(engine):
+    """uuid_test_table analog (type_support.test:204-215): canonical
+    36-char strings, incl. the all-zero UUID and a NULL."""
+    engine.create_table(
+        "uuid_test_table", "id INTEGER, user_uuid UUID, session_uuid UUID"
+    )
+    rows = [
+        (1, "550e8400-e29b-41d4-a716-446655440000",
+         "6ba7b810-9dad-11d1-80b4-00c04fd430c8"),
+        (2, None, "6ba7b811-9dad-11d1-80b4-00c04fd430c8"),
+        (3, "00000000-0000-0000-0000-000000000000",
+         "ffffffff-ffff-ffff-ffff-ffffffffffff"),
+    ]
+    engine.insert_values("uuid_test_table", rows)
+    got = {r.id: (r.user_uuid, r.session_uuid)
+           for r in engine.table("uuid_test_table").collect()}
+    assert got[3] == ("00000000-0000-0000-0000-000000000000",
+                      "ffffffff-ffff-ffff-ffff-ffffffffffff")
+    assert got[2][0] is None
+    # filtering and MIN/MAX on the canonical form (string ordering)
+    assert engine.execute(
+        "SELECT COUNT(*) AS c FROM uuid_test_table WHERE user_uuid IS NULL"
+    )[0].c == 1
+    assert engine.execute(
+        "SELECT MIN(user_uuid) AS m FROM uuid_test_table"
+    )[0].m == "00000000-0000-0000-0000-000000000000"
+    engine.drop_table("uuid_test_table")
+
+
+def test_interval_round_trip(engine, spark):
+    """interval_test_table analog (type_support.test:298-308):
+    day-time intervals survive storage and arithmetic. (The
+    reference's mixed month+day INTERVAL maps to Spark's two interval
+    families — SURVEY §1.2.)"""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, datetime.timedelta(days=5, hours=6)),
+         (2, datetime.timedelta(microseconds=100)),
+         (3, None)],
+        "id INT, duration INTERVAL DAY TO SECOND",
+    )
+    got = {r.id: r.duration for r in df.collect()}
+    assert got[1] == datetime.timedelta(days=5, hours=6)
+    assert got[2] == datetime.timedelta(microseconds=100)
+    assert got[3] is None
+    # interval arithmetic with timestamps
+    shifted = df.filter("id = 1").select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.col("duration")
+         ).alias("t")
+    ).collect()[0].t
+    assert shifted == datetime.datetime(2024, 1, 6, 6, 0, 0)
+
+
 @pytest.fixture(scope="module")
 def list_table(engine):
     # list_type_support.test:20-37 shape
