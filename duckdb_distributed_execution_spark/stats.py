@@ -75,7 +75,13 @@ def classify_plan(df: DataFrame) -> tuple[str, str, int]:
     upper = plan.upper()
     has_exchange = "EXCHANGE" in upper
     has_agg = "AGGREGATE" in upper or "HASHAGGREGATE" in upper
-    has_scan = "SCAN" in upper or "FILESCAN" in upper
+    # distributed sources: file scans, in-memory relations, Range —
+    # but not OneRowRelation (constant-only queries are LOCAL)
+    has_scan = (
+        "Scan" in plan.replace("Scan OneRowRelation", "")
+        or "Range (" in plan
+        or "LocalTableScan" in plan
+    )
 
     try:
         num_tasks = df.rdd.getNumPartitions()

@@ -84,6 +84,35 @@ def sessionized_event_counts(
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "INTERVAL 30 MINUTES",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to
+    same-user clicks within a bounded time window. The time-range
+    condition + watermarks bound both sides' join state — without
+    them a stream-stream join would buffer forever."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - {within}"
+        ),
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts", "purchase_value")
+
+
 def streaming_dedup(
     events: DataFrame, key_cols: list[str], ts_col: str = "ts",
     watermark: str = "1 hour",

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: it has no property/randomized testing at all).
+
+Two invariants that the engine's correctness story rests on:
+
+1. ``exact_sum`` is partition-order independent: any 2-decimal data
+   under any partitioning yields the same double, equal to the exact
+   decimal sum.
+2. ``asof_join`` matches a brute-force Python reference on arbitrary
+   key/timestamp layouts (duplicates, empty sides, unmatched keys).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from duckdb_distributed_execution_spark.functions import exact_sum
+from duckdb_distributed_execution_spark.operators.asof import asof_join
+
+# Money-like values: 2 decimals, magnitude up to 1e6.
+money = st.integers(min_value=-10**8, max_value=10**8).map(lambda c: c / 100.0)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(money, min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_exact_sum_partition_independent(spark, vals, nparts):
+    expected = float(sum(Decimal(str(v)) for v in vals))
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE").repartition(nparts)
+    got = df.agg(exact_sum("v").alias("s")).collect()[0].s
+    assert got == pytest.approx(expected, abs=1e-9)
+    # and bit-identical across two different partitionings
+    got2 = (
+        spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+        .repartition(max(1, nparts - 1))
+        .agg(exact_sum("v").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == got2
+
+
+def _asof_reference(left, right):
+    """Brute-force backward as-of: greatest right ts <= left ts per key."""
+    out = {}
+    for key, lts, lid in left:
+        best = None
+        for rkey, rts, px in right:
+            if rkey == key and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, px)
+        out[lid] = best
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=0, max_value=50)),
+        min_size=1, max_size=15),
+    right=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=1, max_value=999)),
+        min_size=0, max_size=15),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    # de-duplicate right (key, ts) pairs: at equal timestamps the
+    # winner among duplicates is unspecified in both implementations.
+    seen = set()
+    right_rows = []
+    for k, t, px in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right_rows.append((k, t, float(px)))
+    ldf = spark.createDataFrame(left_rows, "k STRING, ts LONG, lid LONG")
+    rdf = (
+        spark.createDataFrame(right_rows, "k STRING, ts LONG, px DOUBLE")
+        if right_rows
+        else spark.createDataFrame([], "k STRING, ts LONG, px DOUBLE")
+    )
+    got = {
+        r.lid: (r.asof_ts, r.px)
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+                           right_cols=["px"]).collect()
+    }
+    expected = _asof_reference(
+        [(k, t, i) for (k, t, i) in left_rows], right_rows
+    )
+    assert set(got) == set(expected)
+    for lid, best in expected.items():
+        if best is None:
+            assert got[lid] == (None, None)
+        else:
+            assert got[lid] == best

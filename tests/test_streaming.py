@@ -50,6 +50,34 @@ def test_stream_stateful_user_counts(spark):
     assert final == expected
 
 
+def test_stream_stream_join(spark):
+    """Watermarked stream-stream join equals the batch time-range
+    join on the same data."""
+    from pyspark.sql import functions as F
+
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    ev_stream = S.read_events_stream(spark, events_path)
+    joined = S.stream_stream_join(
+        ev_stream.filter("event_type = 'click'"),
+        ev_stream.filter("event_type = 'purchase'"),
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.purchase_id, r.click_id) for r in spark.table("ssj").collect()}
+
+    ev = all_queries()["window_lag_lead"].fn(spark, SF_SMOKE)  # registers events
+    batch = spark.sql("""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+    """)
+    expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == expected and len(got) > 0
+
+
 def test_streaming_dedup(spark):
     """dropDuplicatesWithinWatermark keyed on a derived fingerprint:
     the streamed dedup keeps exactly one event per (user, minute)."""

@@ -93,6 +93,37 @@ def test_octet_length_blob(engine, typed_table):
     assert got == {"min": 1, "zero": 3, "max": 2, None: None}
 
 
+def test_hugeint_extremes(engine):
+    """hugeint_test_table analog (type_support.test:233-261): int128
+    extremes via Decimal(38,0) — incl. MIN/MAX aggregation."""
+    engine.create_table(
+        "hugeint_test_table", "id INTEGER, huge_value HUGEINT, uhuge_value UHUGEINT"
+    )
+    imax = decimal.Decimal(2**127 - 1)
+    imin = decimal.Decimal(-(2**127))
+    # Decimal(38,0) holds ±(10^38−1); int128 extremes (~1.7e38) exceed
+    # that, so parity uses the documented clamp: the largest 38-digit
+    # values — still beyond any int64/uint64 (UBIGINT max included).
+    big = decimal.Decimal(10**38 - 1)
+    # NB: unary minus on a Decimal applies the context precision
+    # (default 28 digits) and would silently round to -1E+38 — build
+    # the negative literal from the string instead.
+    neg_big = decimal.Decimal("-" + str(10**38 - 1))
+    engine.insert_values(
+        "hugeint_test_table",
+        [(1, big, big), (2, neg_big, decimal.Decimal(0)),
+         (3, decimal.Decimal(0), decimal.Decimal("18446744073709551615"))],
+    )
+    r = engine.execute(
+        "SELECT MIN(huge_value) AS mn, MAX(huge_value) AS mx, "
+        "MAX(uhuge_value) AS umx FROM hugeint_test_table"
+    )[0]
+    assert r.mn == neg_big and r.mx == big and r.umx == big
+    assert imax > big > decimal.Decimal(2**64)  # beyond all 64-bit ranges
+    assert imin < neg_big
+    engine.drop_table("hugeint_test_table")
+
+
 def test_uuid_round_trip(engine):
     """uuid_test_table analog (type_support.test:204-215): canonical
     36-char strings, incl. the all-zero UUID and a NULL."""
