@@ -110,7 +110,8 @@ class Engine:
     # Table registry (≈ duckherder_register_remote_table)
     # ------------------------------------------------------------------
     def register_table(self, name: str, path: str, fmt: str = "parquet",
-                       target_partitions: int | None = None) -> DataFrame:
+                       target_partitions: int | None = None,
+                       replace: bool = False) -> DataFrame:
         """Register an external dataset under ``name``; analogous to
         attaching a remote table — scans, DML and DDL then address it
         by name. Column pruning + predicate pushdown to the scan are
@@ -121,7 +122,14 @@ class Engine:
         partitioner controls (task_partitioner.cpp:35-160): it forces
         a repartition so downstream stages see that parallelism —
         normally unnecessary (file-split planning + AQE pick it), but
-        useful for single-row-group files or skewed layouts."""
+        useful for single-row-group files or skewed layouts.
+
+        Double registration errors unless ``replace=True`` —
+        registration.test parity ("already registered")."""
+        if name in self._tables and not replace:
+            raise ValueError(
+                f"failed to register table {name!r} because it's already registered"
+            )
         if fmt == "parquet":
             from duckdb_distributed_execution_spark.sources import read_parquet_table
 
@@ -140,10 +148,33 @@ class Engine:
         for t in TESTDATA_TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
-                self.register_table(t, p)
+                self.register_table(t, p, replace=True)
+
+    def unregister_table(self, name: str) -> None:
+        """Remove an external table from the registry (the data stays
+        where it is) — ``PRAGMA duckherder_unregister_remote_table``
+        parity: unregistering an unknown name errors."""
+        t = self._tables.get(name)
+        if t is None or t.managed:
+            raise ValueError(
+                f"failed to unregister table {name!r} because it hasn't "
+                "been registered"
+            )
+        self.spark.catalog.dropTempView(name)
+        del self._tables[name]
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def cache_table(self, name: str) -> None:
+        """Pin a registered table in executor memory — the analog of
+        the reference's server-side resident DuckDB tables (scans then
+        skip the source entirely). Lazy; materialized on first use."""
+        self.spark.catalog.cacheTable(name)
+
+    def uncache_table(self, name: str) -> None:
+        if self.spark.catalog.isCached(name):
+            self.spark.catalog.uncacheTable(name)
 
     def list_tables(self) -> list[str]:
         return sorted(self._tables)

@@ -180,6 +180,32 @@ def test_failed_task_raises(engine, spark):
         df.collect()
 
 
+def test_registration_lifecycle(engine):
+    """registration.test parity: double-register errors, unregister,
+    unregister-nonexistent errors, double-unregister errors."""
+    import os
+
+    p = os.path.join(SF_SMOKE, "region.parquet")
+    engine.register_table("registration_test_table", p)
+    with pytest.raises(ValueError, match="already registered"):
+        engine.register_table("registration_test_table", p)
+    engine.register_table("registration_test_table", p, replace=True)  # explicit ok
+    engine.unregister_table("registration_test_table")
+    with pytest.raises(ValueError, match="hasn't been registered"):
+        engine.unregister_table("non_existent_table_xyz")
+    with pytest.raises(ValueError, match="hasn't been registered"):
+        engine.unregister_table("registration_test_table")
+
+
+def test_cache_table(engine, basic_table):
+    engine.cache_table(basic_table)
+    assert engine.spark.catalog.isCached(basic_table)
+    assert len(engine.execute(f"SELECT * FROM {basic_table}")) == 4
+    engine.uncache_table(basic_table)
+    assert not engine.spark.catalog.isCached(basic_table)
+    engine.uncache_table(basic_table)  # idempotent
+
+
 def test_create_table_duplicate_raises(engine, basic_table):
     with pytest.raises(ValueError):
         engine.create_table(basic_table, "id INTEGER")
