@@ -215,6 +215,59 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "pipeline_dedup_quality_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, {X.oracle_quality_score('text')} AS quality,
+             {X.oracle_fingerprint('text')} AS fp
+      FROM documents),
+    keep AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM q GROUP BY fp),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT q.doc_id, q.lang,
+           ROUND(q.quality, 6) AS quality,
+           ROUND(sqrt(list_dot_product(v.e, v.e)), 4) AS emb_norm
+    FROM q
+    JOIN keep ON q.doc_id = keep.keep_id
+    JOIN v ON v.vec_id = q.doc_id
+    WHERE q.quality >= 0.72
+    """,
+)
+def pipeline_dedup_quality_filter(spark, sf_dir):
+    """The composite training-data pipeline in one plan: fingerprint
+    dedup (keep min doc per fingerprint) → quality filter → join each
+    surviving document to its embedding (cross-modal doc_id = vec_id)
+    with the vector norm as a sanity feature. Every stage is the same
+    operator used standalone elsewhere; this query proves they
+    compose — one shuffle for the dedup group, broadcast-joined
+    embeddings."""
+    from duckdb_distributed_execution_spark.functions import l2_norm
+
+    d = load(spark, sf_dir, "documents", "embeddings")
+    docs = d["documents"].select(
+        "doc_id",
+        "lang",
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fp"),
+    )
+    keep = docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    vecs = d["embeddings"].select(
+        F.col("vec_id"), l2_norm(F.col("embedding")).alias("emb_norm")
+    )
+    return (
+        docs.join(keep, docs["doc_id"] == keep["keep_id"], "inner")
+        .filter(F.col("quality") >= 0.72)
+        .join(vecs, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round("quality", 6).alias("quality"),
+            F.round("emb_norm", 4).alias("emb_norm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
