@@ -173,8 +173,14 @@ def minhash_signatures_df(
     and the min-combine is a plain partial/final aggregate — the
     whole-stage-codegen path (Column-lambda folds are interpreted and
     ~10× slower at corpus scale). min() is commutative, so the result
-    is identical at any partition count."""
-    exploded = df.select(
+    is identical at any partition count.
+
+    The input is repartitioned before the hash fan-out: a cheap
+    shuffle of the raw documents buys full-cluster parallelism for
+    the k·|shingles| md5 computations (a single-row-group parquet
+    file would otherwise hash on one core)."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(para, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
@@ -249,8 +255,11 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verification joins the shingle sets back, only for
-    # surviving candidates.
-    sh = df.select(
+    # surviving candidates (shingle recompute parallelized the same
+    # way as the signature fan-out).
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
@@ -321,7 +330,8 @@ def simhash_df(
     (commutative → identical at any partition count), sign bits folded
     into the signature. ~10× faster than the Column-lambda form on a
     corpus."""
-    tok = df.select(
+    para = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(para, id_col).select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in (keep_cols or [])],
         F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("t"),
