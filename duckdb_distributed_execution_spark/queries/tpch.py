@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import (
+    exact_avg,
     exact_sum,
     oracle_exact_sum,
 )
@@ -304,4 +305,484 @@ def tpch_q20_part_promotion(spark, sf_dir):
         t["supplier"]
         .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: single-table selective aggregate — every predicate reaches
+    the parquet scan, no shuffle at all (partial sums only)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND(CAST({oracle_exact_sum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")} AS DOUBLE)
+                 / CAST({oracle_exact_sum('volume')} AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8: one nation's share of regional volume per year — the
+    numerator is a conditional slice of the same exact sum as the
+    denominator, so the ratio is order-independent."""
+    t = load(
+        spark, sf_dir,
+        "part", "lineitem", "supplier", "orders", "customer", "nation", "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    america = t["region"].filter(F.col("r_name") == "AMERICA")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01").cast("timestamp"),
+                    F.lit("1997-12-31").cast("timestamp"),
+                )
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(america), F.col("r_regionkey") == F.col("n2_region"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    national = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (exact_sum(national) / exact_sum("volume")).alias("share_raw")
+        )
+        .select("o_year", F.round(F.col("share_raw"), 4).alias("mkt_share"))
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount) - l.l_quantity * (p.p_retailprice * 0.05)')}
+             AS sum_profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and year for one product
+    line (supply cost proxied as 5% of retail price — the testdata has
+    no partsupp table)."""
+    t = load(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * (F.col("p_retailprice") * F.lit(0.05))
+    widgets = t["part"].filter(F.col("p_name").like("%widget%"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(exact_sum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH v AS (
+      SELECT l.l_partkey, {oracle_exact_sum('l.l_extendedprice * l.l_quantity')} AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT l_partkey, val
+    FROM v
+    WHERE val > (SELECT {oracle_exact_sum('val')} * 0.002 FROM v)
+    """,
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """Q11 shape: parts whose stocked value (for one nation's
+    suppliers) exceeds a fraction of the nation-wide total — grouped
+    aggregate compared against a broadcast scalar of itself."""
+    t = load(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3")
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"), "inner")
+        .groupBy("l_partkey")
+        .agg(exact_sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    # re-sum the per-part values exactly (each has ≤2 decimals) so the
+    # threshold is identical at any partition count / in the oracle
+    total = v.agg((exact_sum("val") * F.lit(0.002)).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", "val")
+    )
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_priority_shipping(spark, sf_dir):
+    """Q12 shape: late shipments (>30 days after order) split by
+    order priority class — join predicate references both sides."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    items = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        items.join(
+            t["orders"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13: order-count histogram — outer join with an extra join-time
+    predicate, then a second aggregation over the first's output."""
+    t = load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q16_supplier_count(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts by part attribute with a
+    NOT-IN exclusion list (anti join on a broadcast subquery)."""
+    t = load(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(*range(1, 9)))
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(l2.l_quantity))
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """Q17: below-average-quantity revenue — the correlated scalar AVG
+    becomes a grouped aggregate joined back to the fact (quantities
+    are integral so the average is bit-exact either way)."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    parts = t["part"].filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    avg_qty = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum("l_quantity").cast("double") / F.count("l_quantity"))
+            ).alias("qty_limit")
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark, sf_dir):
+    """Q19: OR-of-ANDs spanning both join sides — Catalyst extracts
+    the common p_partkey equi-key and evaluates the disjunction as a
+    post-join filter on the broadcast join."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(exact_sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM base l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7' AND l1.late
+      AND EXISTS (SELECT 1 FROM base l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM base l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the sole late supplier in multi-supplier finished
+    orders (lateness = shipped >90 days after order date) — a semi
+    join and an anti join against the same derived fact."""
+    t = load(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    base = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_7")
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    # The EXISTS/NOT-EXISTS pair over the same derived fact collapses
+    # to one per-order aggregate: l1 qualifies iff its order has >1
+    # distinct supplier (EXISTS another supplier) and exactly 1
+    # distinct *late* supplier (NOT EXISTS another late one — l1's own
+    # supplier is late, so it must be the only one). One shuffle on
+    # l_orderkey instead of three self-joins recomputing the base.
+    per_order = base.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    sole_late = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    l1 = (
+        base.filter(F.col("late"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sole_late, F.col("agg_orderkey") == F.col("l_orderkey"), "left_semi")
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           {oracle_exact_sum('c_acctbal')} AS totacctbal
+    FROM (
+      SELECT SUBSTR(c.c_name, 17, 2) AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT {oracle_exact_sum('c2.c_acctbal')} / COUNT(c2.c_acctbal)
+                           FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Q22 shape: rich customers with no orders, bucketed by a
+    name-derived country code — anti join plus a broadcast scalar
+    threshold (exact AVG so the cut is engine-independent)."""
+    t = load(spark, sf_dir, "customer", "orders")
+    thresh = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal").alias("bal_limit"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("bal_limit"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal").alias("totacctbal"),
+        )
     )
