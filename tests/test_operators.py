@@ -177,8 +177,10 @@ def test_minhash_identical_docs_share_signature(spark):
     assert by_id[1] != by_id[3]
     # values match the Python reference implementation
     shingles = ["alpha beta", "beta gamma", "gamma delta"]
+    a0, b0 = D.minhash_coeffs(1)[0]
     expected0 = min(
-        int(hashlib.md5((s + "#0").encode()).hexdigest()[:15], 16) for s in shingles
+        (a0 * int(hashlib.md5(s.encode()).hexdigest()[:7], 16) + b0) % D.MINHASH_P
+        for s in shingles
     )
     assert by_id[1][0] == expected0
 
