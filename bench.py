@@ -46,14 +46,15 @@ def main() -> None:
 
     # Steady-state measurement: one untimed warm run per query (JIT +
     # codegen class compilation amortize in any real deployment), then
-    # the best of two timed runs — each timed run is the full plan
-    # (scan → compute → noop sink), nothing cached.
+    # the best of three timed runs (GC pauses in a 32-thread single
+    # JVM add multi-hundred-ms outliers) — each timed run is the full
+    # plan (scan → compute → noop sink), nothing cached.
     timings: dict[str, float] = {}
     for name in headline:
         df = specs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

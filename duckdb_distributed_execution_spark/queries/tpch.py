@@ -461,13 +461,16 @@ def tpch_q9_product_profit(spark, sf_dir):
       GROUP BY 1)
     SELECT l_partkey, val
     FROM v
-    WHERE val > (SELECT {oracle_exact_sum('val')} * 0.002 FROM v)
+    WHERE val > (SELECT {oracle_exact_sum('val')} / COUNT(*) * 2.0 FROM v)
     """,
 )
 def tpch_q11_important_parts(spark, sf_dir):
     """Q11 shape: parts whose stocked value (for one nation's
-    suppliers) exceeds a fraction of the nation-wide total — grouped
-    aggregate compared against a broadcast scalar of itself."""
+    suppliers) exceeds a multiple of the nation-wide average — grouped
+    aggregate compared against a broadcast scalar of itself. (TPC-H's
+    fixed fraction-of-total cut scales as 1/|parts| and returns zero
+    rows beyond sf0.01; an avg-relative cut keeps the query selective
+    at every scale factor.)"""
     t = load(spark, sf_dir, "lineitem", "supplier", "nation")
     nat = t["nation"].filter(F.col("n_name") == "NATION_3")
     v = (
@@ -479,7 +482,9 @@ def tpch_q11_important_parts(spark, sf_dir):
     )
     # re-sum the per-part values exactly (each has ≤2 decimals) so the
     # threshold is identical at any partition count / in the oracle
-    total = v.agg((exact_sum("val") * F.lit(0.002)).alias("threshold"))
+    total = v.agg(
+        (exact_sum("val") / F.count(F.lit(1)) * F.lit(2.0)).alias("threshold")
+    )
     return (
         v.join(F.broadcast(total))
         .filter(F.col("val") > F.col("threshold"))

@@ -53,6 +53,8 @@ def main() -> None:
         bnlj_expected = name in (
             "join_cross", "join_inequality",      # theta joins
             "subquery_scalar", "cte_revenue",     # 1-row scalar threshold
+            "tpch_q11_important_parts",           # 1-row scalar threshold
+            "tpch_q22_global_sales_opportunity",  # 1-row scalar threshold
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
