@@ -598,3 +598,74 @@ def sessionize_window_sql(spark, sf_dir):
     Python in the hot path — the preferred form at scale)."""
     ev = load(spark, sf_dir, "events")["events"]
     return sessionize_window(ev, "user_id", "ts", gap_seconds=1800)
+
+
+@register(
+    "approx_count_distinct_bound",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_cnt,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def approx_count_distinct_bound(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counting (sketch-merge is
+    Spark-native, so the 100 TB path is one partial/final agg with
+    fixed-size state instead of a distinct shuffle). The approximate
+    value itself is engine-specific, so the cross-engine contract is
+    the accuracy BOUND: the query emits exact counts plus a boolean
+    "HLL estimate within 5% of exact", and the oracle expects TRUE —
+    an estimate drifting out of tolerance hash-mismatches the gate."""
+    t = load(spark, sf_dir, "orders")["orders"]
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_cnt"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cnt"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_cnt",
+            (
+                F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+                <= 0.05 * F.col("exact_cnt")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_bound",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_bound(spark, sf_dir):
+    """Greenwald-Khanna approximate percentile (mergeable sketch —
+    bounded state per group at any scale, vs the full sort exact
+    percentiles need). Same bound-check contract as
+    approx_count_distinct_bound: exact median cross-checked, the
+    sketch asserted within 1% relative error."""
+    t = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        t.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(1000)
+            ).alias("ap50"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("p50", 2).alias("exact_p50"),
+            (
+                F.abs(F.col("ap50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))
+            ).alias("approx_within_1pct"),
+        )
+    )

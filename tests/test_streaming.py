@@ -117,3 +117,85 @@ def test_stream_sessionization(spark):
     total_events = spark.table("events").count()
     assert sum(r.n_events for r in rows) == total_events
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics end-to-end: a row arriving in a later
+    micro-batch with event time older than (max seen − watermark) is
+    DROPPED and its window's finalized result excludes it — the
+    bounded-state guarantee that makes unbounded ingestion viable.
+    Two files processed as separate micro-batches (maxFilesPerTrigger);
+    the second file's row is 48 minutes behind the first batch's
+    watermark."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.streaming import (
+        EVENTS_SCHEMA,
+        windowed_event_counts,
+    )
+
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 00:00:00 UTC
+    minute_ns = 60_000_000_000
+
+    def events_file(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_ns + r[1] * minute_ns for r in rows], pa.int64()
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    cp = str(tmp_path / "checkpoint")
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # parquet file sink: supports append-mode checkpoint recovery
+        # (the memory sink does not), so run 2 resumes the watermark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(str(src))
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        out = windowed_event_counts(raw, window="5 minutes", watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.w_start.isoformat(): r.cnt
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # run 1: three rows in window [00:00, 00:05) + one at 00:60 that
+    # advances the watermark to 00:50 → the 00:00 window finalizes
+    # with cnt=3; the 00:60 window stays open (append withholds it).
+    events_file(str(src / "a.parquet"), [(1, 1), (2, 2), (3, 3), (4, 60)])
+    assert drain() == {"2024-01-01T00:00:00": 3}
+
+    time.sleep(0.1)
+    # run 2 (same checkpoint → watermark restored at 00:50): a row for
+    # the already-finalized 00:00 window arrives 48 minutes late. It
+    # must be DROPPED — if state were still open the re-finalized
+    # window would append a new cnt=1 row for the same window here.
+    events_file(str(src / "b.parquet"), [(5, 2)])
+    assert drain() == {"2024-01-01T00:00:00": 3}
