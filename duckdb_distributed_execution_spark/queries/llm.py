@@ -386,3 +386,76 @@ def multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         F.round(F.element_at("feature", 8).cast("double"), 6).alias("f7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & splits (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+from duckdb_distributed_execution_spark.operators import sampling as SP  # noqa: E402
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {SP.oracle_sample_bucket('doc_id', 's1')} < 100000
+    """,
+)
+def sample_hash_bernoulli(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample keyed on md5(doc_id): the
+    same rows are kept on any engine, partitioning, or rerun — a pure
+    filter with no shuffle (operators/sampling.py)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return SP.hash_sample(d, F.col("doc_id"), 0.10, "s1").select("doc_id", "lang")
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT {SP.oracle_assign_split('doc_id', _SPLITS)} AS split,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Stable 80/10/10 train/val/test assignment by hash-bucket range
+    — mutually exclusive and exhaustive, reproducible from the data
+    alone (no stored split table, no RNG state)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.withColumn("split", SP.assign_split(F.col("doc_id"), _SPLITS))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+_STRAT_RATES = {"en": 0.25, "zh": 0.5}
+
+
+@register(
+    "stratified_downsample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n
+    FROM documents
+    WHERE {SP.oracle_sample_bucket('doc_id', 'strat')} <
+          CASE WHEN lang = 'en' THEN 250000
+               WHEN lang = 'zh' THEN 500000
+               ELSE 1000000 END
+    GROUP BY lang
+    """,
+)
+def stratified_downsample(spark, sf_dir):
+    """Per-language deterministic downsampling (cap over-represented
+    strata): en kept at 25%, zh at 50%, everything else untouched.
+    Still a pure per-row filter — no shuffle, skew-immune."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    kept = SP.stratified_downsample(
+        d, F.col("lang"), F.col("doc_id"), _STRAT_RATES
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))

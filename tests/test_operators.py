@@ -270,3 +270,39 @@ def test_multimodal_decode_stub_gate(spark):
     media = M.attach_binary_payload(df, "text", "doc_id")
     with pytest.raises(Exception):  # NotImplementedError inside task
         M.extract_features(media, dim=4, decode_stub=False).collect()
+
+
+def test_hash_sampling_properties(spark):
+    from duckdb_distributed_execution_spark.operators import sampling as SP
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    # rate ≈ 10% with tight concentration, and rerun-stable
+    s1 = SP.hash_sample(df, F.col("k"), 0.10, "s1")
+    n = s1.count()
+    assert abs(n - 2000) < 200
+    assert s1.count() == n  # deterministic re-run
+    # independent salts give (nearly) independent samples
+    s2 = SP.hash_sample(df, F.col("k"), 0.10, "s2")
+    overlap = s1.join(s2, on="k").count()
+    assert abs(overlap - 200) < 100  # ~rate² · N
+
+    # splits: disjoint, exhaustive, stable under repartitioning
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    lab = df.withColumn("split", SP.assign_split(F.col("k"), splits))
+    by = {r.split: r.n for r in
+          lab.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == 20000
+    assert abs(by["train"] - 16000) < 500
+    relab = df.repartition(7).withColumn("split", SP.assign_split(F.col("k"), splits))
+    assert lab.exceptAll(relab).count() == 0
+
+    # stratified: listed strata thinned, unlisted untouched
+    strat = df.withColumn("g", (F.col("k") % 2 == 0).cast("string"))
+    kept = SP.stratified_downsample(
+        strat, F.col("g"), F.col("k"), {"true": 0.2}
+    )
+    by_g = {r.g: r.n for r in
+            kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_g["false"] == 10000
+    assert abs(by_g["true"] - 2000) < 300
