@@ -669,3 +669,57 @@ def approx_percentile_bound(spark, sf_dir):
             ).alias("approx_within_1pct"),
         )
     )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def array_agg_sorted(spark, sf_dir):
+    """List aggregation (DuckDB list()/array_agg): collect_list is
+    partition-order-dependent, so the deterministic contract is the
+    SORTED list — identical at any parallelism."""
+    t = load(spark, sf_dir, "nation")["nation"]
+    return t.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+
+
+@register(
+    "map_ops_agg",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag,
+           COUNT(*) AS n_statuses,
+           string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           MAX(CASE WHEN l_linestatus = 'O' THEN cnt END) AS cnt_o
+    FROM per GROUP BY 1
+    """,
+)
+def map_ops_agg(spark, sf_dir):
+    """Map-typed columns end-to-end: per-group status→count map built
+    with map_from_entries (entries pre-sorted for determinism), then
+    read back via map_keys / element_at. The oracle checks the same
+    observable scalars relationally — proving Spark's map semantics
+    (missing key → NULL) against plain SQL."""
+    t = load(spark, sf_dir, "lineitem")["lineitem"]
+    per = t.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "l_returnflag",
+        F.size("m").alias("n_statuses"),
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+        F.element_at("m", F.lit("O")).alias("cnt_o"),
+    )
