@@ -527,3 +527,20 @@ def json_extract(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         exact_sum("value").alias("sum_value"),
     )
+
+
+@register(
+    "range_table_function",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS i,
+           CAST(range * range AS BIGINT) AS sq
+    FROM range(0, 1000, 7)
+    """,
+)
+def range_table_function(spark, sf_dir):
+    """Generated-sequence source (DuckDB range() ≡ spark.range):
+    produced directly by the driver as a splittable relation — each
+    executor generates its slice, no file scan at all."""
+    return spark.range(0, 1000, 7).select(
+        F.col("id").alias("i"), (F.col("id") * F.col("id")).alias("sq")
+    )
