@@ -241,6 +241,64 @@ def oracle_minhash_sig(shingles_expr: str, i: int) -> str:
     )
 
 
+def oracle_minhash_lsh_sql(
+    shingles_expr: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    verify_threshold: float = 0.4,
+    max_bucket: int = 4096,
+) -> str:
+    """Full DuckDB mirror of ``minhash_lsh_pairs`` — same base hash,
+    affine family, banding, bucket-size cap, and hashed-shingle
+    Jaccard verification, so the banded candidate generation itself is
+    oracle-checked (not just the signature math)."""
+    coeffs = minhash_coeffs(num_hashes)
+    n_bands = num_hashes // band_size
+    mh_cols = ", ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        f" AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b}:' || md5(concat_ws('_', '{b}', {cols})) AS bucket "
+        "FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * band_size + r}" for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform({shingles_expr},
+                            s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS bh
+      FROM documents),
+    sig AS (SELECT doc_id, {mh_cols} FROM base),
+    bands AS ({band_selects}),
+    ok_buckets AS (
+      SELECT bucket FROM bands GROUP BY bucket
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      JOIN ok_buckets s ON s.bucket = a.bucket),
+    sh AS (SELECT doc_id, list_distinct(bh) AS sh FROM base),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (CAST(len(x.sh) + len(y.sh) AS DOUBLE)
+                - CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)) AS jaccard
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.id_a
+      JOIN sh y ON y.doc_id = cand.id_b)
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM j WHERE jaccard >= {verify_threshold}
+    """
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -111,9 +111,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 @register(
     "dedup_minhash_lsh",
     headline=True,
-    oracle=None,  # banded-bucket candidate generation is not
-    # reasonably SQL-expressible; driver records rows-only. The
-    # signature math itself IS oracle-checked via dedup_minhash_sigs.
+    # The full pipeline — signatures, banding, bucket cap, candidate
+    # pairs, Jaccard verify — mirrored in DuckDB SQL, so even the
+    # LSH candidate generation is hash-checked cross-engine.
+    oracle=D.oracle_minhash_lsh_sql(
+        D.oracle_word_shingles("text", 2),
+        num_hashes=8,
+        band_size=2,
+        verify_threshold=0.12,
+    ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs: shingle → 8 min-hashes → 4 bands →
@@ -166,7 +172,19 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-@register("dedup_simhash_pairs", oracle=None)
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, lang, {D.oracle_simhash('text', 32)} AS sh
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a
+    JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within Hamming radius, lang-blocked."""
     d = load(spark, sf_dir, "documents")["documents"]
