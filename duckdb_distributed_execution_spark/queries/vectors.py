@@ -349,3 +349,53 @@ def ann_lsh_candidates(spark, sf_dir):
     return sims.filter(F.col("sim") >= 0.25).select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+                 greatest(list_max(list_transform(e, x -> abs(x))), 1e-12)
+                   AS maxabs
+          FROM v),
+    q AS (SELECT vec_id, maxabs,
+                 list_transform(e, x -> CAST(round(x / maxabs * 127) AS INTEGER))
+                   AS qv
+          FROM m)
+    SELECT vec_id, ROUND(maxabs, 6) AS scale, qv,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 scalar quantization — the standard
+    4× compression step before ANN indexing at corpus scale (quantize
+    once, search int8, rescore survivors in float). Pure per-row
+    column math: no shuffle, embarrassingly parallel, and the
+    quantized arrays + checksums hash-match DuckDB exactly (identical
+    op order; round-half-away agrees on both engines)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    m = ed.select(
+        "vec_id",
+        "e",
+        F.greatest(
+            F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-12)
+        ).alias("maxabs"),
+    )
+    q = m.select(
+        "vec_id",
+        "maxabs",
+        F.transform(
+            "e", lambda x: F.round(x / F.col("maxabs") * 127).cast("int")
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale"),
+        "qv",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+    )
