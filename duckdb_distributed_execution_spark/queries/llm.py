@@ -477,3 +477,70 @@ def stratified_downsample(spark, sf_dir):
         d, F.col("lang"), F.col("doc_id"), _STRAT_RATES
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components (transitive closure of near-dup
+# pairs).  The pair detectors above emit edges; "keep one doc per
+# duplicate cluster" needs components.  Spark side: iterative hash-min
+# label propagation (operators/graph.py); oracle: DuckDB recursive CTE
+# computing min-reachable-id — the single-node gold standard the
+# distributed loop must match exactly.
+# ---------------------------------------------------------------------------
+
+_CC_EDGES_ORACLE = f"""
+    sig AS (
+      SELECT doc_id, lang, {{simhash}} AS sh
+      FROM documents),
+    edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+    und AS (SELECT ea AS u, eb AS v FROM edges
+            UNION SELECT eb, ea FROM edges),
+    reach(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, reach.comp FROM reach JOIN und ON und.u = reach.node),
+    cc AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+"""
+
+
+def _cc_edges(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, block_col="lang")
+
+
+@register(
+    "dedup_connected_components",
+    oracle="WITH RECURSIVE "
+    + _CC_EDGES_ORACLE.format(simhash=D.oracle_simhash("text", 32))
+    + """
+    SELECT node AS doc_id, comp AS component FROM cc
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Per-document duplicate-cluster id (min doc_id reachable through
+    the SimHash near-dup pair graph)."""
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    cc = G.connected_components(_cc_edges(spark, sf_dir))
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
+    "dedup_cluster_keep_one",
+    oracle="WITH RECURSIVE "
+    + _CC_EDGES_ORACLE.format(simhash=D.oracle_simhash("text", 32))
+    + """
+    SELECT comp AS keep_id, COUNT(*) AS n_members
+    FROM cc GROUP BY comp
+    """,
+)
+def dedup_cluster_keep_one(spark, sf_dir):
+    """Cluster summary: canonical survivor (min member id) + cluster
+    size — the row set a pipeline anti-joins against to drop dups."""
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    return G.dedup_clusters(_cc_edges(spark, sf_dir))

@@ -306,3 +306,27 @@ def test_hash_sampling_properties(spark):
             kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_g["false"] == 10000
     assert abs(by_g["true"] - 2000) < 300
+
+
+def test_connected_components(spark):
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    # path 1-2-3-4, triangle 10-11-12 plus chord, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    cc = {r.node: r.comp for r in G.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = {
+        r.keep_id: r.n_members for r in G.dedup_clusters(edges).collect()
+    }
+    assert clusters == {1: 4, 10: 3, 20: 2}
+
+    # result is independent of edge orientation and partitioning
+    flipped = edges.select(
+        edges.id_b.alias("id_a"), edges.id_a.alias("id_b")
+    ).repartition(5)
+    cc2 = {r.node: r.comp for r in G.connected_components(flipped).collect()}
+    assert cc2 == cc
