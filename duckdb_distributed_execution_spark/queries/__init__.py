@@ -78,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         llm,
         nested,
+        textstats,
         tpch,
         vectors,
         window,
