@@ -12,6 +12,7 @@ from duckdb_distributed_execution_spark.functions import (
     exact_sum,
     oracle_exact_sum,
 )
+from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.operators.asof import asof_join
 from duckdb_distributed_execution_spark.operators.sessionize import (
     sessionize_pandas,
@@ -722,4 +723,133 @@ def map_ops_agg(spark, sf_dir):
         F.size("m").alias("n_statuses"),
         F.array_join(F.map_keys("m"), ",").alias("statuses"),
         F.element_at("m", F.lit("O")).alias("cnt_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (listagg), time-range window frames, sequence
+# packing — late-r1 additions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_sorted",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_sorted(spark, sf_dir):
+    """listagg/string_agg with an explicit ORDER BY inside the
+    aggregate — expressed as collect_list → array_sort → array_join so
+    the result is independent of partitioning (a bare string_agg is
+    nondeterministic on any parallel engine)."""
+    t = load(spark, sf_dir, "nation", "region")
+    return (
+        t["nation"]
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_10m,
+           (SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+            / 1000000.0) AS sum_10m
+    FROM events
+    WHERE user_id % 17 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_sum(spark, sf_dir):
+    """Time-based RANGE window frame: per-user rolling 10-minute event
+    count and exact sum.  The frame is keyed on integer epoch seconds
+    (RANGE peers = same second, identical in both engines) and the
+    rolling sum uses scaled-long fixed point so segment-tree vs
+    sliding-accumulator evaluation order cannot drift."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")["events"].filter(F.col("user_id") % 17 == 0)
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        (F.sum(F.round(F.col("value") * F.lit(1000000.0)).cast("long")).over(w)
+         / F.lit(1000000.0)).alias("sum_10m"),
+    )
+
+
+_PACK_CAPACITY = 2048
+_PACK_BUCKETS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, h % {_PACK_BUCKETS} AS bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY h % {_PACK_BUCKETS}
+                              ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, bucket,
+           CAST((cum - n_tok) // {_PACK_CAPACITY} AS BIGINT) AS chunk_id,
+           CAST((cum - n_tok) % {_PACK_CAPACITY} AS BIGINT) AS chunk_offset
+    FROM b
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing into fixed-capacity context
+    windows (streaming-concat semantics: documents are laid out in a
+    pseudorandom but reproducible hash order and split at every
+    2048-token boundary).  Packing runs independently inside each of
+    N hash buckets, so parallelism scales with the bucket count while
+    every (doc → chunk, offset) assignment stays engine- and
+    partitioning-independent."""
+    from pyspark.sql import Window
+
+    from duckdb_distributed_execution_spark.operators.dedup import hash60
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select(
+        "doc_id",
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+        X.token_count("text").alias("n_tok"),
+    ).withColumn("bucket", F.col("h") % _PACK_BUCKETS)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return t.select(
+        "doc_id",
+        "bucket",
+        (start / F.lit(_PACK_CAPACITY)).cast("long").alias("chunk_id"),
+        (start % F.lit(_PACK_CAPACITY)).cast("long").alias("chunk_offset"),
     )

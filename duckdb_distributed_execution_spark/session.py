@@ -406,5 +406,23 @@ class Engine:
             out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
         self._rewrite(name, out)
 
+    def merge_upsert(self, name: str, source: DataFrame, on: list[str]) -> dict:
+        """MERGE INTO name USING source ON key-equality: matched target
+        rows are replaced by the source row, unmatched source rows are
+        inserted (the standard full-row upsert).  Copy-on-write like
+        DELETE/UPDATE; at lakehouse scale the identical plan (anti-join
+        + union) is what Delta's MERGE executes under the hood.  Errors
+        if the source has duplicate keys — SQL MERGE semantics forbid
+        multiple matches for one target row."""
+        target = self.table(name)
+        aligned = source.select(*[F.col(c) for c in target.columns])
+        n_src = aligned.count()
+        if aligned.select(*on).distinct().count() != n_src:
+            raise ValueError("merge_upsert: duplicate keys in source")
+        kept = target.join(aligned.select(*on), on=on, how="left_anti")
+        n_updated = target.count() - kept.count()
+        self._rewrite(name, kept.unionByName(aligned))
+        return {"updated": n_updated, "inserted": n_src - n_updated}
+
     def close(self) -> None:
         shutil.rmtree(self._warehouse, ignore_errors=True)

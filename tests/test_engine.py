@@ -209,3 +209,24 @@ def test_cache_table(engine, basic_table):
 def test_create_table_duplicate_raises(engine, basic_table):
     with pytest.raises(ValueError):
         engine.create_table(basic_table, "id INTEGER")
+
+
+def test_merge_upsert(engine, spark):
+    import pytest
+
+    engine.create_table("mrg_t", "id INTEGER, v INTEGER, tag STRING")
+    engine.insert_values("mrg_t", [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")])
+    src = spark.createDataFrame(
+        [(2, 99, "B"), (4, 40, "d")], "id INTEGER, v INTEGER, tag STRING"
+    )
+    res = engine.merge_upsert("mrg_t", src, on=["id"])
+    assert res == {"updated": 1, "inserted": 1}
+    assert {r.id: (r.v, r.tag) for r in engine.table("mrg_t").collect()} == {
+        1: (10, "a"), 2: (99, "B"), 3: (30, "c"), 4: (40, "d"),
+    }
+    dup = spark.createDataFrame(
+        [(5, 1, "x"), (5, 2, "y")], "id INTEGER, v INTEGER, tag STRING"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        engine.merge_upsert("mrg_t", dup, on=["id"])
+    engine.drop_table("mrg_t")
