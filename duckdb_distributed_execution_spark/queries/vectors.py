@@ -24,6 +24,7 @@ from duckdb_distributed_execution_spark.functions import (
     EXACT_DECIMAL,
     dot_product,
     l2_norm,
+    oracle_exact_avg,
 )
 from duckdb_distributed_execution_spark.queries import load, register
 
@@ -398,4 +399,35 @@ def embedding_quantize_int8(spark, sf_dir):
         F.aggregate(
             "qv", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
         ).alias("q_sum"),
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT label, CAST(r.range AS INTEGER) AS dim,
+           COUNT(*) AS n_vecs,
+           ROUND({oracle_exact_avg('e[CAST(r.range AS INTEGER) + 1]')}, 6)
+             AS centroid
+    FROM d CROSS JOIN range(8) r
+    GROUP BY label, r.range
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column (the training step
+    of IVF/k-means coarse quantizers), first 8 dimensions.  posexplode
+    → (label, dim) grouped exact mean: one shuffle of scalar rows —
+    never materializes per-partition dense matrices, so it scales to
+    any corpus × dimension product."""
+    from duckdb_distributed_execution_spark.functions import exact_avg
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    pe = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).filter(F.col("dim") < 8)
+    return pe.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(exact_avg("v"), 6).alias("centroid"),
     )

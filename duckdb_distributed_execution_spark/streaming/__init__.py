@@ -168,3 +168,13 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
         .start()
     )
     q.awaitTermination()
+
+
+def stream_static_join(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (re-read per batch, broadcastable) static dimension — no join
+    state, no watermark needed.  The canonical pattern for attaching
+    slowly-changing metadata to a high-volume stream."""
+    return events.join(F.broadcast(dim), on=on, how="left")

@@ -199,3 +199,28 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # window would append a new cnt=1 row for the same window here.
     events_file(str(src / "b.parquet"), [(5, 2)])
     assert drain() == {"2024-01-01T00:00:00": 3}
+
+
+def test_stream_static_join(spark):
+    """Stream-static broadcast enrichment equals the batch join."""
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type STRING, weight DOUBLE",
+    )
+    enriched = S.stream_static_join(
+        S.read_events_stream(spark, events_path), dim
+    ).select("event_id", "weight")
+    q = (enriched.writeStream.format("memory").queryName("ssj_static")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.event_id, r.weight) for r in spark.table("ssj_static").collect()}
+
+    from duckdb_distributed_execution_spark.sources import read_parquet_table
+    ev = read_parquet_table(spark, events_path)
+    expected = {
+        (r.event_id, r.weight)
+        for r in ev.join(dim, "event_type", "left")
+        .select("event_id", "weight").collect()
+    }
+    assert got == expected and len(got) > 0
