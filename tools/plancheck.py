@@ -55,6 +55,8 @@ def main() -> None:
             "subquery_scalar", "cte_revenue",     # 1-row scalar threshold
             "tpch_q11_important_parts",           # 1-row scalar threshold
             "tpch_q22_global_sales_opportunity",  # 1-row scalar threshold
+            "tfidf_topk",                         # 1-row corpus-size broadcast
+            "quality_quantile_filter",            # 1-row percentile broadcast
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
