@@ -14,6 +14,7 @@ from duckdb_distributed_execution_spark.functions import (
 )
 from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.operators.asof import asof_join
+from duckdb_distributed_execution_spark.operators.zorder import oracle_zorder_key
 from duckdb_distributed_execution_spark.operators.sessionize import (
     sessionize_pandas,
     sessionize_window,
@@ -852,4 +853,49 @@ def pack_sequences(spark, sf_dir):
         "bucket",
         (start / F.lit(_PACK_CAPACITY)).cast("long").alias("chunk_id"),
         (start % F.lit(_PACK_CAPACITY)).cast("long").alias("chunk_offset"),
+    )
+
+
+@register(
+    "zorder_clustering",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(o_custkey) AS m1, MAX(o_orderkey) AS m2 FROM orders),
+    k AS (
+      SELECT o_orderkey, o_custkey,
+             {oracle_zorder_key(['o_custkey', 'o_orderkey'], ['mx.m1', 'mx.m2'])} AS zk
+      FROM orders, mx)
+    SELECT CAST(zk >> 34 AS BIGINT) AS zbucket,
+           COUNT(*) AS n,
+           MAX(o_custkey) - MIN(o_custkey) AS custkey_span,
+           MAX(o_orderkey) - MIN(o_orderkey) AS orderkey_span
+    FROM k GROUP BY 1
+    """,
+)
+def zorder_clustering(spark, sf_dir):
+    """Morton/Z-order clustering key over (o_custkey, o_orderkey) with
+    data-derived bounds (cross-joined MAX — table statistics, no
+    driver collect): bucketing by the key's high bits yields tight
+    bounding boxes in BOTH dimensions simultaneously — the min/max
+    spans per bucket are what parquet zone maps would prune on after
+    an OPTIMIZE ZORDER rewrite (the lakehouse analog of the
+    reference's CREATE INDEX, SURVEY §2.A5)."""
+    from duckdb_distributed_execution_spark.operators.zorder import zorder_key
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    mx = o.agg(
+        F.max("o_custkey").alias("m1"), F.max("o_orderkey").alias("m2")
+    )
+    k = o.crossJoin(F.broadcast(mx)).select(
+        zorder_key(
+            [F.col("o_custkey"), F.col("o_orderkey")],
+            [F.col("m1"), F.col("m2")],
+        ).alias("zk"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    return k.groupBy(F.shiftright("zk", 34).cast("long").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("custkey_span"),
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("orderkey_span"),
     )

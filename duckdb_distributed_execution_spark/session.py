@@ -406,6 +406,23 @@ class Engine:
             out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
         self._rewrite(name, out)
 
+    def optimize_zorder(self, name: str, columns: list[str]) -> None:
+        """OPTIMIZE <table> ZORDER BY (cols) — rewrite the managed
+        table clustered on the Morton key of the given non-negative
+        integer columns, so parquet min/max zone maps prune filters on
+        ANY of them (the lakehouse realization of the reference's
+        CREATE INDEX, SURVEY §2.A5 — which only bookkeeps here)."""
+        from duckdb_distributed_execution_spark.operators.zorder import (
+            zorder_rewrite,
+        )
+
+        df = self.table(name)
+        maxes = df.agg(
+            *[F.max(F.col(c)).alias(c) for c in columns]
+        ).collect()[0]
+        max_vals = [max(int(maxes[c] or 0), 1) for c in columns]
+        self._rewrite(name, zorder_rewrite(df, columns, max_vals))
+
     def merge_upsert(self, name: str, source: DataFrame, on: list[str]) -> dict:
         """MERGE INTO name USING source ON key-equality: matched target
         rows are replaced by the source row, unmatched source rows are

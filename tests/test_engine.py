@@ -230,3 +230,27 @@ def test_merge_upsert(engine, spark):
     with pytest.raises(ValueError, match="duplicate keys"):
         engine.merge_upsert("mrg_t", dup, on=["id"])
     engine.drop_table("mrg_t")
+
+
+def test_optimize_zorder(engine, spark):
+    from duckdb_distributed_execution_spark.operators.zorder import zorder_key
+
+    engine.create_table("zt", "x INTEGER, y INTEGER")
+    rows = [(i // 64, (i * 53) % 64) for i in range(4096)]
+    engine.insert_into(
+        "zt", spark.createDataFrame(rows, "x INTEGER, y INTEGER").repartition(8)
+    )
+    engine.optimize_zorder("zt", ["x", "y"])
+    back = engine.table("zt")
+    # content preserved
+    assert sorted((r.x, r.y) for r in back.collect()) == sorted(rows)
+    # layout clustered: rows come back in Morton-key order (small table
+    # compacts to one file, so read order is write order)
+    keys = [
+        r.zk
+        for r in back.select(
+            zorder_key([F.col("x"), F.col("y")], [63, 63]).alias("zk")
+        ).collect()
+    ]
+    assert keys == sorted(keys) and len(set(keys)) > 1000
+    engine.drop_table("zt")
