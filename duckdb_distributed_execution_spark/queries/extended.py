@@ -899,3 +899,84 @@ def zorder_clustering(spark, sf_dir):
         (F.max("o_custkey") - F.min("o_custkey")).alias("custkey_span"),
         (F.max("o_orderkey") - F.min("o_orderkey")).alias("orderkey_span"),
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col, COUNT(*) AS n, COUNT({c}) AS n_nonnull,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           MIN({c}) AS min_val, MAX({c}) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark, sf_dir):
+    """SUMMARIZE-style column profile (count/nulls/distinct/min/max
+    per column) in ONE scan: all per-column aggregates run in a single
+    grouped pass, then melt to long form — never N scans of a 100 TB
+    table."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nn").alias("n_nonnull"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "histogram_bins",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - lo)
+                              / ((hi - lo) / {_HIST_BINS}.0)) AS BIGINT),
+                   {_HIST_BINS - 1}) AS bin
+      FROM orders, mx)
+    SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+    """,
+)
+def histogram_bins(spark, sf_dir):
+    """Equi-width histogram with data-derived bounds (broadcast scalar
+    min/max; identical double expression both engines so bin edges
+    agree bit-for-bit)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    mx = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS))
+    b = o.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            F.lit(_HIST_BINS - 1).cast("long"),
+        ).alias("bin")
+    )
+    return b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))

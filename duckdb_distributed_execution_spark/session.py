@@ -406,6 +406,37 @@ class Engine:
             out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
         self._rewrite(name, out)
 
+    def summarize(self, name: str) -> DataFrame:
+        """DuckDB-SUMMARIZE-style profile of a registered table: one
+        row per column with count / non-null / exact distinct / min /
+        max (stringified for heterogeneous types).  All columns'
+        aggregates run in a single scan."""
+        df = self.table(name)
+        aggs = []
+        for c in df.columns:
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.count(c).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            ]
+        wide = df.agg(*aggs)
+        dtypes = dict(df.dtypes)
+        out = None
+        for c in df.columns:
+            row = wide.select(
+                F.lit(c).alias("column_name"),
+                F.lit(dtypes[c]).alias("column_type"),
+                F.col(f"{c}__n").alias("n_rows"),
+                (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
     def optimize_zorder(self, name: str, columns: list[str]) -> None:
         """OPTIMIZE <table> ZORDER BY (cols) — rewrite the managed
         table clustered on the Morton key of the given non-negative

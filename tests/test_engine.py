@@ -254,3 +254,17 @@ def test_optimize_zorder(engine, spark):
     ]
     assert keys == sorted(keys) and len(set(keys)) > 1000
     engine.drop_table("zt")
+
+
+def test_summarize(engine):
+    engine.create_table("sum_t", "id INTEGER, v DOUBLE, tag VARCHAR")
+    engine.insert_values(
+        "sum_t", [(1, 1.5, "a"), (2, 2.5, "a"), (3, None, "b"), (4, 4.0, None)]
+    )
+    prof = {r.column_name: r for r in engine.summarize("sum_t").collect()}
+    assert set(prof) == {"id", "v", "tag"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 3
+    assert prof["tag"].n_distinct == 2 and prof["tag"].max_val == "b"
+    assert prof["id"].column_type == "int"
+    engine.drop_table("sum_t")
