@@ -89,3 +89,100 @@ def dedup_clusters(
     return cc.groupBy(F.col("comp").alias("keep_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed iteration count, fixed-point quantized)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # quantization denominator between iterations
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on the undirected pair graph, exactly reproducible on
+    any engine/partitioning: per-node contribution sums use scaled
+    BIGINT fixed point (integer addition is associative) and ranks are
+    re-quantized to 1e-12 after every iteration, so the distributed
+    loop is bit-identical to a single-node unrolled evaluation.
+    Returns (node, pr) after ``iterations`` rounds."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    pr = deg.select(
+        "u", "deg", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = und.join(pr, "u").select(
+            F.col("v").alias("node"),
+            F.round(F.col("pr") / F.col("deg") * F.lit(PR_SCALE))
+            .cast("long")
+            .alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            deg.join(summed, deg["u"] == summed["node"], "left")
+            .select(
+                "u",
+                "deg",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                       / F.lit(PR_SCALE)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("u").alias("node"), "pr")
+
+
+def oracle_pagerank_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB mirror of pagerank(): the iteration loop unrolled into
+    chained CTEs (DuckDB forbids aggregates in recursive terms, and an
+    unrolled chain doubles as documentation of the exact arithmetic).
+    ``edges_cte`` must define und(u, v)."""
+    parts = [
+        edges_cte,
+        "deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u)",
+        "n AS (SELECT COUNT(*) AS n_nodes FROM deg)",
+        "pr0 AS (SELECT u, deg, 1.0 / n_nodes AS pr FROM deg, n)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""s{i} AS (
+              SELECT und.v AS node,
+                     SUM(CAST(round(pr{i}.pr / pr{i}.deg * {PR_SCALE})
+                              AS BIGINT)) AS s
+              FROM und JOIN pr{i} ON und.u = pr{i}.u
+              GROUP BY und.v)"""
+        )
+        parts.append(
+            f"""pr{i + 1} AS (
+              SELECT deg.u, deg.deg,
+                     round((1.0 - {damping}) / n.n_nodes
+                           + {damping} * (CAST(COALESCE(s{i}.s, 0) AS DOUBLE)
+                                          / {PR_SCALE}), 12) AS pr
+              FROM deg CROSS JOIN n LEFT JOIN s{i} ON deg.u = s{i}.node)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT u AS node, pr FROM pr{iterations}"
+    )

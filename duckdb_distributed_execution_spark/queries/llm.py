@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import exact_avg, oracle_exact_avg
 from duckdb_distributed_execution_spark.operators import dedup as D
+from duckdb_distributed_execution_spark.operators.graph import oracle_pagerank_sql
 from duckdb_distributed_execution_spark.operators import multimodal as M
 from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.queries import load, register
@@ -488,16 +489,19 @@ def stratified_downsample(spark, sf_dir):
 # distributed loop must match exactly.
 # ---------------------------------------------------------------------------
 
-_CC_EDGES_ORACLE = f"""
+_SIMHASH_UND_ORACLE = """
     sig AS (
-      SELECT doc_id, lang, {{simhash}} AS sh
+      SELECT doc_id, lang, {simhash} AS sh
       FROM documents),
     edges AS (
       SELECT a.doc_id AS ea, b.doc_id AS eb
       FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3),
     und AS (SELECT ea AS u, eb AS v FROM edges
-            UNION SELECT eb, ea FROM edges),
+            UNION SELECT eb, ea FROM edges)
+"""
+
+_CC_EDGES_ORACLE = _SIMHASH_UND_ORACLE + """,
     reach(node, comp) AS (
       SELECT u, u FROM und
       UNION
@@ -544,3 +548,21 @@ def dedup_cluster_keep_one(spark, sf_dir):
     from duckdb_distributed_execution_spark.operators import graph as G
 
     return G.dedup_clusters(_cc_edges(spark, sf_dir))
+
+
+@register(
+    "graph_pagerank",
+    oracle=oracle_pagerank_sql(
+        _SIMHASH_UND_ORACLE.format(simhash=D.oracle_simhash("text", 32)),
+        iterations=5,
+    ),
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the SimHash near-dup graph (5 iterations) — the
+    'canonical representative by centrality' alternative to min-id
+    cluster resolution.  Fixed-point quantization between iterations
+    makes the distributed loop bit-identical to the oracle's unrolled
+    single-node evaluation."""
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    return G.pagerank(_cc_edges(spark, sf_dir), iterations=5)
