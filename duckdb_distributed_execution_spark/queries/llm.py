@@ -566,3 +566,59 @@ def graph_pagerank(spark, sf_dir):
     from duckdb_distributed_execution_spark.operators import graph as G
 
     return G.pagerank(_cc_edges(spark, sf_dir), iterations=5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, CAST(text AS BLOB) AS payload,
+             OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes
+      FROM documents),
+    f AS (
+      SELECT media_id, n_bytes, CAST(r.range AS INTEGER) AS frame_idx,
+             CAST(r.range * (n_bytes // 4) AS BIGINT) AS frame_off
+      FROM m CROSS JOIN range(3) r)
+    SELECT f.media_id, f.frame_idx, f.frame_off,
+           md5(UPPER(substring(hex(m.payload),
+                               CAST(f.frame_off * 2 + 1 AS INTEGER), 32)))
+             AS frame_md5
+    FROM f JOIN m ON f.media_id = m.media_id
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque binary payloads: extract 3 evenly
+    spaced fixed-size byte windows per media object and fingerprint
+    each (the video-keyframe / audio-chunk access pattern; a real
+    decoder replaces the md5 with a frame decode).  Pure column
+    algebra — the byte slicing never leaves the JVM."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    m = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+    f = m.select(
+        "media_id",
+        "payload",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("frame_idx"),
+        (F.col("n_bytes") / 4).cast("long").alias("stride"),
+    ).select(
+        "media_id",
+        "payload",
+        "frame_idx",
+        (F.col("frame_idx").cast("long") * F.col("stride")).alias("frame_off"),
+    )
+    # 16-byte windows sliced on the hex encoding (this DuckDB build
+    # has no BLOB substring, so both engines slice the hex string —
+    # same bytes, same fingerprint).
+    return f.select(
+        "media_id",
+        "frame_idx",
+        "frame_off",
+        F.md5(
+            F.upper(
+                F.expr("substring(hex(payload), cast(frame_off * 2 + 1 as int), 32)")
+            )
+        ).alias("frame_md5"),
+    )

@@ -90,3 +90,25 @@ def test_asof_join_single_shuffle(spark):
     # crucially NO join operator and no per-key explosion.
     assert s.n_joins == 0
     assert s.n_exchanges <= 2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A fact table partitioned on a join key is pruned at RUNTIME by
+    a filtered dim join (Spark's DPP — the mechanism that makes
+    star-schema joins feasible at 100 TB: only the partitions the dim
+    filter selects are ever scanned)."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact_part")
+    spark.range(0, 100_000).select(
+        F.col("id"), (F.col("id") % 20).alias("part_key")
+    ).write.partitionBy("part_key").mode("overwrite").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(k, "keep" if k < 3 else "drop") for k in range(20)],
+        "part_key LONG, status STRING",
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "part_key").filter(F.col("status") == "keep")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
+    assert joined.count() == 3 * 5_000
