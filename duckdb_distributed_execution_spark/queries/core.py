@@ -544,3 +544,60 @@ def range_table_function(spark, sf_dir):
     return spark.range(0, 1000, 7).select(
         F.col("id").alias("i"), (F.col("id") * F.col("id")).alias("sq")
     )
+
+
+@register(
+    "intersect_all_keys",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def intersect_all_keys(spark, sf_dir):
+    """INTERSECT ALL — bag semantics (min of per-side multiplicities),
+    distinct from the set-variant intersect_keys."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "except_all_keys",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def except_all_keys(spark, sf_dir):
+    """EXCEPT ALL — bag difference (multiplicity-preserving)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "lateral_topn",
+    oracle="""
+    SELECT r.r_name AS region, t.n_name AS nation
+    FROM region r,
+         LATERAL (SELECT n_name FROM nation
+                  WHERE n_regionkey = r.r_regionkey
+                  ORDER BY n_name LIMIT 2) t
+    """,
+)
+def lateral_topn(spark, sf_dir):
+    """Correlated LATERAL derived table (top-2 nations per region) —
+    Spark SQL's LATERAL subquery, decorrelated by Catalyst into a
+    ranked join rather than a per-row loop."""
+    load(spark, sf_dir, "region", "nation")
+    return spark.sql("""
+        SELECT r.r_name AS region, t.n_name AS nation
+        FROM region r,
+             LATERAL (SELECT n_name FROM nation
+                      WHERE n_regionkey = r.r_regionkey
+                      ORDER BY n_name LIMIT 2) t
+    """)

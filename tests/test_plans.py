@@ -112,3 +112,49 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan
     assert joined.count() == 3 * 5_000
+
+
+def test_aqe_skew_join_split(spark, tmp_path):
+    """AQE detects a skewed shuffle partition at RUNTIME and splits it
+    (OptimizeSkewedJoin) — with salting (operators/skew.py) this is
+    the engine's second line of defense against hot keys at scale."""
+    from pyspark.sql import functions as F
+
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    # 95% of left rows share key 0; right is uniform.
+    spark.range(0, 200_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(0, 100).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("r")
+    ).write.mode("overwrite").parquet(right_path)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.read.parquet(left_path)
+        right = spark.read.parquet(right_path)
+        joined = left.join(right, "k")
+        # Execute THIS DataFrame's plan (count() builds a separate
+        # query; AQE finalizes the plan only after execution).
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
