@@ -431,3 +431,43 @@ def embedding_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(exact_avg("v"), 6).alias("centroid"),
     )
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             [o_custkey % 7, o_custkey % 5, o_custkey % 3] AS a,
+             [o_custkey % 5, o_custkey % 2] AS b
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT o_orderkey,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
+             AS a_intersect_b,
+           list_sort(list_distinct(list_concat(a, b))) AS a_union_b,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+             AS a_except_b,
+           list_concat(a, b) AS a_concat_b
+    FROM t
+    """,
+)
+def array_set_ops(spark, sf_dir):
+    """Array set algebra (intersect/union/except/concat) — outputs
+    sorted+deduped so Spark's order-of-first-array semantics and the
+    oracle's filter-based forms canonicalize identically."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    t = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.array(
+            F.col("o_custkey") % 7, F.col("o_custkey") % 5, F.col("o_custkey") % 3
+        ).alias("a"),
+        F.array(F.col("o_custkey") % 5, F.col("o_custkey") % 2).alias("b"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.array_sort(F.array_distinct(F.array_intersect("a", "b")))
+        .alias("a_intersect_b"),
+        F.array_sort(F.array_distinct(F.array_union("a", "b"))).alias("a_union_b"),
+        F.array_sort(F.array_distinct(F.array_except("a", "b"))).alias("a_except_b"),
+        F.concat("a", "b").alias("a_concat_b"),
+    )

@@ -213,3 +213,61 @@ def window_percent_ntile(spark, sf_dir):
             F.ntile(4).over(w).cast("long").alias("quartile"),
         )
     )
+
+
+@register(
+    "time_bucket_15min",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
+             AS bucket_start,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def time_bucket_15min(spark, sf_dir):
+    """Arbitrary-width time bucketing: Spark's window() ≡ DuckDB
+    time_bucket (both quarter-hour aligned for minute-granularity
+    widths)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "15 minutes")["start"].alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    WHERE user_id % 29 = 0
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation: carry the most recent purchase
+    value forward over every event of the user (the gap-fill /
+    last-observation-carried-forward idiom)."""
+    ev = load(spark, sf_dir, "events")["events"].filter(F.col("user_id") % 29 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
