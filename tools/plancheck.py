@@ -57,6 +57,8 @@ def main() -> None:
             "tpch_q22_global_sales_opportunity",  # 1-row scalar threshold
             "tfidf_topk",                         # 1-row corpus-size broadcast
             "quality_quantile_filter",            # 1-row percentile broadcast
+            "histogram_bins",                     # 1-row min/max broadcast
+            "zorder_clustering",                  # 1-row bounds broadcast
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
