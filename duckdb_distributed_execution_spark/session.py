@@ -26,6 +26,7 @@ partitioner, SQL-rewriting scatter and result mergers wholesale.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tempfile
@@ -33,6 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from duckdb_distributed_execution_spark.stats import QueryRecorder, Timer
 from duckdb_distributed_execution_spark.typemap import schema_from_ddl
@@ -78,6 +80,10 @@ class Engine:
         self.num_workers = num_workers or spark.sparkContext.defaultParallelism
         self._tables: dict[str, RegisteredTable] = {}
         self._indexes: dict[str, IndexEntry] = {}
+        # ALTER COLUMN SET/DROP DEFAULT and NOT NULL bookkeeping
+        # (reference: GenerateAlterTableSQL, catalog_utils.cpp:23-84).
+        self._defaults: dict[tuple[str, str], object] = {}
+        self._not_null: set[tuple[str, str]] = set()
         self.recorder = QueryRecorder(spark, self.num_workers)
         self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
         # Deterministic timestamp semantics (DuckDB timestamps are
@@ -374,16 +380,67 @@ class Engine:
         target = self.table(name)
         aligned = df.select(*[F.col(c).cast(f.dataType).alias(f.name) for c, f in
                               zip(df.columns, target.schema.fields)])
+        nn_cols = [c for (tn, c) in self._not_null if tn == name]
+        if nn_cols:
+            viol = aligned.filter(
+                functools.reduce(
+                    lambda a, b: a | b, [F.col(c).isNull() for c in nn_cols]
+                )
+            )
+            if viol.limit(1).count() > 0:
+                raise ValueError(
+                    f"NOT NULL constraint violated on {name}.{nn_cols}"
+                )
         if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
             aligned.write.mode("append").parquet(t.path)
             self._attach_managed(name, t.path)
         else:
             self._rewrite(name, target.unionByName(aligned))
 
-    def insert_values(self, name: str, rows: list[tuple]) -> None:
+    def insert_values(self, name: str, rows: list[tuple],
+                      columns: list[str] | None = None) -> None:
+        """INSERT VALUES; with ``columns`` a subset, omitted columns
+        take their registered DEFAULT (or NULL) — the reference's
+        column-list INSERT semantics."""
         target = self.table(name)
-        df = self.spark.createDataFrame(rows, target.schema)
+        if columns is None:
+            df = self.spark.createDataFrame(rows, target.schema)
+        else:
+            sub = T.StructType(
+                [target.schema[c] for c in columns]
+            )
+            df = self.spark.createDataFrame(rows, sub)
+            for f in target.schema.fields:
+                if f.name not in columns:
+                    dflt = self._defaults.get((name, f.name))
+                    df = df.withColumn(f.name, F.lit(dflt).cast(f.dataType))
+            df = df.select(*[f.name for f in target.schema.fields])
         self.insert_into(name, df)
+
+    # ALTER COLUMN SET/DROP DEFAULT and NOT NULL — parity with
+    # GenerateAlterTableSQL (catalog_utils.cpp:23-84), enforced for
+    # real: NOT NULL validates existing rows on SET and every insert.
+    def _require_column(self, name: str, col: str) -> None:
+        if col not in self.table(name).columns:
+            raise ValueError(f"column {col!r} not in table {name!r}")
+
+    def set_column_default(self, name: str, col: str, default) -> None:
+        self._require_column(name, col)
+        self._defaults[(name, col)] = default
+
+    def drop_column_default(self, name: str, col: str) -> None:
+        self._defaults.pop((name, col), None)
+
+    def set_not_null(self, name: str, col: str) -> None:
+        self._require_column(name, col)
+        if self.table(name).filter(F.col(col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"cannot SET NOT NULL: {name}.{col} contains NULLs"
+            )
+        self._not_null.add((name, col))
+
+    def drop_not_null(self, name: str, col: str) -> None:
+        self._not_null.discard((name, col))
 
     def delete_from(self, name: str, condition: str) -> int:
         """DELETE FROM name WHERE condition — applies the *true*

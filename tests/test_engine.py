@@ -268,3 +268,32 @@ def test_summarize(engine):
     assert prof["tag"].n_distinct == 2 and prof["tag"].max_val == "b"
     assert prof["id"].column_type == "int"
     engine.drop_table("sum_t")
+
+
+def test_column_constraints(engine):
+    import pytest
+
+    engine.create_table("con_t", "id INTEGER, v INTEGER, tag VARCHAR")
+    engine.insert_values("con_t", [(1, 10, "a")])
+
+    # SET DEFAULT: omitted columns take the default on VALUES insert
+    engine.set_column_default("con_t", "tag", "unk")
+    engine.insert_values("con_t", [(2, 20)], columns=["id", "v"])
+    assert {r.id: r.tag for r in engine.table("con_t").collect()} == {
+        1: "a", 2: "unk",
+    }
+    engine.drop_column_default("con_t", "tag")
+    engine.insert_values("con_t", [(3, 30)], columns=["id", "v"])
+    assert [r.tag for r in engine.table("con_t").collect() if r.id == 3] == [None]
+
+    # SET NOT NULL refuses while NULLs exist, enforces after cleanup
+    with pytest.raises(ValueError, match="contains NULLs"):
+        engine.set_not_null("con_t", "tag")
+    engine.delete_from("con_t", "tag IS NULL")
+    engine.set_not_null("con_t", "tag")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        engine.insert_values("con_t", [(4, 40)], columns=["id", "v"])
+    engine.drop_not_null("con_t", "tag")
+    engine.insert_values("con_t", [(4, 40)], columns=["id", "v"])
+    assert engine.table("con_t").count() == 3
+    engine.drop_table("con_t")
