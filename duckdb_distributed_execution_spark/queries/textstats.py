@@ -283,3 +283,50 @@ def text_mask_terms(spark, sf_dir):
         )
         .filter(F.col("n_masked") > 0)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok_oracle()}) AS term FROM documents),
+    freq AS (
+      SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT SUM(c) AS t FROM freq)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(CAST(round(ln(CAST(freq.c AS DOUBLE)
+                                    / CAST(tot.t AS DOUBLE)) * 1000000000.0)
+                          AS BIGINT)) / 1000000000.0 / COUNT(*), 4)
+             AS avg_logprob
+    FROM tok JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring: mean log-probability of each
+    document under the corpus unigram distribution (the KenLM-style
+    statistical quality filter).  The |vocab|-sized frequency table
+    broadcasts; per-token log-probs are quantized to scaled longs so
+    the per-doc sum is order-independent."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(X.normalize_text("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+        * F.lit(1000000000.0)
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lp) / F.lit(1000000000.0) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )

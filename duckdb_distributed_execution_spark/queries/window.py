@@ -271,3 +271,31 @@ def window_ignore_nulls(spark, sf_dir):
         "user_id",
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "events_hopping_window",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(time_bucket(INTERVAL '15 minutes', ts)
+                  - r.range * INTERVAL '15 minutes' AS TIMESTAMP) AS win_start
+      FROM events CROSS JOIN range(2) r
+      WHERE event_type IN ('click', 'purchase'))
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM h GROUP BY win_start, event_type
+    """,
+)
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) windows — 30-minute windows every 15 minutes,
+    each event counted in two overlapping windows (the batch twin of
+    writeStream window(ts, '30 minutes', '15 minutes'))."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.window("ts", "30 minutes", "15 minutes")["start"].alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -84,6 +84,7 @@ class Engine:
         # (reference: GenerateAlterTableSQL, catalog_utils.cpp:23-84).
         self._defaults: dict[tuple[str, str], object] = {}
         self._not_null: set[tuple[str, str]] = set()
+        self._views: dict[str, str] = {}
         self.recorder = QueryRecorder(spark, self.num_workers)
         self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
         # Deterministic timestamp semantics (DuckDB timestamps are
@@ -189,6 +190,27 @@ class Engine:
         # ≈ the reference's information_schema.tables probe
         # (distributed_flight_server.cpp:462-463)
         return name in self._tables or self.spark.catalog.tableExists(name)
+
+    # CREATE/DROP VIEW — the reference passes view DDL through to the
+    # server's DuckDB catalog; here views are Spark temp views defined
+    # over registered tables.
+    def create_view(self, name: str, query: str, replace: bool = False) -> None:
+        if not replace and (name in self._views or name in self._tables):
+            raise ValueError(f"view or table {name!r} already exists")
+        df = self.spark.sql(query)
+        df.createOrReplaceTempView(name)
+        self._views[name] = query
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        if name not in self._views:
+            if if_exists:
+                return
+            raise ValueError(f"view {name!r} does not exist")
+        self.spark.catalog.dropTempView(name)
+        del self._views[name]
+
+    def list_views(self) -> list[str]:
+        return sorted(self._views)
 
     # ------------------------------------------------------------------
     # SQL entry points

@@ -297,3 +297,22 @@ def test_column_constraints(engine):
     engine.insert_values("con_t", [(4, 40)], columns=["id", "v"])
     assert engine.table("con_t").count() == 3
     engine.drop_table("con_t")
+
+
+def test_views(engine):
+    import pytest
+
+    engine.create_table("vw_t", "id INTEGER, v INTEGER")
+    engine.insert_values("vw_t", [(1, 10), (2, 20), (3, 30)])
+    engine.create_view("vw_big", "SELECT id, v FROM vw_t WHERE v >= 20")
+    assert engine.list_views() == ["vw_big"]
+    assert engine.sql("SELECT COUNT(*) AS n FROM vw_big").collect()[0].n == 2
+    with pytest.raises(ValueError, match="already exists"):
+        engine.create_view("vw_big", "SELECT 1")
+    engine.create_view("vw_big", "SELECT id FROM vw_t WHERE v = 10", replace=True)
+    assert engine.sql("SELECT COUNT(*) AS n FROM vw_big").collect()[0].n == 1
+    engine.drop_view("vw_big")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.drop_view("vw_big")
+    engine.drop_view("vw_big", if_exists=True)
+    engine.drop_table("vw_t")
