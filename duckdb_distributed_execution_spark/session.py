@@ -85,6 +85,7 @@ class Engine:
         self._defaults: dict[tuple[str, str], object] = {}
         self._not_null: set[tuple[str, str]] = set()
         self._views: dict[str, str] = {}
+        self._matviews: dict[str, str] = {}
         self.recorder = QueryRecorder(spark, self.num_workers)
         self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
         # Deterministic timestamp semantics (DuckDB timestamps are
@@ -211,6 +212,33 @@ class Engine:
 
     def list_views(self) -> list[str]:
         return sorted(self._views)
+
+    # Materialized views: the query result is persisted as a managed
+    # parquet table (distributed write), queryable like any table;
+    # REFRESH recomputes.  At lakehouse scale this is the
+    # precompute-and-serve pattern for expensive rollups.
+    def create_materialized_view(self, name: str, query: str) -> None:
+        if self.table_exists(name) or name in self._views:
+            raise ValueError(f"view or table {name!r} already exists")
+        df = self.spark.sql(query)
+        path = self._managed_path(name)
+        df.write.mode("overwrite").parquet(path)
+        self._attach_managed(name, path)
+        self._matviews[name] = query
+
+    def refresh_materialized_view(self, name: str) -> None:
+        if name not in self._matviews:
+            raise ValueError(f"{name!r} is not a materialized view")
+        df = self.spark.sql(self._matviews[name])
+        self._rewrite(name, df)
+
+    def drop_materialized_view(self, name: str, if_exists: bool = False) -> None:
+        if name not in self._matviews:
+            if if_exists:
+                return
+            raise ValueError(f"{name!r} is not a materialized view")
+        del self._matviews[name]
+        self.drop_table(name)
 
     # ------------------------------------------------------------------
     # SQL entry points

@@ -316,3 +316,22 @@ def test_views(engine):
         engine.drop_view("vw_big")
     engine.drop_view("vw_big", if_exists=True)
     engine.drop_table("vw_t")
+
+
+def test_materialized_view(engine):
+    engine.create_table("mv_base", "k VARCHAR, v INTEGER")
+    engine.insert_values("mv_base", [("a", 1), ("a", 2), ("b", 10)])
+    engine.create_materialized_view(
+        "mv_sum", "SELECT k, SUM(v) AS total FROM mv_base GROUP BY k"
+    )
+    assert {r.k: r.total for r in engine.table("mv_sum").collect()} == {
+        "a": 3, "b": 10,
+    }
+    # stale until refreshed
+    engine.insert_values("mv_base", [("b", 5)])
+    assert {r.k: r.total for r in engine.table("mv_sum").collect()}["b"] == 10
+    engine.refresh_materialized_view("mv_sum")
+    assert {r.k: r.total for r in engine.table("mv_sum").collect()}["b"] == 15
+    engine.drop_materialized_view("mv_sum")
+    assert not engine.table_exists("mv_sum")
+    engine.drop_table("mv_base")
