@@ -323,7 +323,28 @@ def minhash_lsh_pairs(
     non-discriminative and would otherwise emit O(B²) pairs and
     overload one reducer — standard LSH hot-bucket hygiene."""
     assert num_hashes % band_size == 0
-    sig = minhash_signatures_df(df, id_col, text_col, shingle_n, num_hashes)
+    # ONE md5 pass over all (doc, shingle) rows produces both the k
+    # min-hash signature AND the distinct hashed-shingle set used by
+    # verification, in a single grouped aggregate.  The eager
+    # localCheckpoint materializes it once (executor memory+disk), so
+    # the three consumers below (banding + two verify joins) never
+    # recompute the hash fan-out — previously 3 full md5 passes.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        df.repartition(para, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .select("doc", minhash_base(F.col("s")).alias("h"))
+    )
+    sig = exploded.groupBy("doc").agg(
+        *[
+            F.min(_affine(F.col("h"), a, b)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ],
+        F.collect_set("h").alias("sh"),
+    ).localCheckpoint(eager=True)
     n_bands = num_hashes // band_size
     band_cols = [
         F.md5(
@@ -368,21 +389,12 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Jaccard verification joins the 28-bit hashed shingle sets back,
-    # only for surviving candidates. Hashing first shrinks the arrays
-    # riding the two verify shuffles from strings to longs (~2.8× less
-    # wall time measured at sf0.1); the Jaccard estimate is exact up
-    # to base-hash collisions (≤ |set|²/2²⁸ ≈ 1e-5 per pair).
-    sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("s"),
-        )
-        .select(
-            "doc",
-            F.array_distinct(F.transform(F.col("s"), minhash_base)).alias("sh"),
-        )
-    )
+    # only for surviving candidates — reusing the checkpointed
+    # signature table (collect_set = distinct base hashes; jaccard()
+    # only reads set sizes, so element order is irrelevant).  The
+    # estimate is exact up to base-hash collisions
+    # (≤ |set|²/2²⁸ ≈ 1e-5 per pair).
+    sh = sig.select("doc", "sh")
     verified = (
         cand.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
                   on="id_a")

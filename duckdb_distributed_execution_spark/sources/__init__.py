@@ -33,30 +33,45 @@ def read(
     return reader.options(**options).load(path)
 
 
+_NANOS_PROBE_CACHE: dict[str, list[str]] = {}
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of timestamp[ns] columns in the parquet footer (cached
+    per path — the probe is driver-side filesystem work that would
+    otherwise repeat on every query construction)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if path in _NANOS_PROBE_CACHE:
+        return _NANOS_PROBE_CACHE[path]
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            _NANOS_PROBE_CACHE[path] = []
+            return []
+        probe = parts[0]
+    cols = [
+        field.name
+        for field in pq.read_schema(probe)
+        if str(field.type) == "timestamp[ns]"
+    ]
+    _NANOS_PROBE_CACHE[path] = cols
+    return cols
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that tolerates TIMESTAMP(NANOS) columns (Spark has
     no nanosecond timestamps): on PARQUET_TYPE_ILLEGAL, re-read with
     nanos-as-long and floor any ``*_NANOS`` long column back to a
     microsecond timestamp — the same truncation DuckDB applies when
     fetching TIMESTAMP_NS."""
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    # Directory tables: probe one part file for the footer schema.
-    probe = path
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            return spark.read.parquet(path)
-        probe = parts[0]
-    nanos_cols = [
-        field.name
-        for field in pq.read_schema(probe)
-        if str(field.type) == "timestamp[ns]"
-    ]
+    nanos_cols = _nanos_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
