@@ -980,3 +980,101 @@ def histogram_bins(spark, sf_dir):
         ).alias("bin")
     )
     return b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+      SELECT c.user_id, c.first_click, MIN(e.ts) AS first_purchase
+      FROM clicks c
+      LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.first_click
+      GROUP BY c.user_id, c.first_click)
+    SELECT COUNT(*) AS n_clickers,
+           COUNT(first_purchase) AS n_converted,
+           CAST(COUNT(CASE WHEN first_purchase IS NOT NULL
+                            AND first_purchase <= first_click
+                                + INTERVAL 1 HOUR THEN 1 END)
+                AS BIGINT) AS n_converted_1h
+    FROM conv
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis: click → later purchase conversion, total and
+    within one hour.  First-touch timestamps reduce each side to one
+    row per user BEFORE the join, so the join input is |users|, not
+    |events| — the shape that keeps funnels tractable on 100 TB event
+    logs."""
+    ev = load(spark, sf_dir, "events")["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        clicks.join(purchases, "user_id", "left")
+        .filter(F.col("pts").isNull() | (F.col("pts") > F.col("first_click")))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.count(
+            F.when(
+                F.col("first_purchase")
+                <= F.col("first_click") + F.expr("INTERVAL 1 HOUR"),
+                1,
+            )
+        ).cast("long").alias("n_converted_1h"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS act_week
+      FROM events e)
+    SELECT f.cohort_week,
+           date_diff('week', f.cohort_week, a.act_week) AS week_offset,
+           COUNT(*) AS n_active
+    FROM first_seen f
+    JOIN activity a ON f.user_id = a.user_id
+    WHERE date_diff('week', f.cohort_week, a.act_week) <= 4
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted in
+    each of their first 5 activity weeks.  Both sides pre-aggregate to
+    (user, week) grain before joining."""
+    ev = load(spark, sf_dir, "events")["events"]
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", wk(F.col("ts")).alias("act_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        first_seen.join(activity, "user_id")
+        .select("cohort_week", offset.alias("week_offset"))
+        .filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -60,3 +60,17 @@ def test_unsupported_format_raises(spark):
 
     with pytest.raises(ValueError):
         sources.read(spark, "/tmp/x", fmt="avro")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from duckdb_distributed_execution_spark import sources
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id LONG, tag STRING, v DOUBLE"
+    )
+    path = str(tmp_path / "orc_t")
+    sources.write(df, path, fmt="orc")
+    back = sources.read(spark, path, fmt="orc")
+    assert sorted((r.id, r.tag, r.v) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5),
+    ]

@@ -224,3 +224,39 @@ def test_stream_static_join(spark):
         .select("event_id", "weight").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_foreachbatch_upsert(spark, engine):
+    """Streaming upsert sink: each micro-batch MERGEs its latest row
+    per key into a managed table (foreachBatch + Engine.merge_upsert —
+    the lakehouse CDC pattern)."""
+    from pyspark.sql import functions as F
+
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    engine.create_table("fb_state", "user_id BIGINT, last_value DOUBLE")
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(F.max_by("value", "event_id").alias("last_value"))
+        )
+        engine.merge_upsert("fb_state", latest, on=["user_id"])
+
+    stream = S.read_events_stream(spark, events_path).select(
+        "event_id", "user_id", "value"
+    )
+    q = (stream.writeStream.foreachBatch(upsert)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r.user_id: r.last_value for r in engine.table("fb_state").collect()}
+    from duckdb_distributed_execution_spark.sources import read_parquet_table
+    ev = read_parquet_table(spark, events_path)
+    expected = {
+        r.user_id: r.last_value
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("last_value"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+    engine.drop_table("fb_state")
