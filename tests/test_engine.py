@@ -335,3 +335,14 @@ def test_materialized_view(engine):
     engine.drop_materialized_view("mv_sum")
     assert not engine.table_exists("mv_sum")
     engine.drop_table("mv_base")
+
+
+def test_merge_upsert_empty_source(engine, spark):
+    engine.create_table("mrg_e", "id INTEGER, v INTEGER")
+    engine.insert_values("mrg_e", [(1, 10)])
+    empty = spark.createDataFrame([], "id INTEGER, v INTEGER")
+    assert engine.merge_upsert("mrg_e", empty, on=["id"]) == {
+        "updated": 0, "inserted": 0,
+    }
+    assert engine.table("mrg_e").count() == 1
+    engine.drop_table("mrg_e")

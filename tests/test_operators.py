@@ -330,3 +330,23 @@ def test_connected_components(spark):
     ).repartition(5)
     cc2 = {r.node: r.comp for r in G.connected_components(flipped).collect()}
     assert cc2 == cc
+
+
+def test_graph_edge_cases(spark):
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert G.connected_components(empty).count() == 0
+    assert G.dedup_clusters(empty).count() == 0
+
+    # self-loop only: node is its own component
+    loop = spark.createDataFrame([(7, 7)], "id_a LONG, id_b LONG")
+    assert [(r.node, r.comp) for r in G.connected_components(loop).collect()] \
+        == [(7, 7)]
+
+    # pagerank mass conservation on a simple path graph
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
+    pr = {r.node: r.pr for r in G.pagerank(path, iterations=3).collect()}
+    assert set(pr) == {1, 2, 3}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[2] > pr[1] == pr[3]
