@@ -1078,3 +1078,52 @@ def cohort_retention(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "event_sequence_match",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, MIN(e.ts) AS t2
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY s1.user_id, s1.t1),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3
+      FROM s2 JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       AND e.ts > s2.t2
+      GROUP BY s2.user_id, s2.t1, s2.t2)
+    SELECT user_id, t1, t2, t3 FROM s3
+    """,
+)
+def event_sequence_match(spark, sf_dir):
+    """Ordered sequence-pattern matching (MATCH_RECOGNIZE shape):
+    users who signup, then click, then purchase, with the earliest
+    completion timestamps.  Each step joins the previous step's
+    one-row-per-user frontier against a filtered event slice — the
+    frontier stays |users|-sized through the whole chain."""
+    ev = load(spark, sf_dir, "events")["events"]
+
+    def first_after(frontier, etype, prev_ts, out_ts):
+        step = ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        return (
+            frontier.join(step, "user_id")
+            .filter(F.col("_ts") > F.col(prev_ts))
+            .groupBy(*frontier.columns)
+            .agg(F.min("_ts").alias(out_ts))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+    return s3.select("user_id", "t1", "t2", "t3")
