@@ -1127,3 +1127,22 @@ def event_sequence_match(spark, sf_dir):
     s2 = first_after(s1, "click", "t1", "t2")
     s3 = first_after(s2, "purchase", "t2", "t3")
     return s3.select("user_id", "t1", "t2", "t3")
+
+
+@register(
+    "approx_top_k_types",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_top_k_types(spark, sf_dir):
+    """Heavy-hitters sketch (Spark 4 approx_top_k).  With k ≥ the
+    true distinct count the sketch tracks every item exactly, so the
+    exploded (item, count) set equals the exact aggregation — same
+    accuracy-bound oracle pattern as the HLL/GK queries."""
+    load(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT t.item AS item, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 16)) AS t FROM events)
+    """)
