@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from duckdb_distributed_execution_spark.queries import (  # noqa: F401
         core,
         extended,
+        extras,
         joins,
         llm,
         nested,

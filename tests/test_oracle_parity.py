@@ -20,6 +20,8 @@ REPRESENTATIVE = [
     "dedup_minhash_sigs",
     "text_quality",
     "events_tumbling_window",
+    "bool_bit_aggregates",
+    "csv_roundtrip",
 ]
 
 
