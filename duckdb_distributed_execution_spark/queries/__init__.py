@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         extended,
         extras,
+        extras2,
         joins,
         llm,
         nested,
