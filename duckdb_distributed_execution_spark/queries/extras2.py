@@ -279,3 +279,99 @@ def hll_sketch_mergeable(spark, sf_dir):
     return out.filter(ok).select(
         "o_orderpriority", "exact_nd", "exact_total"
     )
+
+
+@register(
+    "group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def group_by_all(spark, sf_dir):
+    """GROUP BY ALL — group on every non-aggregate select column
+    (identical convenience syntax in both engines)."""
+    load(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem
+        GROUP BY ALL
+    """)
+
+
+@register(
+    "select_exclude_replace",
+    oracle="""
+    SELECT * EXCLUDE (n_regionkey)
+             REPLACE (upper(n_name) AS n_name)
+    FROM nation
+    """,
+)
+def select_exclude_replace(spark, sf_dir):
+    """DuckDB's SELECT * EXCLUDE/REPLACE projection sugar, expressed
+    with the DataFrame API's drop + withColumn — same observable
+    schema and rows; still a pure column-pruned projection."""
+    n = load(spark, sf_dir, "nation")["nation"]
+    return n.drop("n_regionkey").withColumn("n_name", F.upper("n_name"))
+
+
+@register(
+    "distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def distinct_on(spark, sf_dir):
+    """DISTINCT ON (k) ... ORDER BY k, tiebreak — latest order per
+    customer. DuckDB keeps the first row per key under the ORDER BY;
+    Spark expresses the identical contract as a row_number window with
+    the same ordering. One shuffle on the key; at scale this beats the
+    global sort DISTINCT ON implies (the per-key top-1 never
+    materializes a total order)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "inline_values_join",
+    oracle="""
+    SELECT v.tier, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                 ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                 ('5-LOW', 'cold')) AS v(pri, tier)
+      ON o.o_orderpriority = v.pri
+    GROUP BY v.tier
+    """,
+)
+def inline_values_join(spark, sf_dir):
+    """Inline VALUES relation joined to a fact table — the idiomatic
+    small-lookup enrichment. The literal relation is driver-local and
+    broadcast by Catalyst: zero shuffle on the fact side."""
+    load(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT v.tier, COUNT(*) AS n_orders
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                     ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                     ('5-LOW', 'cold')) AS v(pri, tier)
+          ON o.o_orderpriority = v.pri
+        GROUP BY v.tier
+    """)

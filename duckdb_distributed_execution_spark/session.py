@@ -86,6 +86,8 @@ class Engine:
         self._not_null: set[tuple[str, str]] = set()
         self._views: dict[str, str] = {}
         self._matviews: dict[str, str] = {}
+        # rollup name → (group_cols, specs) for incremental maintenance
+        self._rollups: dict[str, tuple[list[str], dict]] = {}
         self.recorder = QueryRecorder(spark, self.num_workers)
         self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
         # Deterministic timestamp semantics (DuckDB timestamps are
@@ -560,6 +562,83 @@ class Engine:
         ).collect()[0]
         max_vals = [max(int(maxes[c] or 0), 1) for c in columns]
         self._rewrite(name, zorder_rewrite(df, columns, max_vals))
+
+    def compact_table(self, name: str,
+                      target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """OPTIMIZE (bin-packing compaction): rewrite a managed table
+        into ~target_file_bytes files. Streaming/trickle ingest leaves
+        thousands of small files whose per-file open/footer cost
+        dominates scans at scale; compaction restores full-bandwidth
+        scans. Returns {files_before, files_after}."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError("compact_table requires a managed table")
+
+        def _nfiles(p: str) -> int:
+            return sum(
+                1 for dp, _, fs in os.walk(p)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        before = _nfiles(t.path)
+        n = max(1, -(-self._dir_bytes(t.path) // target_file_bytes))
+        df = self.table(name).repartition(n)
+        tmp = t.path + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(t.path, ignore_errors=True)
+        os.rename(tmp, t.path)
+        self._attach_managed(name, t.path)
+        return {"files_before": before, "files_after": _nfiles(t.path)}
+
+    # ------------------------------------------------------------------
+    # Incremental rollups — persisted mergeable aggregate state
+    # (the exact algebra the reference's result_merger.cpp:12-139
+    # approximates with name heuristics and AVG-of-AVGs; SURVEY §4.3)
+    # ------------------------------------------------------------------
+    def create_incremental_rollup(
+        self,
+        name: str,
+        source_table: str,
+        group_cols: list[str],
+        specs: dict[str, tuple[str, str]],
+    ) -> None:
+        """Materialize mergeable aggregate state for ``source_table``
+        grouped by ``group_cols``. ``specs`` maps output column →
+        (fn, source_expr), fn ∈ {count,sum,min,max,avg}. Refreshing
+        with a delta costs O(|delta| + |groups|), not a rescan."""
+        from duckdb_distributed_execution_spark.operators import rollup
+
+        if name in self._rollups or self.table_exists(name):
+            raise ValueError(f"{name!r} already exists")
+        state = rollup.build_state(
+            self.table(source_table), group_cols, specs
+        )
+        path = self._managed_path(name)
+        state.coalesce(1).write.mode("overwrite").parquet(path)
+        self._attach_managed(name, path)
+        self._rollups[name] = (group_cols, specs)
+
+    def rollup_apply_delta(self, name: str, delta: DataFrame) -> None:
+        """Merge newly-arrived raw rows into the rollup: aggregate the
+        delta, union with stored state, one grouped merge on the group
+        keys. Exact for every spec fn (AVG carries sum+count)."""
+        from duckdb_distributed_execution_spark.operators import rollup
+
+        group_cols, specs = self._rollups[name]
+        new_state = rollup.merge_states(
+            self.table(name),
+            rollup.build_state(delta, group_cols, specs),
+            group_cols,
+            specs,
+        )
+        self._rewrite(name, new_state)
+
+    def rollup_read(self, name: str) -> DataFrame:
+        """Finalized user-facing aggregate values from stored state."""
+        from duckdb_distributed_execution_spark.operators import rollup
+
+        group_cols, specs = self._rollups[name]
+        return rollup.finalize(self.table(name), group_cols, specs)
 
     def merge_upsert(self, name: str, source: DataFrame, on: list[str]) -> dict:
         """MERGE INTO name USING source ON key-equality: matched target

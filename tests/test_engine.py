@@ -346,3 +346,90 @@ def test_merge_upsert_empty_source(engine, spark):
     }
     assert engine.table("mrg_e").count() == 1
     engine.drop_table("mrg_e")
+
+
+def test_compact_table(engine, spark):
+    import os
+
+    name = "compact_me"
+    engine.create_table(name, "id BIGINT, v DOUBLE")
+    # Simulate trickle ingest: append many tiny files directly to the
+    # managed path (bypassing insert_into's small-table compaction).
+    path = engine._tables[name].path
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") * 1.5).alias("v")
+        ).repartition(4).write.mode("append").parquet(path)
+    engine._attach_managed(name, path)
+    before_sum = engine.execute(
+        f"SELECT SUM(id) AS s, COUNT(*) AS c FROM {name}"
+    )[0]
+    n_before = sum(
+        1 for _, _, fs in os.walk(path)
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 20
+    out = engine.compact_table(name)
+    assert out["files_before"] == n_before
+    assert out["files_after"] <= 2
+    after_sum = engine.execute(
+        f"SELECT SUM(id) AS s, COUNT(*) AS c FROM {name}"
+    )[0]
+    assert (before_sum.s, before_sum.c) == (after_sum.s, after_sum.c)
+    engine.drop_table(name)
+
+
+def test_incremental_rollup_exact(engine, spark):
+    """Incremental state merge must equal a full recompute — including
+    AVG on deliberately skewed deltas (the reference's AVG-of-AVGs
+    hazard, result_merger.cpp:42-45, SURVEY §4.3 #1)."""
+    engine.register_testdata(SF_SMOKE)
+    base = engine.table("orders")
+    specs = {
+        "n": ("count", "o_orderkey"),
+        "cents": ("sum", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+        "avg_price": ("avg", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+    }
+    engine.create_incremental_rollup(
+        "orders_rollup", "orders", ["o_orderstatus"], specs
+    )
+    # Skewed delta: one giant order in one group, many tiny in another.
+    import datetime
+
+    d1 = datetime.datetime(1997, 1, 1)
+    delta = spark.createDataFrame(
+        [(900001, 1, "F", 9_000_000.0, d1, "1-URGENT")]
+        + [
+            (900002 + i, 2, "O", 1.0, d1, "2-HIGH")
+            for i in range(50)
+        ],
+        base.schema,
+    )
+    engine.rollup_apply_delta("orders_rollup", delta)
+
+    got = {
+        r.o_orderstatus: r
+        for r in engine.rollup_read("orders_rollup").collect()
+    }
+    from duckdb_distributed_execution_spark.operators import rollup
+
+    full = {
+        r.o_orderstatus: r
+        for r in rollup.finalize(
+            rollup.build_state(
+                base.unionByName(delta), ["o_orderstatus"], specs
+            ),
+            ["o_orderstatus"],
+            specs,
+        ).collect()
+    }
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k].n == full[k].n
+        assert got[k].cents == full[k].cents
+        assert got[k].lo == full[k].lo and got[k].hi == full[k].hi
+        # exact decimal equality — no AVG-of-AVGs drift
+        assert got[k].avg_price == full[k].avg_price
+    engine.drop_table("orders_rollup")
