@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         llm,
         nested,
+        pipeline2,
         textstats,
         tpch,
         vectors,
