@@ -375,3 +375,127 @@ def inline_values_join(spark, sf_dir):
           ON o.o_orderpriority = v.pri
         GROUP BY v.tier
     """)
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               l_returnflag || '|' ||
+               CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    AS VARCHAR)), 1, 15) AS BIGINT)) AS row_xor,
+           SUM(CAST('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1073741824) AS key_sum
+    FROM lineitem
+    """,
+)
+def table_checksum(spark, sf_dir):
+    """Order-independent table checksum: XOR and SUM of per-row
+    content hashes. THE tool for verifying a 100 TB copy/migration
+    without sorting either side — one scan per replica, commutative
+    combine, O(1) result to compare; any dropped/duplicated/mutated
+    row flips it. (The reference's failed-worker silent row drop,
+    SURVEY §4.3 #6, is exactly the corruption this detects.)"""
+    from duckdb_distributed_execution_spark.operators.dedup import hash60
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    content = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+    )
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    # Key-hash sum folds to 30 bits first: a 64-bit SUM of 60-bit
+    # hashes overflows Spark's long (DuckDB silently widens to
+    # HUGEINT); 30-bit terms keep ~2^33 rows exact in both engines.
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(hash60(content)).alias("row_xor"),
+        F.sum(hash60(key) % 1073741824).alias("key_sum"),
+    )
+
+
+@register(
+    "window_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(DISTINCT o_orderpriority)
+               OVER (PARTITION BY o_custkey) AS n_priorities
+    FROM orders
+    WHERE o_custkey % 40 = 1
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) over a window — unsupported directly in Spark
+    SQL windows, expressed as size(collect_set() OVER w): identical
+    semantics (set cardinality per partition), one shuffle on the
+    window key. State per group is the distinct set, bounded here by
+    the 5-value priority domain — the pattern to AVOID on unbounded
+    domains at scale (use approx sketches there)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.filter(F.col("o_custkey") % 40 == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("long")
+            .alias("n_priorities"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "share_of_total",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag || '/' || l_linestatus AS grp,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT grp, cents,
+           ROUND(cents * 10000 / SUM(cents) OVER (), 0) AS share_bp
+    FROM g
+    ORDER BY grp
+    """,
+)
+def share_of_total(spark, sf_dir):
+    """Share-of-total (percent-of-whole in basis points): grouped sum
+    + an empty-frame window over the 6-row aggregate — the global
+    total never touches the fact table twice. Integer basis points via
+    exact cents, so no float division drift."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    g = li.groupBy(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("grp")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    return g.select(
+        "grp",
+        "cents",
+        F.round(
+            F.col("cents") * 10000 / F.sum("cents").over(Window.partitionBy()),
+            0,
+        ).alias("share_bp"),
+    ).orderBy("grp")

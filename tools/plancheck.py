@@ -59,6 +59,9 @@ def main() -> None:
             "quality_quantile_filter",            # 1-row percentile broadcast
             "histogram_bins",                     # 1-row min/max broadcast
             "zorder_clustering",                  # 1-row bounds broadcast
+            "text_unigram_logprob",               # 1-row corpus-total broadcast
+            "hll_sketch_mergeable",               # 1-row merged-sketch + total
+
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
