@@ -163,3 +163,83 @@ def lsh_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Full IVF training: Lloyd's k-means over the embedding column.
+
+    Deterministic seeding (no RNG — reproducible on any cluster): the
+    k vectors with the smallest md5-derived hash of their id. Each
+    iteration is one distributed pass — broadcast the k centroids,
+    assign every vector (ivf_assign: broadcast join + per-vector
+    argmin), then recompute centroids with a single grouped
+    element-wise mean (posexplode → avg by (cid, pos) → rebuild
+    array). Iteration happens on the DRIVER over k×dim floats only;
+    the corpus is never collected and never shuffles on anything
+    wider than the k-valued cell id. Convergence = max centroid
+    squared-L2 shift < tol, checked on the collected k centroids
+    (k×dim values — O(KB), not data-scale).
+
+    The reference has no ANN/training surface at all; this is the
+    north-star scale path (BASELINE.json) that makes `ivf_topk`
+    self-contained: train → assign → probe within one engine.
+    """
+    from duckdb_distributed_execution_spark.operators.dedup import hash60
+
+    dim = len(corpus.select(vec_col).first()[0])
+    centroids = (
+        corpus.orderBy(hash60(F.col(id_col).cast("string")))
+        .limit(k)
+        .select(
+            F.monotonically_increasing_id().alias("__seed_ord"),
+            F.col(vec_col),
+        )
+        .drop("__seed_ord")
+        .rdd.map(lambda r: r[0])
+        .collect()
+    )
+    spark = corpus.sparkSession
+    prev = [list(map(float, c)) for c in centroids]
+
+    for _ in range(max_iter):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(prev)],
+            f"cid INT, {vec_col} ARRAY<DOUBLE>",
+        )
+        assigned = ivf_assign(corpus, cdf, id_col=id_col, vec_col=vec_col)
+        joined = corpus.join(assigned.select(id_col, "cid"), on=id_col)
+        new_rows = (
+            joined.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("v"))
+            .collect()
+        )
+        new = list(prev)
+        for r in new_rows:
+            new[r.cid] = [float(x) for x in r.v]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, nw))
+            for old, nw in zip(prev, new)
+        )
+        prev = new
+        if shift < tol:
+            break
+
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(prev)],
+        f"cid INT, {vec_col} ARRAY<DOUBLE>",
+    )

@@ -563,6 +563,22 @@ class Engine:
         max_vals = [max(int(maxes[c] or 0), 1) for c in columns]
         self._rewrite(name, zorder_rewrite(df, columns, max_vals))
 
+    def copy_to(self, query: str, path: str, fmt: str = "parquet",
+                partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+        """COPY (query) TO path (FORMAT fmt) — DuckDB's export surface,
+        realized as a distributed write (every executor writes its
+        partitions; no driver funnel). ``partition_by`` produces
+        hive-layout directories Catalyst partition-prunes on read."""
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise ValueError(f"unsupported format {fmt!r}")
+        w = self.spark.sql(query).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(path)
+
     def compact_table(self, name: str,
                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """OPTIMIZE (bin-packing compaction): rewrite a managed table

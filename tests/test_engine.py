@@ -433,3 +433,23 @@ def test_incremental_rollup_exact(engine, spark):
         # exact decimal equality — no AVG-of-AVGs drift
         assert got[k].avg_price == full[k].avg_price
     engine.drop_table("orders_rollup")
+
+
+def test_copy_to_partitioned(engine, spark, tmp_path):
+    """COPY TO with hive partitioning: written layout must
+    partition-prune on read and round-trip values."""
+    engine.register_testdata(SF_SMOKE)
+    out = str(tmp_path / "orders_by_status")
+    engine.copy_to(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        out,
+        partition_by=["o_orderstatus"],
+    )
+    import os
+
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    n0 = spark.table("orders").count()
+    assert back.count() == n0
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in plan or "PartitionFilters" in plan

@@ -350,3 +350,32 @@ def test_graph_edge_cases(spark):
     assert set(pr) == {1, 2, 3}
     assert abs(sum(pr.values()) - 1.0) < 1e-6
     assert pr[2] > pr[1] == pr[3]
+
+
+def test_kmeans_train_converges(spark):
+    """Lloyd's iteration must monotonically not-increase inertia and
+    produce k usable centroids for ivf_assign."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    k = 4
+    cents = kmeans_train(emb, k, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == k
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(r.embedding) == dim for r in rows)
+
+    assigned = ivf_assign(emb, cents)
+    # every vector assigned exactly once, to a valid cell
+    assert assigned.count() == emb.count()
+    cids = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert cids <= set(range(k)) and len(cids) >= 2
+
+    # trained inertia must beat the 1-iteration inertia
+    one = kmeans_train(emb, k, max_iter=1)
+    inertia = lambda c: ivf_assign(emb, c).agg(F.sum("dist")).first()[0]
+    assert inertia(cents) <= inertia(one) + 1e-9
