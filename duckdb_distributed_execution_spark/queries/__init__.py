@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended,
         extras,
         extras2,
+        extras3,
         joins,
         llm,
         nested,

@@ -1,0 +1,412 @@
+"""Inventory widening, round 1 continuation: URL parsing / domain
+stats (web-corpus curation), cumulative-distribution windows, salted
+shuffle joins for spiked key histograms, per-language vocabulary
+heads, n-gram containment (the asymmetric near-dup measure that
+catches quote-inclusion where Jaccard misses), seeded semantic dedup
+over embedding clusters, and second-wave array/conditional-aggregate
+function parity.
+
+Reference scope note: everything relational here is delegated-to-
+DuckDB surface in the reference (SURVEY §2.B/§2.C — it whitelists the
+plan shapes and runs them single-node); the curation operators are
+north-star greenfield per BASELINE.json. Conventions follow
+queries/__init__.py (exact decimals, rounded similarity scores,
+deterministic tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.operators import dedup as D
+from duckdb_distributed_execution_spark.operators import text as X
+from duckdb_distributed_execution_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# URL parsing / per-domain corpus stats
+# ---------------------------------------------------------------------------
+
+_URL = (
+    "'https://' || source || '.example.com/' || lang || '/' "
+    "|| CAST(doc_id AS VARCHAR) || '?sid=' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '&p=' || CAST(n_chars % 3 AS VARCHAR)"
+)
+
+
+@register(
+    "url_parse_stats",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL} AS url FROM documents),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]sid=([^&#]*)', 1) AS sid
+      FROM u)
+    SELECT host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sid) AS n_sids,
+           MIN(path) AS min_path
+    FROM parsed GROUP BY host
+    """,
+)
+def url_parse_stats(spark, sf_dir):
+    """Per-domain doc counts over parsed URLs — the first pass of any
+    web-corpus curation pipeline (domain allow/deny lists, per-host
+    caps). URLs are synthesized from columns (testdata text carries
+    none), parsed with Spark's builtin ``parse_url`` (JVM-side), and
+    the oracle re-derives the same parts with regexes. One shuffle on
+    the host key; parse stays in whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?sid="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&p="), (F.col("n_chars") % 3).cast("string"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("sid")).alias("sid"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("sid").alias("n_sids"),
+        F.min("path").alias("min_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: cumulative distribution family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pr
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_dist(spark, sf_dir):
+    """cume_dist + percent_rank over a partitioned ordered window —
+    both are rank/count ratios, so cross-engine equality is exact.
+    Partitioned by the 3-value status key: each partition sorts
+    independently (unlike the global-window queries, this shape
+    scales — no single-partition sort)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.cume_dist().over(w).alias("cd"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted shuffle join (hot-key fact⋈dim without broadcast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_join_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_join_salted(spark, sf_dir):
+    """Shuffle join with the fact side salted 8 ways and the dim side
+    replicated (operators/skew.py salted_join) — the plan for a spiked
+    join-key histogram when the dim side is too big to broadcast and
+    AQE's skew split can't help (a single key's hash bucket is
+    indivisible). The oracle is the plain join: salting must be
+    invisible in the result."""
+    from duckdb_distributed_execution_spark.operators.skew import salted_join
+
+    t = load(spark, sf_dir, "lineitem", "orders")
+    dim = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        t["lineitem"].select("l_orderkey", "l_quantity", "l_linenumber"),
+        dim,
+        on="l_orderkey",
+        salt_source="l_linenumber",
+        num_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language vocabulary heads (grouped top-k terms)
+# ---------------------------------------------------------------------------
+
+_TOK_ORACLE = (
+    r"unnest(regexp_split_to_array(" + X.oracle_normalize("text") + r", '\s+'))"
+)
+
+
+@register(
+    "tokens_per_lang_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, {_TOK_ORACLE} AS term FROM documents),
+    freq AS (
+      SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, term, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, term) AS rnk
+      FROM freq)
+    SELECT lang, term, cnt, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tokens_per_lang_topk(spark, sf_dir):
+    """Top-3 tokens per language — the grouped heavy-hitters shape
+    (per-group vocabulary heads for language-specific stopword
+    mining). explode → grouped count → per-group window top-k: the
+    window input is |vocab per lang|, not |tokens|, because the count
+    aggregation (with map-side combine) runs first."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "lang", F.explode(X.tokens(X.normalize_text("text"))).alias("term")
+    )
+    freq = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
+    return (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "term", "cnt", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram containment (asymmetric near-dup: quote/subset inclusion)
+# ---------------------------------------------------------------------------
+
+_CONT = "(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE))"
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {D.oracle_word_shingles('text', 2)} AS s
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND({_CONT}, 4) AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(a.s) > 0 AND {_CONT} >= 0.2
+    """,
+)
+def ngram_containment_pairs(spark, sf_dir):
+    """Bigram-shingle CONTAINMENT |A∩B|/|A| ≥ 0.2, language-blocked.
+    Containment is the asymmetric cousin of Jaccard: a short document
+    quoted inside a long one scores near 1.0 here but near 0 on
+    Jaccard — the measure substring-dedup pipelines block on. Same
+    blocked self-join plan as dedup_ngram_jaccard; the set sizes are
+    per-row precomputed."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    sh = d.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        D.word_shingles(F.col("text"), 2).alias("sh_a"),
+    )
+    sh_b = sh.select(
+        F.col("id_a").alias("id_b"), "lang", F.col("sh_a").alias("sh_b")
+    )
+    pairs = sh.join(sh_b, on="lang").filter(F.col("id_a") < F.col("id_b"))
+    cont = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+        / F.size(F.col("sh_a")).cast("double")
+    )
+    return (
+        pairs.filter(F.size("sh_a") > 0)
+        .select("id_a", "id_b", cont.alias("__c"))
+        .filter(F.col("__c") >= 0.2)
+        .select("id_a", "id_b", F.round("__c", 4).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded semantic dedup: cluster-assign then within-cluster cosine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_seeded",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS seed_id, e AS se FROM v ORDER BY vec_id LIMIT 8),
+    sims AS (
+      SELECT v.vec_id, s.seed_id,
+             ROUND(list_dot_product(v.e, s.se)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(s.se, s.se))), 6) AS sim
+      FROM v CROSS JOIN seeds s),
+    assigned AS (
+      SELECT vec_id, seed_id AS cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, seed_id) AS rn
+      FROM sims),
+    clustered AS (
+      SELECT a.vec_id, a.cluster, v.e
+      FROM assigned a JOIN v ON a.vec_id = v.vec_id
+      WHERE a.rn = 1)
+    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM clustered a JOIN clustered b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+)
+def semantic_dedup_seeded(spark, sf_dir):
+    """Semantic dedup, IVF-style: assign every embedding to its
+    nearest of 8 seed centroids (the k lowest vec_ids — one Lloyd
+    assignment step, deterministic), then emit within-cluster cosine
+    pairs ≥ 0.3. This is the scale path for embedding dedup: the
+    pairwise join is bounded to cluster cohorts instead of the full
+    corpus (cluster count tunes the candidate-pair budget). Seeds are
+    broadcast; assignment is argmax over 8 dot products per row —
+    rounded to 6 decimals with a seed_id tiebreak so the argmax is
+    engine-stable."""
+    from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("n"))
+    seeds = (
+        v.orderBy("vec_id").limit(8)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("se"),
+            F.col("n").alias("sn"),
+        )
+    )
+    sims = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "n",
+        "seed_id",
+        F.round(
+            dot_product(F.col("embedding"), F.col("se"))
+            / (F.col("n") * F.col("sn")),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    clustered = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding", "n")
+    )
+    a = clustered.select(
+        "cluster", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("n").alias("na"),
+    )
+    b = clustered.select(
+        "cluster", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, on="cluster").filter(F.col("id_a") < F.col("id_b"))
+    sim = dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("cluster", "id_a", "id_b", sim.alias("__s"))
+        .filter(F.col("__s") >= 0.3)
+        .select("cluster", "id_a", "id_b", F.round("__s", 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array function parity, second wave
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs2",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             range(0, n_nationkey % 5 + 3) AS arr
+      FROM nation)
+    SELECT k,
+           list_sort(list_distinct(list_concat(arr, [1, 3]))) AS dedup_sorted,
+           COALESCE(CAST(list_position(arr, 2) AS BIGINT), 0) AS pos2,
+           list_filter(arr, x -> x <> 1) AS removed1,
+           flatten([arr, [99]]) AS flat,
+           list_reverse(arr) AS rev
+    FROM t
+    """,
+)
+def array_funcs2(spark, sf_dir):
+    """Second-wave array function parity: distinct/position/remove/
+    flatten/reverse (first wave: array_ops, array_set_ops,
+    higher_order_array_funcs). Spark array_position returns 0 for
+    missing (DuckDB NULL → COALESCE 0); distinct results are sorted
+    on both sides because neither engine contracts an order."""
+    n = load(spark, sf_dir, "nation")["nation"]
+    arr = F.sequence(F.lit(0), (F.col("n_nationkey") % 5 + 2).cast("int"))
+    return n.select(
+        F.col("n_nationkey").alias("k"),
+        F.array_sort(
+            F.array_distinct(F.concat(arr, F.array(F.lit(1), F.lit(3))))
+        ).alias("dedup_sorted"),
+        F.array_position(arr, 2).alias("pos2"),
+        F.array_remove(arr, 1).alias("removed1"),
+        F.flatten(F.array(arr, F.array(F.lit(99)))).alias("flat"),
+        F.reverse(arr).alias("rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregates: count_if / any / every
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_if_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_discount > 0.05) AS n_discounted,
+           count_if(l_quantity >= 25 AND l_tax > 0.03) AS n_big_taxed,
+           CAST(bool_or(l_discount > 0.09) AS BOOLEAN) AS any_deep,
+           CAST(bool_and(l_quantity > 0) AS BOOLEAN) AS all_positive
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_if_agg(spark, sf_dir):
+    """count_if + any/every conditional aggregates per group — the
+    predicate-counting shape quality-gate dashboards run; partial
+    aggregation keeps the shuffle at |groups|."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(
+            (F.col("l_quantity") >= 25) & (F.col("l_tax") > 0.03)
+        ).alias("n_big_taxed"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+    )

@@ -71,6 +71,11 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     fetching TIMESTAMP_NS."""
     from pyspark.sql import functions as F
 
+    # Naive parquet timestamps (isAdjustedToUTC=false) must surface as
+    # TimestampType, not TIMESTAMP_NTZ: the session runs in UTC so the
+    # values are identical, NTZ forbids epoch casts (CAST AS BIGINT),
+    # and DuckDB's naive timestamps then compare bit-for-bit.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos_cols = _nanos_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)

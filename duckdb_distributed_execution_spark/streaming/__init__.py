@@ -18,34 +18,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # TIMESTAMP(NANOS) parquet must be read as long (Spark has
+            # no nanosecond timestamps); µs parquet reads natively.
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts → micros,
-    same truncation as the batch path in queries/__init__.py).
+    """File-source stream over the events parquet. The footer is
+    probed for the ts physical type (same as the batch path in
+    sources/): TIMESTAMP(NANOS) → nanos-as-long then floored to
+    micros, the truncation DuckDB applies; TIMESTAMP(MICROS) reads
+    natively.
 
     ``path`` may be the parquet file itself or its directory — the
     file source requires a directory, so a file path becomes
     (dirname, pathGlobFilter=basename)."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    from duckdb_distributed_execution_spark.sources import _nanos_columns
+
+    ts_is_nanos = "ts" in _nanos_columns(path)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_schema(ts_is_nanos))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
 
 
 def windowed_event_counts(

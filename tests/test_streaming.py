@@ -134,7 +134,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from duckdb_distributed_execution_spark.streaming import (
-        EVENTS_SCHEMA,
+        _events_schema,
         windowed_event_counts,
     )
 
@@ -167,7 +167,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         # (the memory sink does not), so run 2 resumes the watermark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(_events_schema(True))
             .parquet(str(src))
             .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
