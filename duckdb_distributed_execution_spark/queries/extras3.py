@@ -410,3 +410,210 @@ def count_if_agg(spark, sf_dir):
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING() flags over grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_id_flags",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_id_flags(spark, sf_dir):
+    """GROUPING() marker columns over grouping sets — the flags that
+    let a consumer tell a real NULL group key from a rolled-up row
+    (the reference never exercises grouping sets at all; SURVEY §2.B
+    lists them as delegated surface). Same partial-agg shuffle as a
+    plain GROUP BY, expanded per set."""
+    load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Struct build / field access / group-by-nested-field
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "struct_ops",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             struct_pack(l := lang, b := n_chars % 10) AS meta
+      FROM documents)
+    SELECT meta.l AS lang, COUNT(*) AS n,
+           MIN(meta.b) AS min_bucket, MAX(meta.b) AS max_bucket,
+           COUNT(DISTINCT meta.b) AS n_buckets
+    FROM s GROUP BY meta.l
+    """,
+)
+def struct_ops(spark, sf_dir):
+    """STRUCT build + nested-field access + group-by-nested-field.
+    The reference explicitly does NOT support STRUCT over the wire
+    (arrow_utils.cpp:499-502 falls back to VARCHAR; SURVEY §1.2) —
+    Spark supports it natively, so this is deliberate superset
+    surface. Output columns are scalars (field extractions), keeping
+    the cross-engine canonical form trivial."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    s = d.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("l"), (F.col("n_chars") % 10).alias("b")
+        ).alias("meta"),
+    )
+    return s.groupBy(F.col("meta.l").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("meta.b").alias("min_bucket"),
+        F.max("meta.b").alias("max_bucket"),
+        F.countDistinct("meta.b").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar bitwise operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bit_ops_scalar",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 4096 AS b_or,
+           xor(l_orderkey, l_partkey) AS b_xor,
+           l_linenumber << 3 AS b_shl,
+           l_orderkey >> 2 AS b_shr,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0 AND l_linenumber = 1
+    """,
+)
+def bit_ops_scalar(spark, sf_dir):
+    """Scalar bitwise surface: AND/OR/XOR/shifts/popcount on BIGINT
+    keys — the hash/partition-key algebra every salting and bucketing
+    scheme builds on. Pure codegen'd row expressions; the filter is
+    pushed to the scan."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    k = F.col("l_orderkey")
+    return (
+        li.filter((k % 97 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            "l_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("b_and"),
+            k.bitwiseOR(F.lit(4096)).alias("b_or"),
+            k.bitwiseXOR(F.col("l_partkey")).alias("b_xor"),
+            F.shiftleft(F.col("l_linenumber"), 3).cast("long").alias("b_shl"),
+            F.shiftright(k, 2).alias("b_shr"),
+            F.bit_count(k).cast("long").alias("popcnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String padding / repetition / C-style formatting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_pad_format",
+    oracle="""
+    SELECT n_nationkey AS k,
+           lpad(n_name, 15, '*') AS padded_l,
+           rpad(n_name, 15, '-') AS padded_r,
+           repeat(n_name, 2) AS doubled,
+           translate(n_name, 'AEIOU', 'aeiou') AS xlated,
+           printf('%s|%05d|%.3f', n_name, n_nationkey,
+                  CAST(n_nationkey AS DOUBLE) / 7) AS formatted
+    FROM nation
+    """,
+)
+def string_pad_format(spark, sf_dir):
+    """String padding/repeat/translate + C-style formatting
+    (format_string ≡ printf — both delegate to the same %-spec
+    semantics). Completes the string surface beyond
+    string_funcs/string_funcs_extended."""
+    n = load(spark, sf_dir, "nation")["nation"]
+    return n.select(
+        F.col("n_nationkey").alias("k"),
+        F.lpad("n_name", 15, "*").alias("padded_l"),
+        F.rpad("n_name", 15, "-").alias("padded_r"),
+        F.repeat("n_name", 2).alias("doubled"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("xlated"),
+        F.format_string(
+            "%s|%05d|%.3f",
+            F.col("n_name"),
+            F.col("n_nationkey"),
+            F.col("n_nationkey").cast("double") / 7,
+        ).alias("formatted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (benchmark proximity screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bench AS (SELECT vec_id, e FROM v WHERE vec_id % 17 = 0),
+    corpus AS (SELECT vec_id, e FROM v WHERE vec_id % 17 <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             MAX(list_dot_product(c.e, b.e)
+                 / (sqrt(list_dot_product(c.e, c.e))
+                    * sqrt(list_dot_product(b.e, b.e)))) AS m
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id)
+    SELECT vec_id, ROUND(m, 4) AS max_sim,
+           m >= 0.3 AS contaminated
+    FROM scored
+    """,
+)
+def contamination_embedding_cosine(spark, sf_dir):
+    """Embedding-space decontamination: every corpus vector scored by
+    its max cosine against a benchmark set (here the vec_id%17 slice
+    standing in for an eval set's embeddings) — the semantic twin of
+    contamination_ngram_overlap. Scale shape: benchmark broadcasts,
+    corpus never shuffles; per-row cost is |bench| dot products in
+    codegen."""
+    from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    v = e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("n"))
+    bench = v.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("embedding").alias("be"), F.col("n").alias("bn")
+    )
+    corpus = v.filter(F.col("vec_id") % 17 != 0)
+    sims = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        (dot_product(F.col("embedding"), F.col("be"))
+         / (F.col("n") * F.col("bn"))).alias("sim"),
+    )
+    mx = sims.groupBy("vec_id").agg(F.max("sim").alias("m"))
+    return mx.select(
+        "vec_id",
+        F.round("m", 4).alias("max_sim"),
+        (F.col("m") >= 0.3).alias("contaminated"),
+    )
