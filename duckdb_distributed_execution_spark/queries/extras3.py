@@ -121,6 +121,7 @@ def window_cume_dist(spark, sf_dir):
 
 @register(
     "skew_join_salted",
+    headline=True,
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
@@ -166,6 +167,7 @@ _TOK_ORACLE = (
 
 @register(
     "tokens_per_lang_topk",
+    headline=True,
     oracle=f"""
     WITH tok AS (
       SELECT lang, {_TOK_ORACLE} AS term FROM documents),
@@ -254,6 +256,7 @@ def ngram_containment_pairs(spark, sf_dir):
 
 @register(
     "semantic_dedup_seeded",
+    headline=True,
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (
@@ -616,4 +619,206 @@ def contamination_embedding_cosine(spark, sf_dir):
         "vec_id",
         F.round("m", 4).alias("max_sim"),
         (F.col("m") >= 0.3).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE / ILIKE pattern matching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "like_patterns",
+    oracle="""
+    SELECT p_partkey,
+           p_name LIKE '%widget%' AS has_widget,
+           p_name LIKE 'r_d%' AS r_blank_d,
+           p_name NOT LIKE '%bolt' AS not_bolt,
+           p_type ILIKE 'econ%' AS econ_ci,
+           CAST(p_name LIKE '%e%' AND p_type LIKE 'S%' AS BOOLEAN) AS combo
+    FROM part
+    WHERE p_partkey % 13 = 0
+    """,
+)
+def like_patterns(spark, sf_dir):
+    """LIKE family parity: %, _ wildcards, NOT LIKE, case-insensitive
+    ILIKE, and conjunctions — the predicate surface every registered-
+    table filter passes through (reference delegates these to DuckDB;
+    SURVEY §2.C). All are codegen'd string matches; the leading-
+    wildcard forms can't use zone maps, the prefix forms can."""
+    p = load(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(F.col("p_partkey") % 13 == 0)
+        .select(
+            "p_partkey",
+            F.col("p_name").like("%widget%").alias("has_widget"),
+            F.col("p_name").like("r_d%").alias("r_blank_d"),
+            (~F.col("p_name").like("%bolt")).alias("not_bolt"),
+            F.col("p_type").ilike("econ%").alias("econ_ci"),
+            (F.col("p_name").like("%e%") & F.col("p_type").like("S%")).alias(
+                "combo"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-part extraction (dow/doy/week/epoch alignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_part_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(isodow(ts) AS BIGINT) AS isodow,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(week(ts) AS BIGINT) AS iso_week,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    WHERE event_id % 101 = 0
+    """,
+)
+def date_part_extract(spark, sf_dir):
+    """Date-part extraction with the cross-engine alignment spelled
+    out: DuckDB dayofweek is Sunday=0 (Spark's is Sunday=1 → −1),
+    isodow is Monday=1 (Spark weekday() is Monday=0 → +1), week is
+    ISO (= Spark weekofyear), epoch is seconds (= timestamp cast to
+    long under a UTC session)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.filter(F.col("event_id") % 101 == 0)
+        .select(
+            "event_id",
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            (F.weekday("ts") + 1).cast("long").alias("isodow"),
+            F.dayofyear("ts").cast("long").alias("doy"),
+            F.weekofyear("ts").cast("long").alias("iso_week"),
+            F.hour("ts").cast("long").alias("hr"),
+            F.minute("ts").cast("long").alias("mi"),
+            F.col("ts").cast("long").alias("epoch_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval: query vectors → top-k similar docs → metadata join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rag_retrieval_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 31 = 0),
+    sims AS (
+      SELECT q.qid, v.vec_id AS nid,
+             list_dot_product(q.qe, v.e)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(v.e, v.e))) AS s
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, nid, s,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY ROUND(s, 6) DESC, nid) AS rnk
+      FROM sims)
+    SELECT r.qid AS query_id, r.rnk AS rnk, r.nid AS neighbor_id,
+           ROUND(r.s, 4) AS sim, d.lang, d.n_chars
+    FROM ranked r JOIN documents d ON r.nid = d.doc_id
+    WHERE r.rnk <= 3
+    """,
+)
+def rag_retrieval_topk(spark, sf_dir):
+    """End-to-end retrieval: a query-vector slice scores the corpus
+    (broadcast queries — the corpus never shuffles), per-query top-3
+    by cosine (rounded-sim rank with id tiebreak, engine-stable),
+    then the hits join document metadata on doc_id = vec_id. This is
+    the RAG serving plan: ANN scoring + a dimension join, with the
+    ranking window keyed per query."""
+    from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+
+    t = load(spark, sf_dir, "embeddings", "documents")
+    v = t["embeddings"].select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("n")
+    )
+    q = v.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n").alias("qn"),
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (dot_product(F.col("qe"), F.col("embedding"))
+             / (F.col("qn") * F.col("n"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("s", 6)), "nid")
+    hits = sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    return hits.join(d, hits.nid == d.doc_id).select(
+        F.col("qid").alias("query_id"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("nid").alias("neighbor_id"),
+        F.round("s", 4).alias("sim"),
+        "lang",
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (bounded staleness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL '30 minutes'
+                THEN c.value END AS last_click_value,
+           CASE WHEN p.ts - c.ts <= INTERVAL '30 minutes'
+                THEN c.ts END AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with bounded staleness: the most recent click at or
+    before each purchase counts only if it is ≤ 30 minutes old —
+    pandas merge_asof's ``tolerance``, which DuckDB's ASOF JOIN lacks
+    (expressed in the oracle as a post-join gap filter). Same
+    single-shuffle union+window plan; the tolerance is a row-local
+    predicate on the filled columns."""
+    from duckdb_distributed_execution_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["last_click_value"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return joined.select(
+        "event_id", "user_id", "last_click_value",
+        F.col("asof_ts").alias("asof_ts"),
     )

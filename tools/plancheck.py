@@ -61,6 +61,8 @@ def main() -> None:
             "zorder_clustering",                  # 1-row bounds broadcast
             "text_unigram_logprob",               # 1-row corpus-total broadcast
             "hll_sketch_mergeable",               # 1-row merged-sketch + total
+            "semantic_dedup_seeded",              # 8-seed broadcast × corpus
+            "contamination_embedding_cosine",     # benchmark-slice broadcast
 
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
