@@ -1,0 +1,64 @@
+"""Stable global row ids — the Spark-native replacement for the
+reference's ``rowid`` virtual column.
+
+The reference's partitioner injects ``rowid BETWEEN a AND b`` /
+``rowid % N`` predicates into task SQL (task_partitioner.cpp:86-88,
+122-124, 148-149) and its correctness rests on rowid density
+(SURVEY §4.3 #4). Spark has no stable rowid:
+``monotonically_increasing_id()`` encodes partition ids (gaps, not
+reproducible across layouts), and a global ``row_number()`` window
+funnels every row through ONE partition — a non-starter at scale.
+
+``assign_stable_row_ids`` is the scalable two-pass form:
+
+1. range-repartition on the order key (a shuffle Spark plans with
+   range sampling), sort within partitions;
+2. count rows per partition (tiny driver-side collect: one long per
+   partition), prefix-sum the counts into per-partition offsets;
+3. id = offset[partition] + (within-partition row_number − 1).
+
+The result equals the single-window ``row_number() OVER (ORDER BY
+key) − 1`` exactly, but no stage ever sees more than one partition's
+rows. Requires a total order (unique key or tiebreak columns) to be
+deterministic — same contract the reference silently assumes of
+rowid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_stable_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based ids in ``order_cols`` order, distributed via
+    range partitioning + per-partition offsets (no global window)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # One row per partition — bounded by the partition count, never
+    # by the data size.
+    counts = (
+        with_pid.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid INT, __off LONG"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offset_df), on="__pid")
+        .withColumn(
+            id_col, F.col("__off") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("__pid", "__off")
+    )

@@ -822,3 +822,35 @@ def join_asof_tolerance(spark, sf_dir):
         "event_id", "user_id", "last_click_value",
         F.col("asof_ts").alias("asof_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stable global row ids (the reference's rowid, distributed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stable_row_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def stable_row_ids(spark, sf_dir):
+    """Dense 0-based global row ids in key order — the engine's
+    answer to the reference's rowid virtual column (its partitioner
+    injects rowid range/modulo predicates, task_partitioner.cpp:86-149,
+    and its correctness rests on rowid density, SURVEY §4.3 #4).
+    operators/rowid.py assigns ids with range partitioning +
+    per-partition offsets: equal to the global-window row_number but
+    no single-partition funnel."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        assign_stable_row_ids,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    out = assign_stable_row_ids(
+        d.select("doc_id"), ["doc_id"], num_partitions=8
+    )
+    return out.select("doc_id", F.col("row_id").cast("long"))

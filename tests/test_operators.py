@@ -379,3 +379,19 @@ def test_kmeans_train_converges(spark):
     one = kmeans_train(emb, k, max_iter=1)
     inertia = lambda c: ivf_assign(emb, c).agg(F.sum("dist")).first()[0]
     assert inertia(cents) <= inertia(one) + 1e-9
+
+
+def test_stable_row_ids_multi_partition(spark):
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        assign_stable_row_ids,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "k", (F.lit(999) - F.col("id"))  # reverse order key
+    ).repartition(7)
+    out = assign_stable_row_ids(df, ["k"], num_partitions=5)
+    rows = {r.k: r.row_id for r in out.collect()}
+    assert len(rows) == 1000
+    # id must equal rank of k in ascending order, regardless of the
+    # input layout
+    assert all(rows[k] == k for k in (0, 1, 499, 998, 999))
