@@ -8,6 +8,8 @@ and whole-stage codegen covers the hot path."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from duckdb_distributed_execution_spark.plans import (
     scan_read_schema,
     summarize,
@@ -152,6 +154,46 @@ def test_aqe_skew_join_split(spark, tmp_path):
         assert len(joined.collect()) == 200_000
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_pruning(spark):
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    injects a bloom filter (bloom_filter_agg → might_contain) into
+    the fact scan, cutting shuffled fact rows before the join — at
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling only rows that can possibly match. Thresholds
+    are lowered because the testdata is far below the production
+    defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert j.collect()[0]["count"] > 0
     finally:
         for k, v in old.items():
             if v is None:

@@ -102,3 +102,83 @@ def test_asof_join_matches_reference(spark, left, right):
             assert got[lid] == (None, None)
         else:
             assert got[lid] == best
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    nparts=st.integers(min_value=1, max_value=6),
+    idparts=st.integers(min_value=1, max_value=6),
+)
+def test_stable_row_ids_any_layout(spark, n, nparts, idparts):
+    """row ids equal the rank of the order key for ANY input layout
+    and ANY target partition count — the density/stability contract
+    the reference silently assumes of rowid (SURVEY §4.3 #4)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        assign_stable_row_ids,
+    )
+
+    if n == 0:
+        return
+    df = (
+        spark.range(0, n)
+        .withColumn("k", F.lit(n - 1) - F.col("id"))
+        .repartition(nparts)
+    )
+    out = assign_stable_row_ids(df, ["k"], num_partitions=idparts)
+    got = {r.k: r.row_id for r in out.collect()}
+    assert got == {k: k for k in range(n)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+        min_size=1, max_size=80,
+    ),
+    salts=st.integers(min_value=1, max_value=8),
+)
+def test_salted_aggregate_equals_plain(spark, rows, salts):
+    """Two-phase salted aggregation is invisible in the result for
+    any key histogram and salt count."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    df = spark.createDataFrame(rows, "k INT, v INT")
+    plain = {
+        (r.k): (r.cnt, r.total, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.cnt, r.total, r.mx)
+        for r in salted_aggregate(
+            df,
+            key="k",
+            salt_source="v",
+            partials={
+                "cnt": lambda: F.count(F.lit(1)),
+                "total": lambda: F.sum("v"),
+                "mx": lambda: F.max("v"),
+            },
+            finals={
+                "cnt": lambda p: F.sum(p).cast("long"),
+                "total": lambda p: F.sum(p),
+                "mx": lambda p: F.max(p),
+            },
+            num_salts=salts,
+        ).collect()
+    }
+    assert salted == plain
