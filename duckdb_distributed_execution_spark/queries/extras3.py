@@ -854,3 +854,240 @@ def stable_row_ids(spark, sf_dir):
         d.select("doc_id"), ["doc_id"], num_partitions=8
     )
     return out.select("doc_id", F.col("row_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series linear interpolation over resampled gaps
+# ---------------------------------------------------------------------------
+
+_INTERP_AGG = """
+    grid AS (
+      SELECT CAST(h AS TIMESTAMP) AS hour_start, t.event_type
+      FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08',
+                 INTERVAL 1 HOUR) AS g(h)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             (SUM(CAST(round(value * 1000000.0) AS BIGINT)) / 1000000.0)
+               AS sv
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        AND event_type IN ('purchase', 'signup')
+      GROUP BY 1, 2),
+    base AS (
+      SELECT g.hour_start, g.event_type, a.sv,
+             CAST(floor(epoch(g.hour_start)) AS BIGINT) / 3600 AS eh
+      FROM grid g LEFT JOIN agg a
+        ON g.hour_start = a.hour_start AND g.event_type = a.event_type
+      WHERE g.event_type IN ('purchase', 'signup'))
+"""
+
+
+@register(
+    "interpolate_linear",
+    oracle=f"""
+    WITH {_INTERP_AGG},
+    filled AS (
+      SELECT hour_start, event_type, sv, eh,
+             last_value(sv IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN sv IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER wp AS pe,
+             first_value(sv IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN sv IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER wn AS ne
+      FROM base
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hour_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY hour_start
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT hour_start, event_type,
+           CASE WHEN sv IS NOT NULL THEN 'actual'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src,
+           ROUND(CASE
+             WHEN sv IS NOT NULL THEN sv
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(eh - pe AS DOUBLE)
+                                 / CAST(ne - pe AS DOUBLE))
+           END, 6) AS value
+    FROM filled
+    """,
+)
+def interpolate_linear(spark, sf_dir):
+    """Linear interpolation of missing resample buckets: empty hours
+    get pv + (nv−pv)·Δt/ΔT between the nearest populated hours, edges
+    stay NULL — the standard time-series repair between gap-fill
+    (resample_gap_fill: zeros) and LOCF (window_ignore_nulls). One
+    shuffle on the series key; both neighbor scans are frames of the
+    same sort."""
+    from duckdb_distributed_execution_spark.functions import exact_sum
+
+    ev = load(spark, sf_dir, "events")["events"]
+    types = ("purchase", "signup")
+    grid = (
+        ev.select("event_type").distinct()
+        .filter(F.col("event_type").isin(*types))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-07 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour_start"),
+        )
+    )
+    agg = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+            & F.col("event_type").isin(*types)
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(exact_sum("value").alias("sv"))
+    )
+    base = grid.join(agg, on=["hour_start", "event_type"], how="left").select(
+        "hour_start", "event_type", "sv",
+        (F.col("hour_start").cast("long") / 3600).cast("long").alias("eh"),
+    )
+    wp = (
+        Window.partitionBy("event_type").orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type").orderBy("hour_start")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("sv").isNotNull(), F.col("eh"))
+    filled = base.select(
+        "hour_start", "event_type", "sv", "eh",
+        F.last("sv", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked, ignorenulls=True).over(wp).alias("pe"),
+        F.first("sv", ignorenulls=True).over(wn).alias("nv"),
+        F.first(marked, ignorenulls=True).over(wn).alias("ne"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("eh") - F.col("pe")).cast("double")
+        / (F.col("ne") - F.col("pe")).cast("double")
+    )
+    return filled.select(
+        "hour_start",
+        "event_type",
+        F.when(F.col("sv").isNotNull(), F.lit("actual"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge")).alias("src"),
+        F.round(
+            F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(interp), 6
+        ).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving median (robust rolling smoother)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+      FROM events
+      WHERE user_id % 59 = 0)
+    SELECT event_id, user_id,
+           ROUND((arr[(len(arr) + 1) // 2]
+                  + arr[len(arr) // 2 + 1]) / 2.0, 6) AS moving_median
+    FROM b
+    """,
+)
+def window_moving_median(spark, sf_dir):
+    """Rolling 5-event median per user — the robust smoother (moving
+    avg is outlier-sensitive; telemetry pipelines roll medians).
+    Spark forbids median() with a window frame, so the operator is
+    collect_list over the frame → sort → midpoint pick, mirrored
+    exactly in the oracle; the frame is O(5) values so the per-row
+    sort is constant work."""
+    ev = load(spark, sf_dir, "events")["events"].filter(
+        F.col("user_id") % 59 == 0
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("moving_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAP explode (map → key/value rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_explode_entries",
+    oracle="""
+    WITH m AS (
+      SELECT r_regionkey,
+             MAP {'name': r_name, 'initial': left(r_name, 1)} AS props
+      FROM region)
+    SELECT r_regionkey, u.key AS key, u.value AS val
+    FROM m, unnest(map_entries(props)) AS t(u)
+    """,
+)
+def map_explode_entries(spark, sf_dir):
+    """MAP column exploded to key/value rows (the inverse of
+    map_from_entries in map_ops_agg). The reference cannot ship MAP at
+    all (arrow_utils.cpp:499-502 → VARCHAR fallback); Spark explodes
+    maps natively into (key, value) pairs."""
+    r = load(spark, sf_dir, "region")["region"]
+    m = r.select(
+        "r_regionkey",
+        F.create_map(
+            F.lit("name"), F.col("r_name"),
+            F.lit("initial"), F.substring("r_name", 1, 1),
+        ).alias("props"),
+    )
+    return m.select(
+        "r_regionkey", F.explode("props").alias("key", "val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULLS FIRST/LAST ordering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_nulls_explicit",
+    oracle="""
+    SELECT event_id, nullif(user_id % 7, 3) AS k
+    FROM events
+    WHERE event_id % 211 = 0
+    ORDER BY k ASC NULLS FIRST, event_id DESC NULLS LAST
+    LIMIT 40
+    """,
+)
+def order_nulls_explicit(spark, sf_dir):
+    """Explicit NULLS FIRST/LAST on a distributed sort — a real
+    cross-engine trap (Spark's ASC default is NULLS FIRST, DuckDB's
+    is NULLS LAST), so portable plans must spell placement out. The
+    limited sort compiles to TakeOrderedAndProject: per-partition
+    top-k, then a k-row merge — never a global sort."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.filter(F.col("event_id") % 211 == 0)
+        .select("event_id", F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k"))
+        .orderBy(F.col("k").asc_nulls_first(), F.col("event_id").desc_nulls_last())
+        .limit(40)
+    )
