@@ -1091,3 +1091,87 @@ def order_nulls_explicit(spark, sf_dir):
         .orderBy(F.col("k").asc_nulls_first(), F.col("event_id").desc_nulls_last())
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# arrays_zip + explode (pairwise array alignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrays_zip_explode",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey AS k,
+             range(0, n_nationkey % 4 + 2) AS a,
+             list_transform(range(0, n_nationkey % 4 + 2),
+                            x -> x * x) AS b
+      FROM nation),
+    z AS (
+      SELECT k, unnest(list_zip(a, b)) AS pair FROM t)
+    SELECT k,
+           CAST(pair[1] AS BIGINT) AS x,
+           CAST(pair[2] AS BIGINT) AS xsq
+    FROM z
+    """,
+)
+def arrays_zip_explode(spark, sf_dir):
+    """arrays_zip + explode: align two per-row arrays positionally
+    and unnest the pairs to rows (Spark arrays_zip ≡ DuckDB
+    list_zip; both null-pad the shorter side). Output is the
+    extracted scalar pair, keeping the canonical form engine-neutral."""
+    n = load(spark, sf_dir, "nation")["nation"]
+    arr = F.sequence(F.lit(0), (F.col("n_nationkey") % 4 + 1).cast("int"))
+    t = n.select(
+        F.col("n_nationkey").alias("k"),
+        arr.alias("a"),
+        F.transform(arr, lambda x: x * x).alias("b"),
+    )
+    z = t.select("k", F.explode(F.arrays_zip("a", "b")).alias("pair"))
+    return z.select(
+        "k",
+        F.col("pair.a").cast("long").alias("x"),
+        F.col("pair.b").cast("long").alias("xsq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric RANGE window frame (value-based running aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_numeric_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_custkey,
+           COUNT(*) OVER w AS n_within_1000,
+           SUM(CAST(o_custkey AS BIGINT)) OVER w AS cust_within_1000
+    FROM orders
+    WHERE o_custkey % 83 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_numeric_range_frame(spark, sf_dir):
+    """Value-based RANGE frame on a numeric ordering (all peers
+    within 1000 of the current key) — distinct from ROWS frames
+    (window_moving_avg) and from the epoch-seconds time frame
+    (window_time_range_sum): the frame edge is a data value, so peer
+    rows with equal keys share results."""
+    o = load(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_custkey") % 83 == 0
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_custkey")
+        .rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_within_1000"),
+        F.sum(F.col("o_custkey").cast("bigint")).over(w).alias(
+            "cust_within_1000"
+        ),
+    )
