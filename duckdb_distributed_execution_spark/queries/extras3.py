@@ -1175,3 +1175,77 @@ def window_numeric_range_frame(spark, sf_dir):
             "cust_within_1000"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash / encoding scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_encode_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           to_base64(encode(left(text, 12))) AS b64,
+           ascii(source) AS first_code,
+           chr(CAST(65 + doc_id % 26 AS INTEGER)) AS letter,
+           lower(to_hex(doc_id)) AS key_hex
+    FROM documents
+    WHERE doc_id % 23 = 0
+    """,
+)
+def hash_encode_funcs(spark, sf_dir):
+    """Content-hash and encoding scalars: md5/sha256 (the dedup and
+    cache-key workhorses), base64, ascii/chr, hex. All JVM-side
+    codegen; DuckDB sha-1 doesn't exist so the common subset is
+    covered (sha2-256 ≡ sha256)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.filter(F.col("doc_id") % 23 == 0)
+        .select(
+            "doc_id",
+            F.md5("text").alias("h_md5"),
+            F.sha2("text", 256).alias("h_sha256"),
+            F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+            F.ascii("source").alias("first_code"),
+            F.chr(F.lit(65) + F.col("doc_id") % 26).alias("letter"),
+            F.lower(F.hex("doc_id")).alias("key_hex"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp format → parse round trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timestamp_parse_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y/%m/%d %H:%M') AS formatted,
+           CAST(strptime(strftime(ts, '%Y/%m/%d %H:%M'),
+                         '%Y/%m/%d %H:%M') AS TIMESTAMP) AS reparsed
+    FROM events
+    WHERE event_id % 173 = 0
+    """,
+)
+def timestamp_parse_format(spark, sf_dir):
+    """Timestamp → string → timestamp round trip through explicit
+    format patterns (Spark SimpleDateFormat-style 'yyyy/MM/dd HH:mm'
+    ≡ DuckDB strftime '%Y/%m/%d %H:%M') — the log-ingest path where
+    timestamps arrive as formatted text. The reparse drops seconds:
+    a deliberate truncation both engines must agree on."""
+    ev = load(spark, sf_dir, "events")["events"]
+    fmt = "yyyy/MM/dd HH:mm"
+    formatted = F.date_format("ts", fmt)
+    return (
+        ev.filter(F.col("event_id") % 173 == 0)
+        .select(
+            "event_id",
+            formatted.alias("formatted"),
+            F.to_timestamp(formatted, fmt).alias("reparsed"),
+        )
+    )
