@@ -1,0 +1,257 @@
+"""DuckDB-dialect SQL shim — run (a documented subset of) DuckDB
+SQL unchanged on Spark.
+
+The reference's users write DuckDB SQL against registered tables; the
+server strips the catalog prefix and forwards the text
+(``SanitizeQuery``, src/utils/catalog_utils.cpp:12-21). Spark SQL
+already accepts most of that surface verbatim (Spark 4: ``SELECT *
+EXCEPT``, ``GROUP BY ALL``, ``ILIKE``, ``LIMIT/OFFSET``, ``x div y``)
+— this module source-rewrites the remaining syntactic deltas:
+
+=====================  ==========================================
+DuckDB                 rewritten to
+=====================  ==========================================
+``expr::TYPE``         ``CAST(expr AS TYPE)``
+``a // b``             ``a div b`` (integer division)
+``SELECT * EXCLUDE``   ``SELECT * EXCEPT``
+``QUALIFY <pred>``     outer-query filter on a helper column
+``dh.tbl``             ``tbl`` (catalog prefix strip, like
+                       SanitizeQuery)
+type aliases           VARCHAR/TEXT→STRING, BLOB→BINARY,
+                       HUGEINT→DECIMAL(38,0), unsigned widening
+                       (§1.2 of SURVEY.md), INT1/2/4/8, FLOAT4/8
+function renames       list_value→array, list_contains→
+                       array_contains, list_distinct→array_distinct,
+                       list_sort→array_sort, regexp_split_to_array→
+                       split, quantile_cont→percentile
+=====================  ==========================================
+
+All rewriting is token-aware (string literals, quoted identifiers and
+comments are never touched). Anything outside the table above is
+passed through for Spark to parse — unsupported DuckDB constructs
+fail loudly at parse time rather than silently changing meaning.
+"""
+
+from __future__ import annotations
+
+import re
+
+# DuckDB type name → Spark SQL type name (SURVEY §1.2 widening rules).
+TYPE_ALIASES = {
+    "varchar": "STRING",
+    "text": "STRING",
+    "bpchar": "STRING",
+    "blob": "BINARY",
+    "bytea": "BINARY",
+    "bool": "BOOLEAN",
+    "logical": "BOOLEAN",
+    "int1": "TINYINT",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "signed": "INT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "real": "FLOAT",
+    "utinyint": "SMALLINT",
+    "usmallint": "INT",
+    "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)",
+    "hugeint": "DECIMAL(38,0)",
+    "uhugeint": "DECIMAL(38,0)",
+}
+
+FUNCTION_RENAMES = {
+    "list_value": "array",
+    "list_pack": "array",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_sort": "array_sort",
+    "list_reverse": "reverse",
+    "regexp_split_to_array": "split",
+    "str_split_regex": "split",
+    "quantile_cont": "percentile",
+    "stddev_pop": "stddev_pop",  # identity; documents the audited set
+}
+
+_CAST_TARGET = r"[A-Za-z_][A-Za-z_0-9]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+
+
+def _split_tokens(sql: str) -> list[tuple[str, str]]:
+    """Split into (kind, text) spans where kind is 'code', 'str'
+    (single-quoted literal), 'qid' (double-quoted identifier or
+    backtick identifier) or 'comment'. Rewrites only apply to 'code'
+    spans."""
+    spans: list[tuple[str, str]] = []
+    i, n = 0, len(sql)
+    buf = []
+
+    def flush():
+        if buf:
+            spans.append(("code", "".join(buf)))
+            buf.clear()
+
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            flush()
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            spans.append(("str", sql[i : j + 1]))
+            i = j + 1
+        elif c == '"' or c == "`":
+            flush()
+            j = sql.find(c, i + 1)
+            j = n - 1 if j == -1 else j
+            spans.append(("qid", sql[i : j + 1]))
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            flush()
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            spans.append(("comment", sql[i:j]))
+            i = j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            flush()
+            j = sql.find("*/", i)
+            j = n - 2 if j == -1 else j
+            spans.append(("comment", sql[i : j + 2]))
+            i = j + 2
+        else:
+            buf.append(c)
+            i += 1
+    flush()
+    return spans
+
+
+def _rewrite_code(code: str, catalog: str | None) -> str:
+    if catalog:
+        code = re.sub(
+            rf"\b{re.escape(catalog)}\.(?=[A-Za-z_])", "", code
+        )
+    code = _rewrite_casts(code)
+    code = re.sub(r"(?<=[\w\s)])//(?=[\w\s(])", " div ", code)
+    code = re.sub(r"\bEXCLUDE\b", "EXCEPT", code, flags=re.IGNORECASE)
+    for old, new in FUNCTION_RENAMES.items():
+        if old != new:
+            code = re.sub(rf"\b{old}\s*\(", f"{new}(", code,
+                          flags=re.IGNORECASE)
+    return code
+
+
+def _rewrite_casts(code: str) -> str:
+    """``operand::TYPE`` → ``CAST(operand AS TYPE)``. The operand is
+    either a (dotted) identifier/number or a balanced parenthesized
+    expression; chained casts unwrap left-to-right (innermost
+    first)."""
+    pat = re.compile(rf"::\s*({_CAST_TARGET})")
+    while True:
+        m = pat.search(code)
+        if m is None:
+            return code
+        # Scan backward from '::' for the operand start.
+        end = m.start()
+        i = end - 1
+        while i >= 0 and code[i].isspace():
+            i -= 1
+        if i >= 0 and code[i] == ")":
+            depth = 0
+            j = i
+            while j >= 0:
+                if code[j] == ")":
+                    depth += 1
+                elif code[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            # Include a preceding function name: f(...)::T casts the
+            # CALL result, so the operand is "f(...)" not "(...)".
+            k = j - 1
+            while k >= 0 and (code[k].isalnum() or code[k] in "_$."):
+                k -= 1
+            start = max(k + 1, 0)
+        else:
+            j = i
+            while j >= 0 and (code[j].isalnum() or code[j] in "_$."):
+                j -= 1
+            start = j + 1
+        operand = code[start : i + 1]
+        code = (
+            code[:start]
+            + f"CAST({operand} AS {_type_alias(m.group(1))})"
+            + code[m.end():]
+        )
+
+
+def _type_alias(t: str) -> str:
+    base = re.match(r"[A-Za-z_][A-Za-z_0-9]*", t).group(0)
+    mapped = TYPE_ALIASES.get(base.lower())
+    if mapped is None:
+        return t
+    return mapped + t[len(base):] if "(" not in mapped else mapped
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT ... QUALIFY <pred> [ORDER BY/LIMIT tail]`` →
+    helper-column filter in an outer query. Only top-level QUALIFY
+    (not inside a subquery) is handled; the predicate may reference
+    window functions directly, matching DuckDB semantics."""
+    m = re.search(r"\bQUALIFY\b", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    head, tail = sql[: m.start()], sql[m.end():]
+    # Split the predicate from a trailing ORDER BY/LIMIT/OFFSET at
+    # paren depth 0 only (an ORDER BY inside OVER(...) belongs to the
+    # window spec, not the query tail).
+    split_at = None
+    depth = 0
+    for km in re.finditer(r"[()]|\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", tail,
+                          flags=re.IGNORECASE):
+        tok = km.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            split_at = km.start()
+            break
+    pred = tail[:split_at] if split_at is not None else tail
+    suffix = tail[split_at:] if split_at is not None else ""
+    sel_m = re.match(r"\s*SELECT\b", head, flags=re.IGNORECASE)
+    if not sel_m:
+        return sql
+    inner = (
+        head[: sel_m.end()]
+        + " *, (" + pred.strip() + ") AS __qualify FROM ("
+        + "SELECT " + head[sel_m.end():].strip()
+        + ") __q_src"
+    )
+    # Window predicates must see the source columns; simplest correct
+    # form: evaluate the original SELECT in a subquery, then compute
+    # the qualify predicate over it — works when the predicate refers
+    # to selected columns or windows over them (the DuckDB-idiomatic
+    # usage: QUALIFY row_number() OVER (...) <= k references selected
+    # columns).
+    return (
+        "SELECT * EXCEPT (__qualify) FROM (" + inner + ") __q "
+        "WHERE __qualify " + suffix
+    )
+
+
+def transpile(sql: str, catalog: str | None = "dh") -> str:
+    """Rewrite DuckDB-dialect SQL into Spark SQL (see module doc for
+    the audited subset)."""
+    spans = _split_tokens(sql)
+    out = "".join(
+        _rewrite_code(text, catalog) if kind == "code" else text
+        for kind, text in spans
+    )
+    return _rewrite_qualify(out)

@@ -249,6 +249,17 @@ class Engine:
         """Lazy SQL — plan only; stats recorded on execute()."""
         return self.spark.sql(query)
 
+    def sql_duckdb(self, query: str, catalog: str | None = "dh") -> DataFrame:
+        """Run DuckDB-dialect SQL (the reference's user surface — its
+        clients ship DuckDB SQL text, catalog_utils.cpp:12-21) on
+        Spark via the dialect shim: ``::`` casts, ``//``, EXCLUDE,
+        QUALIFY, DuckDB type aliases and list_* function names are
+        source-rewritten; everything else Spark parses natively. See
+        dialect.py for the audited subset."""
+        from duckdb_distributed_execution_spark.dialect import transpile
+
+        return self.spark.sql(transpile(query, catalog=catalog))
+
     def execute(self, query: str) -> list:
         """Run a query eagerly and record execution stats, like the
         reference's driver path (distributed_executor.cpp:51-212 →

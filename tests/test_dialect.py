@@ -1,0 +1,97 @@
+"""DuckDB-dialect shim tests: the same DuckDB SQL text runs on real
+DuckDB and (transpiled) on Spark, and the results must match — the
+"a user of the reference pastes their query unchanged" contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from duckdb_distributed_execution_spark.dialect import transpile
+from tests.conftest import SF_ORACLE
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _run_both(spark, duck, sql: str):
+    from duckdb_distributed_execution_spark.queries import load
+
+    load(spark, SF_ORACLE)
+    got = sorted(
+        tuple(_canon(v) for v in r) for r in spark.sql(transpile(sql)).collect()
+    )
+    exp = sorted(
+        tuple(_canon(v) for v in r) for r in duck.execute(sql).fetchall()
+    )
+    assert got == exp, f"{got[:3]} != {exp[:3]}"
+
+
+def test_colon_cast_and_intdiv(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey::VARCHAR AS s, n_nationkey // 3 AS q "
+        "FROM nation",
+    )
+
+
+def test_chained_and_paren_cast(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT (n_nationkey + 1)::BIGINT::VARCHAR AS s FROM nation "
+        "WHERE n_nationkey::INT2 < 10",
+    )
+
+
+def test_exclude_rewrite(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT * EXCLUDE (r_name) FROM region",
+    )
+
+
+def test_qualify_rewrite(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) <= 2",
+    )
+
+
+def test_list_function_renames(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey, list_contains(list_value(1, 2, 3), "
+        "n_nationkey % 4) AS hit FROM nation",
+    )
+
+
+def test_catalog_prefix_strip(spark, duck):
+    from duckdb_distributed_execution_spark.queries import load
+
+    load(spark, SF_ORACLE)
+    got = spark.sql(
+        transpile("SELECT COUNT(*) AS n FROM dh.region", catalog="dh")
+    ).collect()[0].n
+    assert got == 5
+
+
+def test_strings_and_comments_untouched():
+    sql = (
+        "SELECT 'a::b' AS lit, \"weird//name\" -- c::d comment\n"
+        "FROM t"
+    )
+    out = transpile(sql, catalog=None)
+    assert "'a::b'" in out and '"weird//name"' in out
+    assert "c::d comment" in out
+    assert "CAST" not in out
+
+
+def test_hugeint_alias():
+    out = transpile("SELECT x::HUGEINT FROM t", catalog=None)
+    assert "CAST(x AS DECIMAL(38,0))" in out
