@@ -75,6 +75,42 @@ def oracle_exact_avg(expr: str, wide: bool = False) -> str:
     return f"({oracle_exact_sum(expr, wide)} / COUNT({expr}))"
 
 
+def exact_avg_rounded(col: Column | str) -> Column:
+    """AVG rounded to 6 decimals with the round-half-away decision
+    made in INTEGER space — engine-exact even when the true quotient
+    sits exactly on a rounding boundary.
+
+    ``ROUND(avg_double, 6)`` is NOT portable there: Spark rounds the
+    shortest decimal repr of the double (BigDecimal HALF_UP), DuckDB
+    rounds in binary — with micro-scaled integer sums the quotient
+    lands exactly on *.5 micros often enough to matter (seen at
+    sf0.1: 192-vector centroid off by 1e-6). Here:
+    q = (2·|S| + n) int-div (2·n), micro = sign(S)·q — pure long
+    arithmetic both engines compute identically; the int-div is
+    written (x − x mod d)/d so the final division is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(F.round(c * F.lit(_SCALE)).cast("long"))
+    n = F.count(c)
+    x = F.lit(2) * F.abs(s) + n
+    d = F.lit(2) * n
+    q = ((x - F.pmod(x, d)) / d).cast("long")
+    micro = F.when(s >= 0, q).otherwise(-q)
+    return micro.cast("double") / F.lit(_SCALE)
+
+
+def oracle_exact_avg_rounded(expr: str) -> str:
+    """DuckDB SQL mirroring exact_avg_rounded()."""
+    s = f"CAST(SUM(CAST(round(({expr}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+    n = f"COUNT({expr})"
+    x = f"(2 * abs({s}) + {n})"
+    d = f"(2 * {n})"
+    q = f"CAST((({x} - ({x} % {d})) / {d}) AS BIGINT)"
+    return (
+        f"(CAST(CASE WHEN {s} >= 0 THEN {q} ELSE -{q} END AS DOUBLE)"
+        " / 1000000.0)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector ops (array<float|double> columns)
 # ---------------------------------------------------------------------------

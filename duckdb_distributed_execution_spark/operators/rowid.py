@@ -40,7 +40,16 @@ def assign_stable_row_ids(
     range partitioning + per-partition offsets (no global window)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *order_cols)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pin the partition layout: the counts job and the id-assignment
+    # job must see the SAME partitions, but a recomputed
+    # repartitionByRange can be re-planned between jobs (AQE
+    # coalescing decides from runtime stats) — localCheckpoint
+    # materializes the exchange once and truncates the lineage both
+    # jobs hang off. (Bug surfaced only at sf0.1: at sf0.01 AQE made
+    # the same coalescing decision in both jobs.)
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
     # One row per partition — bounded by the partition count, never
     # by the data size.
     counts = (

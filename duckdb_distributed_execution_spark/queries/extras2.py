@@ -184,7 +184,8 @@ def window_zscore(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            TRY_CAST(token AS INTEGER) AS as_int,
-           TRY_CAST(token AS DATE) AS as_date,
+           TRY_CAST(CASE WHEN token LIKE '%-%' THEN token END AS DATE)
+             AS as_date,
            COALESCE(TRY_CAST(token AS INTEGER), -1) AS with_default
     FROM (
         SELECT doc_id,
@@ -203,12 +204,16 @@ def try_cast_handling(spark, sf_dir):
     """TRY_CAST: malformed values become NULL instead of failing the
     job — at 100 TB a single dirty row must not kill a stage, and a
     try-cast + COALESCE default is the idiomatic quarantine pattern.
-    Covers numeric garbage and an impossible calendar date (Feb 30)."""
+    Covers numeric garbage and an impossible calendar date (Feb 30).
+    Bare integers are excluded from the DATE cast on both sides:
+    engines legitimately disagree on whether '1008' is a year (Spark
+    yes, DuckDB no), so a portable pipeline must disambiguate."""
     load(spark, sf_dir, "documents")
     return spark.sql("""
         SELECT doc_id,
                TRY_CAST(token AS INTEGER) AS as_int,
-               TRY_CAST(token AS DATE) AS as_date,
+               TRY_CAST(CASE WHEN token LIKE '%-%' THEN token END AS DATE)
+             AS as_date,
                COALESCE(TRY_CAST(token AS INTEGER), -1) AS with_default
         FROM (
             SELECT doc_id,

@@ -25,6 +25,7 @@ from duckdb_distributed_execution_spark.functions import (
     dot_product,
     l2_norm,
     oracle_exact_avg,
+    oracle_exact_avg_rounded,
 )
 from duckdb_distributed_execution_spark.queries import load, register
 
@@ -408,7 +409,7 @@ def embedding_quantize_int8(spark, sf_dir):
     WITH d AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT label, CAST(r.range AS INTEGER) AS dim,
            COUNT(*) AS n_vecs,
-           ROUND({oracle_exact_avg('e[CAST(r.range AS INTEGER) + 1]')}, 6)
+           {oracle_exact_avg_rounded('e[CAST(r.range AS INTEGER) + 1]')}
              AS centroid
     FROM d CROSS JOIN range(8) r
     GROUP BY label, r.range
@@ -420,7 +421,7 @@ def embedding_centroids(spark, sf_dir):
     → (label, dim) grouped exact mean: one shuffle of scalar rows —
     never materializes per-partition dense matrices, so it scales to
     any corpus × dimension product."""
-    from duckdb_distributed_execution_spark.functions import exact_avg
+    from duckdb_distributed_execution_spark.functions import exact_avg_rounded
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     pe = e.select(
@@ -429,7 +430,7 @@ def embedding_centroids(spark, sf_dir):
     ).filter(F.col("dim") < 8)
     return pe.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(exact_avg("v"), 6).alias("centroid"),
+        exact_avg_rounded("v").alias("centroid"),
     )
 
 
