@@ -27,9 +27,19 @@ function renames       list_value→array, list_contains→
 =====================  ==========================================
 
 All rewriting is token-aware (string literals, quoted identifiers and
-comments are never touched). Anything outside the table above is
-passed through for Spark to parse — unsupported DuckDB constructs
-fail loudly at parse time rather than silently changing meaning.
+comments are never touched — including the QUALIFY scan, which runs
+over a code-only mask of the statement). Anything outside the table
+above is passed through for Spark to parse — unsupported DuckDB
+constructs fail loudly at parse time rather than silently changing
+meaning; QUALIFY inside a subquery raises ``NotImplementedError``.
+
+Known limitation (shared with the reference — ``SanitizeQuery``,
+src/utils/catalog_utils.cpp:12-21, which is blinder still and strips
+``dh.`` even inside string literals): the catalog-prefix strip
+rewrites *any* ``dh.`` qualifier in code spans, so a user-defined
+table alias named ``dh`` collides — ``SELECT dh.x FROM tbl dh``
+becomes ``SELECT x FROM tbl dh``. Don't alias tables as the catalog
+name.
 """
 
 from __future__ import annotations
@@ -146,11 +156,53 @@ def _rewrite_code(code: str, catalog: str | None) -> str:
     return code
 
 
+_CHAIN_CAST = re.compile(rf"^\s*::\s*({_CAST_TARGET})")
+
+
+def _rewrite_literal_casts(
+    spans: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Cross-span casts: ``'2024-01-01'::DATE`` / ``"col"::INT``.
+
+    ``_split_tokens`` isolates the literal, so the following code span
+    starts with ``::TYPE`` and the in-span backward operand scan of
+    ``_rewrite_casts`` would find nothing (ADVICE r1: emitted an
+    empty-operand CAST). Here the literal/quoted-identifier span
+    itself becomes the operand: the chain ``'x'::A::B`` turns into
+    code ``CAST(CAST(`` + untouched literal span + code
+    `` AS A) AS B)``. The emitted wrapper spans are plain code and
+    contain nothing further rewritable."""
+    out: list[tuple[str, str]] = []
+    for kind, text in spans:
+        if kind == "code" and out and out[-1][0] in ("str", "qid"):
+            types = []
+            rest = text
+            while True:
+                m = _CHAIN_CAST.match(rest)
+                if m is None:
+                    break
+                types.append(m.group(1))
+                rest = rest[m.end():]
+            if types:
+                lit = out.pop()
+                out.append(("code", "CAST(" * len(types)))
+                out.append(lit)
+                out.append(
+                    ("code",
+                     "".join(f" AS {_type_alias(t)})" for t in types) + rest)
+                )
+                continue
+        out.append((kind, text))
+    return out
+
+
 def _rewrite_casts(code: str) -> str:
     """``operand::TYPE`` → ``CAST(operand AS TYPE)``. The operand is
     either a (dotted) identifier/number or a balanced parenthesized
     expression; chained casts unwrap left-to-right (innermost
-    first)."""
+    first). Literal operands are handled earlier by
+    ``_rewrite_literal_casts``; a ``::`` with no operand left in this
+    span is therefore unsupported input and raises."""
     pat = re.compile(rf"::\s*({_CAST_TARGET})")
     while True:
         m = pat.search(code)
@@ -184,6 +236,11 @@ def _rewrite_casts(code: str) -> str:
                 j -= 1
             start = j + 1
         operand = code[start : i + 1]
+        if not operand.strip():
+            raise NotImplementedError(
+                "'::' cast with no resolvable operand in this context: "
+                + code[: m.end()][-80:]
+            )
         code = (
             code[:start]
             + f"CAST({operand} AS {_type_alias(m.group(1))})"
@@ -199,21 +256,36 @@ def _type_alias(t: str) -> str:
     return mapped + t[len(base):] if "(" not in mapped else mapped
 
 
-def _rewrite_qualify(sql: str) -> str:
+def _rewrite_qualify(sql: str, mask: str) -> str:
     """``SELECT ... QUALIFY <pred> [ORDER BY/LIMIT tail]`` →
     helper-column filter in an outer query. Only top-level QUALIFY
     (not inside a subquery) is handled; the predicate may reference
-    window functions directly, matching DuckDB semantics."""
-    m = re.search(r"\bQUALIFY\b", sql, flags=re.IGNORECASE)
-    if not m:
+    window functions directly, matching DuckDB semantics.
+
+    ``mask`` is ``sql`` with every non-code span blanked to spaces
+    (same length, aligned indices): the QUALIFY search, the paren
+    depth counting and the tail ORDER BY/LIMIT scan all run over the
+    mask, so literals/identifiers/comments can never match (ADVICE
+    r1: the raw-text regex spliced apart a literal containing the
+    word QUALIFY)."""
+    matches = list(re.finditer(r"\bQUALIFY\b", mask, flags=re.IGNORECASE))
+    if not matches:
         return sql
+    m = matches[0]
+    depth = mask[: m.start()].count("(") - mask[: m.start()].count(")")
+    if depth != 0 or len(matches) > 1:
+        raise NotImplementedError(
+            "QUALIFY inside a subquery is not supported by the dialect "
+            "shim; rewrite the inner query with a window + WHERE"
+        )
     head, tail = sql[: m.start()], sql[m.end():]
+    mtail = mask[m.end():]
     # Split the predicate from a trailing ORDER BY/LIMIT/OFFSET at
     # paren depth 0 only (an ORDER BY inside OVER(...) belongs to the
-    # window spec, not the query tail).
+    # window spec, not the query tail) — scanned over the mask.
     split_at = None
     depth = 0
-    for km in re.finditer(r"[()]|\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", tail,
+    for km in re.finditer(r"[()]|\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", mtail,
                           flags=re.IGNORECASE):
         tok = km.group(0)
         if tok == "(":
@@ -225,9 +297,11 @@ def _rewrite_qualify(sql: str) -> str:
             break
     pred = tail[:split_at] if split_at is not None else tail
     suffix = tail[split_at:] if split_at is not None else ""
-    sel_m = re.match(r"\s*SELECT\b", head, flags=re.IGNORECASE)
+    sel_m = re.match(r"\s*SELECT\b", mask[: m.start()], flags=re.IGNORECASE)
     if not sel_m:
-        return sql
+        raise NotImplementedError(
+            "QUALIFY is only supported on a plain top-level SELECT"
+        )
     inner = (
         head[: sel_m.end()]
         + " *, (" + pred.strip() + ") AS __qualify FROM ("
@@ -250,8 +324,13 @@ def transpile(sql: str, catalog: str | None = "dh") -> str:
     """Rewrite DuckDB-dialect SQL into Spark SQL (see module doc for
     the audited subset)."""
     spans = _split_tokens(sql)
-    out = "".join(
-        _rewrite_code(text, catalog) if kind == "code" else text
+    spans = _rewrite_literal_casts(spans)
+    spans = [
+        (kind, _rewrite_code(text, catalog) if kind == "code" else text)
         for kind, text in spans
+    ]
+    out = "".join(text for _, text in spans)
+    mask = "".join(
+        text if kind == "code" else " " * len(text) for kind, text in spans
     )
-    return _rewrite_qualify(out)
+    return _rewrite_qualify(out, mask)

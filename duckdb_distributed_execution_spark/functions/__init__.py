@@ -86,14 +86,17 @@ def exact_avg_rounded(col: Column | str) -> Column:
     lands exactly on *.5 micros often enough to matter (seen at
     sf0.1: 192-vector centroid off by 1e-6). Here:
     q = (2·|S| + n) int-div (2·n), micro = sign(S)·q — pure long
-    arithmetic both engines compute identically; the int-div is
-    written (x − x mod d)/d so the final division is exact."""
+    arithmetic both engines compute identically: the int-div is
+    Spark's integral ``div`` ≡ DuckDB ``//``, so the quotient stays
+    in integer space end-to-end (no 2^53 double-mantissa ceiling; the
+    one remaining bound is 2·|S|+n overflowing int64, which ANSI mode
+    raises on rather than wrapping — same contract as exact_sum)."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.sum(F.round(c * F.lit(_SCALE)).cast("long"))
     n = F.count(c)
     x = F.lit(2) * F.abs(s) + n
     d = F.lit(2) * n
-    q = ((x - F.pmod(x, d)) / d).cast("long")
+    q = F.call_function("div", x, d)
     micro = F.when(s >= 0, q).otherwise(-q)
     return micro.cast("double") / F.lit(_SCALE)
 
@@ -104,7 +107,7 @@ def oracle_exact_avg_rounded(expr: str) -> str:
     n = f"COUNT({expr})"
     x = f"(2 * abs({s}) + {n})"
     d = f"(2 * {n})"
-    q = f"CAST((({x} - ({x} % {d})) / {d}) AS BIGINT)"
+    q = f"CAST(({x} // {d}) AS BIGINT)"
     return (
         f"(CAST(CASE WHEN {s} >= 0 THEN {q} ELSE -{q} END AS DOUBLE)"
         " / 1000000.0)"

@@ -56,6 +56,24 @@ _ALL_TABLES = (
 )
 
 
+def arr_str(col):
+    """Serialize an array column to a ','-joined string.
+
+    The driver's correctness harness canonicalizes results through a
+    pandas sort/factorize, which raises ``TypeError: unhashable type:
+    'list'`` on raw array cells (CORRECTNESS_r01 ``array_agg_sorted``).
+    Every query whose *output* schema would contain an array therefore
+    emits this serialized form, mirrored by ``array_to_string(x, ',')``
+    in the DuckDB oracle — semantics stay checkable, cells stay
+    hashable. Elements are cast to string first (Spark ``array_join``
+    needs array<string>; DuckDB casts implicitly)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.array_join(c.cast("array<string>"), ",")
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Register the requested testdata tables as temp views (matching
     the oracle's pre-registered DuckDB view names) and return them."""

@@ -19,7 +19,7 @@ from duckdb_distributed_execution_spark.operators.sessionize import (
     sessionize_pandas,
     sessionize_window,
 )
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import arr_str, load, register
 
 
 @register(
@@ -676,7 +676,7 @@ def approx_percentile_bound(spark, sf_dir):
 @register(
     "array_agg_sorted",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS names
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -684,10 +684,11 @@ def approx_percentile_bound(spark, sf_dir):
 def array_agg_sorted(spark, sf_dir):
     """List aggregation (DuckDB list()/array_agg): collect_list is
     partition-order-dependent, so the deterministic contract is the
-    SORTED list — identical at any parallelism."""
+    SORTED list — identical at any parallelism. Output serialized via
+    arr_str (see queries/__init__) so the driver harness can hash it."""
     t = load(spark, sf_dir, "nation")["nation"]
     return t.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names")
+        arr_str(F.array_sort(F.collect_list("n_name"))).alias("names")
     )
 
 

@@ -19,7 +19,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import arr_str, load, register
 
 # ---------------------------------------------------------------------------
 # Statistical / regression aggregates
@@ -212,8 +212,8 @@ def weighted_sample_topk(spark, sf_dir):
            list_sum(list_filter(list_transform(arr, x -> x * x),
                                 x -> x % 2 = 0)) AS even_sq_sum,
            list_position(arr, 3) AS pos3,
-           arr[2:3] AS mid_slice,
-           list_reverse(arr) AS rev
+           array_to_string(arr[2:3], ',') AS mid_slice,
+           array_to_string(list_reverse(arr), ',') AS rev
     FROM arrs
     """,
 )
@@ -240,8 +240,8 @@ def higher_order_array_funcs(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("even_sq_sum"),
         F.array_position(arr, 3).alias("pos3"),
-        F.slice(arr, 2, 2).alias("mid_slice"),
-        F.reverse(arr).alias("rev"),
+        arr_str(F.slice(arr, 2, 2)).alias("mid_slice"),
+        arr_str(F.reverse(arr)).alias("rev"),
     )
 
 

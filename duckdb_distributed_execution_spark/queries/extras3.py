@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.operators import dedup as D
 from duckdb_distributed_execution_spark.operators import text as X
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import arr_str, load, register
 
 # ---------------------------------------------------------------------------
 # URL parsing / per-domain corpus stats
@@ -356,11 +356,12 @@ def semantic_dedup_seeded(spark, sf_dir):
              range(0, n_nationkey % 5 + 3) AS arr
       FROM nation)
     SELECT k,
-           list_sort(list_distinct(list_concat(arr, [1, 3]))) AS dedup_sorted,
+           array_to_string(list_sort(list_distinct(list_concat(arr, [1, 3]))), ',')
+             AS dedup_sorted,
            COALESCE(CAST(list_position(arr, 2) AS BIGINT), 0) AS pos2,
-           list_filter(arr, x -> x <> 1) AS removed1,
-           flatten([arr, [99]]) AS flat,
-           list_reverse(arr) AS rev
+           array_to_string(list_filter(arr, x -> x <> 1), ',') AS removed1,
+           array_to_string(flatten([arr, [99]]), ',') AS flat,
+           array_to_string(list_reverse(arr), ',') AS rev
     FROM t
     """,
 )
@@ -374,13 +375,15 @@ def array_funcs2(spark, sf_dir):
     arr = F.sequence(F.lit(0), (F.col("n_nationkey") % 5 + 2).cast("int"))
     return n.select(
         F.col("n_nationkey").alias("k"),
-        F.array_sort(
-            F.array_distinct(F.concat(arr, F.array(F.lit(1), F.lit(3))))
+        arr_str(
+            F.array_sort(
+                F.array_distinct(F.concat(arr, F.array(F.lit(1), F.lit(3))))
+            )
         ).alias("dedup_sorted"),
         F.array_position(arr, 2).alias("pos2"),
-        F.array_remove(arr, 1).alias("removed1"),
-        F.flatten(F.array(arr, F.array(F.lit(99)))).alias("flat"),
-        F.reverse(arr).alias("rev"),
+        arr_str(F.array_remove(arr, 1)).alias("removed1"),
+        arr_str(F.flatten(F.array(arr, F.array(F.lit(99))))).alias("flat"),
+        arr_str(F.reverse(arr)).alias("rev"),
     )
 
 

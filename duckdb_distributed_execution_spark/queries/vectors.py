@@ -27,7 +27,7 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_avg,
     oracle_exact_avg_rounded,
 )
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import arr_str, load, register
 
 
 @register(
@@ -365,7 +365,8 @@ def ann_lsh_candidates(spark, sf_dir):
                  list_transform(e, x -> CAST(round(x / maxabs * 127) AS INTEGER))
                    AS qv
           FROM m)
-    SELECT vec_id, ROUND(maxabs, 6) AS scale, qv,
+    SELECT vec_id, ROUND(maxabs, 6) AS scale,
+           array_to_string(qv, ',') AS qv,
            CAST(list_sum(qv) AS BIGINT) AS q_sum
     FROM q
     """,
@@ -396,7 +397,7 @@ def embedding_quantize_int8(spark, sf_dir):
     return q.select(
         "vec_id",
         F.round("maxabs", 6).alias("scale"),
-        "qv",
+        arr_str("qv").alias("qv"),
         F.aggregate(
             "qv", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
         ).alias("q_sum"),
@@ -443,12 +444,15 @@ def embedding_centroids(spark, sf_dir):
              [o_custkey % 5, o_custkey % 2] AS b
       FROM orders WHERE o_orderkey % 101 = 0)
     SELECT o_orderkey,
-           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '')
              AS a_intersect_b,
-           list_sort(list_distinct(list_concat(a, b))) AS a_union_b,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')
+             AS a_union_b,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
              AS a_except_b,
-           list_concat(a, b) AS a_concat_b
+           COALESCE(array_to_string(list_concat(a, b), ','), '') AS a_concat_b
     FROM t
     """,
 )
@@ -466,9 +470,11 @@ def array_set_ops(spark, sf_dir):
     )
     return t.select(
         "o_orderkey",
-        F.array_sort(F.array_distinct(F.array_intersect("a", "b")))
+        arr_str(F.array_sort(F.array_distinct(F.array_intersect("a", "b"))))
         .alias("a_intersect_b"),
-        F.array_sort(F.array_distinct(F.array_union("a", "b"))).alias("a_union_b"),
-        F.array_sort(F.array_distinct(F.array_except("a", "b"))).alias("a_except_b"),
-        F.concat("a", "b").alias("a_concat_b"),
+        arr_str(F.array_sort(F.array_distinct(F.array_union("a", "b"))))
+        .alias("a_union_b"),
+        arr_str(F.array_sort(F.array_distinct(F.array_except("a", "b"))))
+        .alias("a_except_b"),
+        arr_str(F.concat("a", "b")).alias("a_concat_b"),
     )

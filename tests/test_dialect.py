@@ -95,3 +95,52 @@ def test_strings_and_comments_untouched():
 def test_hugeint_alias():
     out = transpile("SELECT x::HUGEINT FROM t", catalog=None)
     assert "CAST(x AS DECIMAL(38,0))" in out
+
+
+def test_literal_cast(spark, duck):
+    # ADVICE r1: '...'::TYPE spans a literal + code token boundary and
+    # used to emit an empty-operand CAST.
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey FROM nation "
+        "WHERE '2024-01-01'::DATE < '2024-06-01'::DATE",
+    )
+
+
+def test_literal_cast_text():
+    out = transpile("SELECT '2024-01-01'::DATE AS d", catalog=None)
+    assert out == "SELECT CAST('2024-01-01' AS DATE) AS d"
+    out = transpile("SELECT '1'::INT::VARCHAR AS s", catalog=None)
+    assert out == "SELECT CAST(CAST('1' AS INT) AS STRING) AS s"
+    out = transpile('SELECT "q col"::INT8 AS v FROM t', catalog=None)
+    assert out == 'SELECT CAST("q col" AS BIGINT) AS v FROM t'
+
+
+def test_qualify_word_in_literal_untouched():
+    # ADVICE r1: the QUALIFY scan ran over raw text and spliced apart
+    # a string literal containing the word.
+    sql = "SELECT * FROM t WHERE note = 'QUALIFY x'"
+    assert transpile(sql, catalog=None) == sql
+
+
+def test_qualify_in_subquery_raises():
+    with pytest.raises(NotImplementedError):
+        transpile(
+            "SELECT * FROM (SELECT a FROM t "
+            "QUALIFY row_number() OVER (ORDER BY a) <= 2) s",
+            catalog=None,
+        )
+
+
+def test_qualify_with_tail(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) <= 3 ORDER BY o_orderkey LIMIT 5",
+    )
+
+
+def test_cast_after_comment_raises():
+    with pytest.raises(NotImplementedError):
+        transpile("SELECT /* c */::INT FROM t", catalog=None)
