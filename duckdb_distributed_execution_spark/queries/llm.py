@@ -177,19 +177,24 @@ def dedup_simhash(spark, sf_dir):
     "dedup_simhash_pairs",
     oracle=f"""
     WITH sig AS (
-      SELECT doc_id, lang, {D.oracle_simhash('text', 32)} AS sh
+      SELECT doc_id, {D.oracle_simhash('text', 32)} AS sh
       FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
     FROM sig a
-    JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming radius, lang-blocked."""
+    """SimHash near-dup pairs within Hamming radius 3, corpus-wide —
+    candidates from exact pigeonhole bit-chunk banding (see
+    operators/dedup.simhash_pairs), so no blocking column is needed
+    and the plan never contains a block-local all-pairs join. The
+    oracle is the definitionally-equivalent all-pairs form (fine on
+    DuckDB at oracle scale; the banding itself is lossless)."""
     d = load(spark, sf_dir, "documents")["documents"]
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, block_col="lang")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
 @register(
@@ -207,8 +212,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, label-blocked (the generic
-    blocked self-join; LSH-blocked variant in ann_lsh_candidates)."""
+    """Embedding-cosine near-dup pairs, label-blocked. The *contract*
+    here is exact: every same-label pair with cosine ≥ 0.3 — which is
+    inherently quadratic within a label group, so this query is the
+    small-block/exact tool. At corpus scale use the sub-quadratic
+    candidate generators instead: ann_lsh_candidates (hyperplane-LSH
+    buckets) or semantic_dedup_seeded (IVF-cluster blocking), both of
+    which bound the per-bucket pair count."""
     from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]

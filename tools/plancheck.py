@@ -63,7 +63,9 @@ def main() -> None:
             "hll_sketch_mergeable",               # 1-row merged-sketch + total
             "semantic_dedup_seeded",              # 8-seed broadcast × corpus
             "contamination_embedding_cosine",     # benchmark-slice broadcast
-
+            "rag_retrieval_topk",                 # 8-centroid broadcast (IVF
+                                                  # assign); per-query corpus
+                                                  # scan BNLJ removed in r2
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
