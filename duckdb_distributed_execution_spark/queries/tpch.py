@@ -791,3 +791,343 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             exact_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Faithful partsupp-based shapes (round 2).
+#
+# The testdata ships no partsupp table, so round 1 adapted
+# q2/q9/q11/q16/q20 (kept above — they exercise the same plan
+# operators). Here the REAL reference query shapes (the reference
+# delegates them wholesale — query_plan_analyzer.cpp:118-163; see
+# also benchmark/large_table.sql:26-28) run against a DETERMINISTIC
+# synthetic partsupp derived with identical integer arithmetic on
+# both engines: 4 suppliers per part, availqty/supplycost keyed off
+# (partkey, suppkey). Everything — the derivation AND the query — is
+# oracle-checked.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_ORACLE = """
+    ps0 AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey * 7 + i.i * 13) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey
+      FROM part p CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS INTEGER)
+               AS ps_availqty,
+             CAST((ps_partkey * 131 + ps_suppkey * 77) % 99900 + 100 AS DOUBLE)
+               / 100.0 AS ps_supplycost
+      FROM ps0)
+"""
+
+
+def synthetic_partsupp(t):
+    """Spark twin of _PARTSUPP_ORACLE — same integer arithmetic, so
+    both engines derive the identical relation. The supplier count
+    enters as a 1-row broadcast (scalar pattern, plancheck-exempt);
+    supplycost is an exact 2-decimal value on both sides (integer
+    divided by 100.0)."""
+    sup_n = t["supplier"].agg(F.count(F.lit(1)).alias("__s_cnt"))
+    return (
+        t["part"]
+        .select("p_partkey")
+        .crossJoin(F.broadcast(sup_n))
+        .select(
+            "p_partkey",
+            "__s_cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("__i") * 13) % F.col("__s_cnt"))
+            .alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 77) % 99900
+                 + 100).cast("double") / F.lit(100.0)
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_partsupp",
+    oracle=f"""
+    WITH {_PARTSUPP_ORACLE},
+    costs AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost,
+             s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_name,
+           c.ps_supplycost
+    FROM part p
+    JOIN costs c ON c.ps_partkey = p.p_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+      AND c.ps_supplycost = (SELECT MIN(c2.ps_supplycost) FROM costs c2
+                             WHERE c2.ps_partkey = p.p_partkey)
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey, c.s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_partsupp(spark, sf_dir):
+    """Q2, real shape: min-supplycost supplier per part within one
+    region, correlated-MIN subquery decorrelated into a per-part
+    window min — partsupp join + region-restricted supplier dim
+    broadcast + top-100."""
+    t = load(spark, sf_dir, "part", "supplier", "nation", "region")
+    ps = synthetic_partsupp(t)
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eu_sup = (
+        t["supplier"]
+        .join(F.broadcast(eu_nations),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = ps.join(
+        F.broadcast(eu_sup), F.col("s_suppkey") == F.col("ps_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = costs.withColumn(
+        "__min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("__min_cost"))
+    parts = t["part"].filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        best.join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost", "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+        .drop("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q9_partsupp",
+    oracle=f"""
+    WITH {_PARTSUPP_ORACLE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')}
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_partsupp(spark, sf_dir):
+    """Q9, real shape: product-line profit by nation and order year
+    with TRUE supply cost from partsupp (round 1 proxied it off
+    retail price). The fact table shuffles once on the composite
+    (partkey, suppkey) partsupp key; every dim broadcasts."""
+    t = load(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    ps = synthetic_partsupp(t)
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(exact_sum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_partsupp",
+    oracle=f"""
+    WITH {_PARTSUPP_ORACLE},
+    v AS (
+      SELECT ps.ps_partkey,
+             {oracle_exact_sum('ps.ps_supplycost * ps.ps_availqty')} AS value
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT ps_partkey, value FROM v
+    WHERE value > (SELECT {oracle_exact_sum('value')} * 0.005 FROM v)
+    """,
+)
+def tpch_q11_partsupp(spark, sf_dir):
+    """Q11, real shape: stocked value per part for one nation's
+    suppliers, cut at a fixed FRACTION OF THE NATION-WIDE TOTAL —
+    TPC-H's own threshold form (which, as in real TPC-H, thins toward
+    zero rows as SF grows; the avg-relative variant above keeps a
+    scale-stable cut). Grouped exact aggregate + broadcast scalar of
+    its own re-aggregation."""
+    t = load(spark, sf_dir, "supplier", "nation", "part")
+    ps = synthetic_partsupp(t)
+    nat3 = t["nation"].filter(F.col("n_name") == "NATION_3")
+    sup3 = (
+        t["supplier"]
+        .join(F.broadcast(nat3), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(sup3), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            exact_sum(
+                F.col("ps_supplycost") * F.col("ps_availqty")
+            ).alias("value")
+        )
+    )
+    thresh = v.agg((exact_sum("value") * F.lit(0.005)).alias("__cut"))
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__cut"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q16_partsupp",
+    oracle=f"""
+    WITH {_PARTSUPP_ORACLE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_partsupp(spark, sf_dir):
+    """Q16, real shape: supplier count per (brand, type, size) from
+    partsupp, excluding flagged suppliers (testdata has no s_comment;
+    negative account balance stands in for the complaints filter) —
+    NOT IN → broadcast anti join, then distinct-count aggregate."""
+    t = load(spark, sf_dir, "part", "supplier")
+    ps = synthetic_partsupp(t)
+    flagged = (
+        t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    return (
+        ps.join(
+            F.broadcast(flagged),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_partsupp",
+    oracle=f"""
+    WITH {_PARTSUPP_ORACLE}
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey FROM partsupp ps
+        WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps.ps_availqty > (
+              SELECT 0.5 * SUM(l.l_quantity) FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01'))
+    """,
+)
+def tpch_q20_partsupp(spark, sf_dir):
+    """Q20, real shape: suppliers of 'red' parts whose stock exceeds
+    half of what they shipped in 1997 — the correlated scalar
+    aggregate decorrelated into a grouped pre-aggregate + equi-join
+    (quantities are integer-valued doubles, so the plain SUM is
+    order-exact on both engines)."""
+    t = load(spark, sf_dir, "part", "supplier", "nation", "lineitem")
+    ps = synthetic_partsupp(t)
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("__half_qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(red), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("__half_qty"))
+        .select("ps_suppkey")
+    )
+    nat5 = t["nation"].filter(F.col("n_name") == "NATION_5")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat5), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )

@@ -66,6 +66,11 @@ def main() -> None:
             "rag_retrieval_topk",                 # 8-centroid broadcast (IVF
                                                   # assign); per-query corpus
                                                   # scan BNLJ removed in r2
+            "tpch_q2_partsupp",                   # 1-row supplier-count
+            "tpch_q9_partsupp",                   # broadcast feeding the
+            "tpch_q11_partsupp",                  # synthetic-partsupp
+            "tpch_q16_partsupp",                  # derivation (see
+            "tpch_q20_partsupp",                  # queries/tpch.py r2 section)
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
