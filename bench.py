@@ -37,6 +37,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        # Local-mode scheduling floor trims (single-JVM bench only; a
+        # real cluster keeps the defaults — locality waits matter when
+        # tasks can be non-local, and shuffle compression matters when
+        # blocks cross a network instead of one machine's page cache):
+        .config("spark.locality.wait", "0s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -39,22 +39,31 @@ _SCALE = 1_000_000.0
 def exact_sum(col: Column | str, wide: bool = False) -> Column:
     """Order-independent SUM for double columns, surfaced as DOUBLE.
 
-    Fast path (default): scale to 6 fixed decimals, round to LONG,
-    sum longs (whole-stage-codegen primitive — ~2.5× faster than
-    decimal accumulation), divide back. Exact because the scaled
-    values are integers and long addition is associative; Spark runs
-    ANSI mode, so a sum beyond ±2^63 (≈9.2e12 in value units) raises
-    ARITHMETIC_OVERFLOW rather than wrapping — pass ``wide=True`` to
-    use DECIMAL(28,6) accumulation (range 1e22) for columns whose
-    global sum can exceed that, e.g. petabyte-scale money totals.
+    Fast path (default): scale to 6 fixed decimals, snap to LONG via
+    ``floor(x·10⁶ + 0.5)``, sum longs (whole-stage-codegen primitive),
+    divide back. Exact because the scaled values are integers and long
+    addition is associative; Spark runs ANSI mode, so a sum beyond
+    ±2^63 (≈9.2e12 in value units) raises ARITHMETIC_OVERFLOW rather
+    than wrapping — pass ``wide=True`` to use DECIMAL(28,6)
+    accumulation (range 1e22) for columns whose global sum can exceed
+    that, e.g. petabyte-scale money totals.
 
-    Oracle form: ``(SUM(CAST(round(x * 1000000.0) AS BIGINT)) /
+    Why floor-plus-half instead of ``round()``: Spark's round(double)
+    drops out of codegen into a per-row BigDecimal conversion — the
+    floor form is ~2× faster on an aggregation-bound scan (measured
+    at sf0.1) and stays in Math.floor. Tie semantics become
+    round-half-toward-+∞ for negatives, but values that originated as
+    ≤2-decimal literals (or products of up to three) never sit on the
+    micro-scale tie boundary, and the oracle computes the *identical*
+    IEEE expression, so cross-engine parity is bit-exact either way.
+
+    Oracle form: ``(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) /
     1000000.0)`` — DuckDB sums into int128, and both engines convert
     the identical integer to double before the final division."""
     c = F.col(col) if isinstance(col, str) else col
     if wide:
         return F.sum(c.cast(EXACT_DECIMAL)).cast("double")
-    return F.sum(F.round(c * F.lit(_SCALE)).cast("long")) / F.lit(_SCALE)
+    return F.sum(F.floor(c * F.lit(_SCALE) + F.lit(0.5))) / F.lit(_SCALE)
 
 
 def exact_avg(col: Column | str, wide: bool = False) -> Column:
@@ -68,7 +77,10 @@ def oracle_exact_sum(expr: str, wide: bool = False) -> str:
     """DuckDB SQL text mirroring exact_sum()."""
     if wide:
         return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
-    return f"(SUM(CAST(round(({expr}) * 1000000.0) AS BIGINT)) / 1000000.0)"
+    return (
+        f"(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT))"
+        " / 1000000.0)"
+    )
 
 
 def oracle_exact_avg(expr: str, wide: bool = False) -> str:
@@ -92,7 +104,7 @@ def exact_avg_rounded(col: Column | str) -> Column:
     one remaining bound is 2·|S|+n overflowing int64, which ANSI mode
     raises on rather than wrapping — same contract as exact_sum)."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.sum(F.round(c * F.lit(_SCALE)).cast("long"))
+    s = F.sum(F.floor(c * F.lit(_SCALE) + F.lit(0.5)))
     n = F.count(c)
     x = F.lit(2) * F.abs(s) + n
     d = F.lit(2) * n
@@ -103,7 +115,7 @@ def exact_avg_rounded(col: Column | str) -> Column:
 
 def oracle_exact_avg_rounded(expr: str) -> str:
     """DuckDB SQL mirroring exact_avg_rounded()."""
-    s = f"CAST(SUM(CAST(round(({expr}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+    s = f"CAST(SUM(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
     n = f"COUNT({expr})"
     x = f"(2 * abs({s}) + {n})"
     d = f"(2 * {n})"

@@ -121,7 +121,12 @@ def window_cume_dist(spark, sf_dir):
 
 @register(
     "skew_join_salted",
-    headline=True,
+    # de-headlined r2: the query deliberately pays an 8× dim
+    # replication + shuffle to PROVE the salted path against the plain
+    # join oracle — the right plan for the too-big-to-broadcast hot-key
+    # case it models, a pessimization at sf0.1. The headline salting
+    # representative is salted_hot_key_agg; tpch_q9_partsupp took this
+    # slot (VERDICT r1 "next round" item 5).
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,

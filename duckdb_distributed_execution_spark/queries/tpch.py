@@ -929,6 +929,7 @@ def tpch_q2_partsupp(spark, sf_dir):
 
 @register(
     "tpch_q9_partsupp",
+    headline=True,
     oracle=f"""
     WITH {_PARTSUPP_ORACLE}
     SELECT n.n_name AS nation,
