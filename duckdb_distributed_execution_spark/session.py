@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from duckdb_distributed_execution_spark.stats import QueryRecorder, Timer
-from duckdb_distributed_execution_spark.typemap import schema_from_ddl
+from duckdb_distributed_execution_spark.typemap import (
+    enum_domains_from_ddl,
+    schema_from_ddl,
+)
 
 TESTDATA_TABLES = (
     "region",
@@ -84,6 +87,13 @@ class Engine:
         # (reference: GenerateAlterTableSQL, catalog_utils.cpp:23-84).
         self._defaults: dict[tuple[str, str], object] = {}
         self._not_null: set[tuple[str, str]] = set()
+        # ENUM column domains (table, col) → declared values; enforced
+        # on insert like the reference (enum_type_support.test:20-28).
+        self._enums: dict[tuple[str, str], list[str]] = {}
+        # duckherder_load_extension analog: bookkeeping only — Spark
+        # has no extension loading; parity is the call surface
+        # (distributed_server_function.cpp:243-281).
+        self._extensions: list[str] = []
         self._views: dict[str, str] = {}
         self._matviews: dict[str, str] = {}
         # rollup name → (group_cols, specs) for incremental maintenance
@@ -273,6 +283,27 @@ class Engine:
     # ------------------------------------------------------------------
     # Stats introspection (≈ duckherder_get_query_execution_stats)
     # ------------------------------------------------------------------
+    def get_worker_count(self) -> int:
+        """≈ duckherder_get_worker_count
+        (distributed_server_function.cpp:243-262): the number of
+        parallel workers — here Spark's executor-slot parallelism for
+        the session."""
+        return self.num_workers
+
+    def load_extension(self, extension: str) -> None:
+        """≈ duckherder_load_extension
+        (distributed_server_function.cpp:264-281): the reference
+        forwards LOAD to every worker. Spark has no runtime extension
+        loading — functions ship with the application — so this is
+        catalog bookkeeping for call-surface parity."""
+        if not extension or not extension.replace("_", "").isalnum():
+            raise ValueError(f"invalid extension name: {extension!r}")
+        if extension not in self._extensions:
+            self._extensions.append(extension)
+
+    def list_extensions(self) -> list[str]:
+        return list(self._extensions)
+
     def get_query_execution_stats(self) -> DataFrame:
         return self.recorder.stats_df()
 
@@ -294,6 +325,8 @@ class Engine:
         if self.table_exists(name):
             raise ValueError(f"table {name!r} already exists")
         schema = schema_from_ddl(columns_ddl)
+        for col, vals in enum_domains_from_ddl(columns_ddl).items():
+            self._enums[(name, col)] = vals
         empty = self.spark.createDataFrame([], schema).coalesce(1)
         path = self._managed_path(name)
         empty.write.mode("overwrite").parquet(path)
@@ -453,6 +486,18 @@ class Engine:
             if viol.limit(1).count() > 0:
                 raise ValueError(
                     f"NOT NULL constraint violated on {name}.{nn_cols}"
+                )
+        for (tn, col), vals in self._enums.items():
+            if tn != name or col not in aligned.columns:
+                continue
+            bad = aligned.filter(
+                F.col(col).isNotNull() & ~F.col(col).isin(vals)
+            )
+            sample = bad.limit(1).collect()
+            if sample:
+                raise ValueError(
+                    f"ENUM domain violated on {name}.{col}: "
+                    f"{sample[0][col]!r} not in {vals}"
                 )
         if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
             aligned.write.mode("append").parquet(t.path)

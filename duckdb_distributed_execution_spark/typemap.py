@@ -81,8 +81,52 @@ _LIST_RE = re.compile(r"^(.+)\[\]$")
 _LIST_FN_RE = re.compile(r"^LIST\((.+)\)$")
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 — quote-aware, so an
+    ENUM('a,b') literal or a quoted struct field name never splits."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _inner(s: str) -> str:
+    """Text between the first '(' and the matching final ')'."""
+    i = s.index("(")
+    if not s.rstrip().endswith(")"):
+        raise ValueError(f"unbalanced type expression: {s!r}")
+    return s[i + 1 : s.rstrip().rindex(")")]
+
+
 def duckdb_to_spark(type_str: str) -> T.DataType:
-    """Map a DuckDB type string to the Spark type per SURVEY §1.2."""
+    """Map a DuckDB type string to the Spark type per SURVEY §1.2.
+
+    STRUCT(...)/MAP(...) map to native StructType/MapType (superset of
+    the reference, which flattens both to VARCHAR on the wire —
+    arrow_utils.cpp:499-502). UNION keeps the reference's VARCHAR
+    fallback: Spark has no union type either."""
     s = type_str.strip()
     u = s.upper()
     if u in _SCALARS:
@@ -97,15 +141,43 @@ def duckdb_to_spark(type_str: str) -> T.DataType:
         return T.ArrayType(duckdb_to_spark(m.group(1)))
     if u.startswith("ENUM"):
         # Declaration-order semantics are handled by enum_rank();
-        # storage is plain string.
+        # storage is plain string. Domain enforcement lives in
+        # Engine.insert_into via parse_enum_values().
         return T.StringType()
-    if u.startswith("STRUCT") or u.startswith("MAP") or u.startswith("UNION"):
+    if u.startswith("STRUCT") and "(" in s:
+        fields = []
+        for part in _split_top_level(_inner(s)):
+            fname, _, ftyp = part.partition(" ")
+            fields.append(
+                T.StructField(
+                    fname.strip().strip('"'), duckdb_to_spark(ftyp), True
+                )
+            )
+        return T.StructType(fields)
+    if u.startswith("MAP") and "(" in s:
+        kv = _split_top_level(_inner(s))
+        if len(kv) != 2:
+            raise ValueError(f"MAP needs exactly 2 type args: {type_str!r}")
+        return T.MapType(duckdb_to_spark(kv[0]), duckdb_to_spark(kv[1]), True)
+    if u.startswith("UNION"):
         # Reference falls back to VARCHAR (arrow_utils.cpp:499-502);
-        # Spark supports these natively but a string mapping keeps the
-        # wire-compat surface. Callers wanting real nested types build
-        # them directly.
+        # Spark has no union type — same fallback.
         return T.StringType()
     raise ValueError(f"unsupported DuckDB type: {type_str!r}")
+
+
+_ENUM_VAL_RE = re.compile(r"'((?:[^']|'')*)'")
+
+
+def parse_enum_values(type_str: str) -> list[str] | None:
+    """For ``ENUM('a', 'b', ...)`` return the declared values in
+    order (the domain the reference's ENUM enforces on insert —
+    enum_type_support.test:20-28); None for any other type."""
+    s = type_str.strip()
+    if not s.upper().startswith("ENUM") or "(" not in s:
+        return None
+    return [m.group(1).replace("''", "'") for m in
+            _ENUM_VAL_RE.finditer(_inner(s))]
 
 
 def spark_to_duckdb(dt: T.DataType) -> str:
@@ -154,28 +226,22 @@ def schema_from_ddl(ddl: str) -> T.StructType:
     """Parse a DuckDB-style column list ``"a INTEGER, b VARCHAR[]"``
     into a Spark StructType using the SURVEY §1.2 mapping."""
     fields = []
-    depth = 0
-    col = []
-    parts: list[str] = []
-    for ch in ddl:
-        if ch in "(<[":
-            depth += 1
-        elif ch in ")>]":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(col))
-            col = []
-        else:
-            col.append(ch)
-    if col:
-        parts.append("".join(col))
-    for part in parts:
-        part = part.strip()
-        if not part:
-            continue
+    for part in _split_top_level(ddl):
         name, _, typ = part.partition(" ")
         fields.append(T.StructField(name, duckdb_to_spark(typ.strip()), True))
     return T.StructType(fields)
+
+
+def enum_domains_from_ddl(ddl: str) -> dict[str, list[str]]:
+    """Column → declared ENUM values for every ENUM column in a
+    DuckDB-style column list (empty dict if none)."""
+    out: dict[str, list[str]] = {}
+    for part in _split_top_level(ddl):
+        name, _, typ = part.partition(" ")
+        vals = parse_enum_values(typ.strip())
+        if vals is not None:
+            out[name] = vals
+    return out
 
 
 def enum_rank_expr(col: str, values: list[str]) -> str:

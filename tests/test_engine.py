@@ -453,3 +453,33 @@ def test_copy_to_partitioned(engine, spark, tmp_path):
     assert back.count() == n0
     plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
     assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
+
+
+def test_enum_domain_enforced(engine):
+    """Out-of-domain ENUM inserts are rejected like the reference
+    (enum_type_support.test:20-28); in-domain and NULL pass."""
+    import pytest
+
+    engine.create_table(
+        "enum_t", "id INTEGER, mood ENUM('happy', 'sad', 'neutral')"
+    )
+    engine.insert_values("enum_t", [(1, "happy"), (2, None)])
+    assert engine.table("enum_t").count() == 2
+    with pytest.raises(ValueError, match="ENUM domain"):
+        engine.insert_values("enum_t", [(3, "angry")])
+    # failed insert must not have appended anything
+    assert engine.table("enum_t").count() == 2
+
+
+def test_worker_count_and_extensions(engine):
+    """A21 parity: duckherder_get_worker_count / load_extension
+    analogs (distributed_server_function.cpp:243-281)."""
+    import pytest
+
+    assert engine.get_worker_count() == engine.num_workers > 0
+    engine.load_extension("httpfs")
+    engine.load_extension("json")
+    engine.load_extension("httpfs")  # idempotent
+    assert engine.list_extensions() == ["httpfs", "json"]
+    with pytest.raises(ValueError):
+        engine.load_extension("bad name;")
