@@ -100,6 +100,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         nested,
         pipeline2,
+        pipeline3,
         textstats,
         tpch,
         vectors,

@@ -1,0 +1,315 @@
+"""Training-data pipeline operators, third wave: corpus-wide
+paragraph-level exact dedup (the CCNet-style "drop duplicated
+paragraphs everywhere" pass), Johnson-Lindenstrauss random projection
+of embeddings (dimensionality reduction before ANN), and a
+deterministic output-shard manifest (the bookkeeping step before a
+sharded training-data write).
+
+All greenfield vs the reference (north-star scope in BASELINE.json).
+Scale stance: paragraph dedup shuffles once on the chunk hash and
+once on doc_id (both key-partitioned, no all-pairs anywhere); the
+projection is a pure per-row expression (no shuffle, no Python, the
+±1 sign matrix is baked into the plan as literals); the manifest is
+one grouped aggregation on a 16-value key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import reduce
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import (
+    exact_avg_rounded,
+    oracle_exact_avg_rounded,
+)
+from duckdb_distributed_execution_spark.operators.text import (
+    lang_id,
+    oracle_lang_id,
+    oracle_quality_score,
+    quality_score,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+_CHUNK_WORDS = 20
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             UNNEST(range(0, GREATEST(CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT), 1)))
+               AS chunk_idx,
+             w
+      FROM toks),
+    hashed AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(
+                 w[chunk_idx * {_CHUNK_WORDS} + 1 : chunk_idx * {_CHUNK_WORDS} + {_CHUNK_WORDS}],
+                 ' ')) AS h
+      FROM chunks),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      FROM hashed)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_chunks
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (CCNet-style): split
+    every document into fixed 20-word chunks (the testdata corpus has
+    no newline paragraph marks, so the chunk boundary is the
+    deterministic stand-in), hash each chunk, and keep only the first
+    occurrence of each chunk corpus-wide (first = lowest (doc_id,
+    chunk_idx)). Reports per-document survival counts.
+
+    Scale shape: explode is narrow; the keep-first decision is a
+    window over the chunk-hash partition (one key-partitioned
+    shuffle — never a self-join); the per-doc rollup is a second
+    keyed shuffle. Both keys are high-cardinality, so no hot
+    partitions at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ", -1)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_CHUNK_WORDS)).cast("bigint"), F.lit(1)
+    )
+    chunks = d.select(
+        "doc_id",
+        toks.alias("w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    hashed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("w"),
+                    (F.col("chunk_idx") * _CHUNK_WORDS + 1).cast("int"),
+                    _CHUNK_WORDS,
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dropped_chunks"),
+    )
+
+
+_PROJ_IN_DIM = 64
+_PROJ_OUT_DIM = 8
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5 — computed once in Python and baked
+    into BOTH engines' expressions as literals, so there is nothing to
+    keep in sync at runtime."""
+    return 1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def _jl_oracle_expr(j: int) -> str:
+    terms = []
+    for i in range(_PROJ_IN_DIM):
+        op = "+" if _jl_sign(i, j) > 0 else "-"
+        terms.append((op, f"CAST(embedding[{i + 1}] AS DOUBLE)"))
+    first_op, first = terms[0]
+    expr = first if first_op == "+" else f"(0.0 - {first})"
+    for op, t in terms[1:]:
+        expr = f"({expr} {op} {t})"
+    return f"ROUND({expr}, 4)"
+
+
+@register(
+    "embedding_random_projection",
+    oracle="SELECT vec_id, "
+    + ", ".join(f"{_jl_oracle_expr(j)} AS p{j}" for j in range(_PROJ_OUT_DIM))
+    + " FROM embeddings",
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 8 dims with a
+    deterministic ±1 sign matrix (Achlioptas-style sparse JL): the
+    dimensionality-reduction step before ANN indexing or clustering at
+    corpus scale. The sign matrix is derived from md5 in Python at
+    plan-build time and embedded as add/subtract chains, so the whole
+    projection is a shuffle-free, Python-free, whole-stage-codegen
+    per-row expression — identical left-to-right IEEE evaluation order
+    on both engines, rounded to 4 decimals.
+    """
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+
+    def proj(j: int):
+        terms = [
+            (
+                _jl_sign(i, j),
+                F.element_at("embedding", i + 1).cast("double"),
+            )
+            for i in range(_PROJ_IN_DIM)
+        ]
+        sign0, t0 = terms[0]
+        expr = t0 if sign0 > 0 else (F.lit(0.0) - t0)
+        expr = reduce(
+            lambda acc, st: acc + st[1] if st[0] > 0 else acc - st[1],
+            terms[1:],
+            expr,
+        )
+        return F.round(expr, 4).alias(f"p{j}")
+
+    return e.select("vec_id", *[proj(j) for j in range(_PROJ_OUT_DIM)])
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "train_shard_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+             ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+               - CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                      THEN 87 ELSE 48 END
+               AS shard
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM assigned
+    GROUP BY shard
+    """,
+)
+def train_shard_manifest(spark, sf_dir):
+    """Deterministic output-shard manifest: every document is assigned
+    to one of 16 shards by an md5-derived hash of its id (stable across
+    engines, runs, and partitionings — NOT Spark's internal hash), and
+    the manifest reports per-shard document counts, byte totals and
+    language spread. This is the bookkeeping step before a sharded
+    training-data write (the write itself is repartition(shard) +
+    partitionBy, exercised by the COPY TO export operator). One grouped
+    aggregation with map-side partials; the shard key is uniform by
+    construction, so no skew at any scale.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+    # Hex-digit value of the first md5 char: uniform over 0..15.
+    shard = a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+    return (
+        d.select("doc_id", "lang", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_FUNNEL_REASON = f"""CASE WHEN n_chars < 120 THEN 'too_short'
+         WHEN {oracle_quality_score('text')} < 0.70 THEN 'low_quality'
+         WHEN {oracle_lang_id('text')} <> 'en' THEN 'non_english'
+         ELSE 'keep' END"""
+
+
+@register(
+    "filter_funnel_report",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, n_chars, {_FUNNEL_REASON} AS reason,
+             {oracle_quality_score('text')} AS quality
+      FROM documents)
+    SELECT reason,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           {oracle_exact_avg_rounded('quality')} AS avg_quality
+    FROM tagged
+    GROUP BY reason
+    """,
+)
+def filter_funnel_report(spark, sf_dir):
+    """Corpus-cleaning funnel accounting: every document is tagged
+    with the FIRST filter rule it trips — length floor, quality-score
+    floor, predicted-language gate, in that order — and the report
+    gives per-reason document counts, byte mass, and mean quality.
+    This is the observability step every large-scale filtering
+    pipeline runs before committing a rule set: it shows what each
+    rule would discard. One narrow projection (all rules are per-row
+    expressions shared with text_quality / text_lang_id) plus one
+    4-key grouped aggregation — nothing here changes shape at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    reason = (
+        F.when(F.col("n_chars") < 120, F.lit("too_short"))
+        .when(quality_score("text") < 0.70, F.lit("low_quality"))
+        .when(lang_id("text") != "en", F.lit("non_english"))
+        .otherwise(F.lit("keep"))
+    )
+    tagged = d.select(
+        "doc_id",
+        "n_chars",
+        reason.alias("reason"),
+        quality_score("text").alias("quality"),
+    )
+    return tagged.groupBy("reason").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        exact_avg_rounded("quality").alias("avg_quality"),
+    )
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """Structured Streaming, oracle-checked: the watermarked
+    tumbling-window plan from streaming/windowed_event_counts runs as
+    a REAL stream over the events parquet (file source,
+    ``availableNow`` trigger, complete-mode memory sink) and the
+    drained sink table is returned — so the streaming execution path
+    itself, not a batch stand-in, is verified against the DuckDB
+    GROUP BY time_bucket oracle. ``availableNow`` processes the full
+    backlog then terminates, which makes the run deterministic: no
+    window is dropped (the watermark only ever advances between
+    triggers) and complete mode emits every window. The same code
+    with a live source and append mode is the production shape —
+    bounded state via watermark eviction is proven separately in
+    tests/test_streaming.py.
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    run_to_memory(agg, "streaming_tumbling_counts_sink", mode="complete")
+    return spark.table("streaming_tumbling_counts_sink")
