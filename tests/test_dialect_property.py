@@ -1,0 +1,93 @@
+"""Property tests for the dialect shim's token-safety guarantees
+(ADVICE r1: the QUALIFY scan and cast rewriting used to touch string
+literals). Hypothesis drives adversarial literal content — keywords,
+cast syntax, catalog prefixes, doubled quotes — through transpile()
+and asserts the literal spans come out byte-identical."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_distributed_execution_spark.dialect import transpile
+
+# Content that each rewrite pass keys on — must never be rewritten
+# inside a string literal.
+_TRIGGERS = [
+    "QUALIFY",
+    "qualify x",
+    "::DATE",
+    "a :: int",
+    "dh.tbl",
+    "x // y",
+    "EXCLUDE",
+    "list_contains(a, b)",
+    "ORDER BY",
+    "LIMIT 5",
+    "-- not a comment",
+    "/* not a comment */",
+]
+
+_literal_text = st.one_of(
+    st.sampled_from(_TRIGGERS),
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="'\\"
+        ),
+        max_size=30,
+    ),
+)
+
+
+def _quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@given(lit=_literal_text)
+@settings(max_examples=200, deadline=None)
+def test_literal_content_never_rewritten(lit):
+    q = _quote(lit)
+    out = transpile(f"SELECT * FROM t WHERE note = {q}")
+    assert q in out, f"literal altered: {q!r} -> {out!r}"
+
+
+@given(lit=_literal_text, lit2=_literal_text)
+@settings(max_examples=200, deadline=None)
+def test_two_literals_with_rewrites_between(lit, lit2):
+    """Rewrites in the surrounding code must fire while both literals
+    survive untouched — including when the literal itself is the cast
+    operand."""
+    q1, q2 = _quote(lit), _quote(lit2)
+    out = transpile(
+        f"SELECT {q1}::VARCHAR AS a, c // 2 AS b FROM dh.t WHERE x = {q2}"
+    )
+    assert q1 in out and q2 in out
+    assert f"CAST({q1} AS STRING)" in out
+    assert " div " in out
+    assert "FROM t " in out and "dh.t" not in out.replace(q1, "").replace(q2, "")
+
+
+@given(lit=_literal_text)
+@settings(max_examples=100, deadline=None)
+def test_transpile_idempotent(lit):
+    """Transpiling already-transpiled SQL is a no-op: every rewrite
+    emits forms (CAST, div, EXCEPT, stripped catalog) that no pass
+    keys on again."""
+    sql = (
+        f"SELECT a::INT AS x, b // 2 AS y, {_quote(lit)} AS z "
+        "FROM dh.t WHERE c IS NOT NULL"
+    )
+    once = transpile(sql)
+    assert transpile(once) == once
+
+
+@given(
+    comment=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\n'\\"),
+        max_size=25,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_line_comment_preserved(comment):
+    out = transpile(f"SELECT a FROM t -- {comment}")
+    assert f"-- {comment}" in out
