@@ -28,9 +28,12 @@ from duckdb_distributed_execution_spark.functions import (
 )
 from duckdb_distributed_execution_spark.operators.text import (
     lang_id,
+    normalize_text,
     oracle_lang_id,
+    oracle_normalize,
     oracle_quality_score,
     quality_score,
+    tokens,
 )
 from duckdb_distributed_execution_spark.queries import load, register
 
@@ -313,3 +316,109 @@ def streaming_tumbling_counts(spark, sf_dir):
     agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
     run_to_memory(agg, "streaming_tumbling_counts_sink", mode="complete")
     return spark.table("streaming_tumbling_counts_sink")
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def streaming_session_counts(spark, sf_dir):
+    """Structured Streaming session windows, oracle-checked: the
+    keyed ``session_window`` plan from streaming/
+    sessionized_event_counts runs as a real availableNow stream
+    (complete-mode memory sink: session windows reject update mode,
+    and complete emits every merged session's final state) and is
+    compared against the DuckDB gaps-and-islands session oracle. Boundary semantics follow Spark's half-open
+    session window: an event exactly ``gap`` after the previous one
+    starts a NEW session, hence ``>=`` in the oracle's break
+    condition, and session_end = last event + gap. State at
+    production scale is bounded by the watermark (eviction proven in
+    tests/test_streaming.py); the grouping key (user_id) partitions
+    the state store, so session merging never funnels through one
+    task.
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        sessionized_event_counts,
+    )
+
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = sessionized_event_counts(stream, gap="30 minutes", watermark="1 hour")
+    run_to_memory(agg, "streaming_session_counts_sink", mode="complete")
+    return spark.table("streaming_session_counts_sink").select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+
+
+_ENT_TOKS = f"regexp_split_to_array({oracle_normalize('text')}, '\\s+')"
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_ENT_TOKS} AS toks FROM documents
+      WHERE doc_id % 7 = 0)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           ROUND(0.0 + list_reduce(
+             list_transform(
+               list_sort(list_distinct(toks)),
+               w -> -(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE))
+                    * ln(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE))),
+             (a, b) -> a + b), 6) AS entropy
+    FROM t
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy (nats) of each document's token distribution —
+    the information-density heuristic behind repetition filters
+    (low-entropy = template/boilerplate text). Computed entirely
+    in-row: distinct tokens are sorted so the floating-point fold
+    order is a property of the DATA, not the partitioning — both
+    engines sum -(p·ln p) over the same sequence left-to-right (the
+    leading 0.0 term normalizes DuckDB's init-free list_reduce,
+    including the -0.0 single-token edge). No shuffle at any scale;
+    per-row cost is O(distinct² ) on ~100-token documents."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = tokens(normalize_text("text"))
+    n = F.size(toks).cast("double")
+
+    def term(w):
+        c = F.size(F.filter(toks, lambda x: x == w)).cast("double")
+        return (F.lit(0.0) - (c / n)) * F.log(c / n)
+
+    entropy = F.aggregate(
+        F.array_sort(F.array_distinct(toks)),
+        F.lit(0.0),
+        lambda acc, w: acc + term(w),
+    )
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(entropy, 6).alias("entropy"),
+    )

@@ -395,3 +395,45 @@ def test_stable_row_ids_multi_partition(spark):
     # id must equal rank of k in ascending order, regardless of the
     # input layout
     assert all(rows[k] == k for k in (0, 1, 499, 998, 999))
+
+
+def test_minhash_lsh_partition_independent(spark):
+    """The full LSH pipeline (shingle -> sig -> band -> bucket join ->
+    verify) must produce identical pairs at any input partitioning —
+    the property that makes it safe to scale executor counts."""
+    from duckdb_distributed_execution_spark.queries import load
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")["documents"]
+
+    def run(nparts):
+        d = docs.repartition(nparts)
+        pairs = D.minhash_lsh_pairs(
+            d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
+            verify_threshold=0.12,
+        )
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in pairs.collect()
+        }
+
+    assert run(2) == run(16)
+
+
+def test_paragraph_dedup_partition_independent(spark):
+    """Corpus-wide chunk keep-first must not depend on partition
+    layout: the winner is (doc_id, chunk_idx)-minimal per hash, a
+    total order independent of physical placement."""
+    from duckdb_distributed_execution_spark.queries import all_queries
+    from tests.conftest import SF_SMOKE
+
+    fn = all_queries()["dedup_paragraph_exact"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
