@@ -370,6 +370,77 @@ def streaming_session_counts(spark, sf_dir):
     )
 
 
+# One Engine per SparkSession for the DML query — the temp warehouse
+# lives for the process (repeated harness calls drop/recreate the
+# table, they don't leak directories).
+_DML_ENGINES: dict[int, object] = {}
+
+
+@register(
+    "dml_lifecycle_state",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation WHERE n_regionkey < 3),
+    after_delete AS (
+      SELECT * FROM base WHERE NOT (n_nationkey % 3 = 0)),
+    src AS (
+      SELECT n_nationkey, upper(n_name) AS n_name,
+             n_regionkey + 100 AS n_regionkey
+      FROM nation WHERE n_regionkey IN (2, 3)),
+    merged AS (
+      SELECT * FROM after_delete
+      WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      UNION ALL
+      SELECT * FROM src)
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey >= 100 THEN n_name || '!' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM merged
+    """,
+)
+def dml_lifecycle_state(spark, sf_dir):
+    """The DML surface on the driver-checked path (previously
+    pytest-only): CREATE TABLE → columnar INSERT (A3) → true-predicate
+    DELETE (A4 — the reference rewrites the predicate as first-column
+    IN, hazard #5; here the real predicate runs) → MERGE upsert
+    (anti-join + union, the Delta MERGE plan) → conditional UPDATE,
+    all through the Engine facade, returning the final table state.
+    The oracle replays the same lifecycle as pure SQL over the source
+    table. Copy-on-write rewrites land in a process-lifetime temp
+    warehouse; every step is a distributed DataFrame plan (no VALUES
+    strings, no row-at-a-time)."""
+    from duckdb_distributed_execution_spark import Engine
+
+    eng = _DML_ENGINES.get(id(spark))
+    if eng is None:
+        eng = Engine(spark)
+        _DML_ENGINES[id(spark)] = eng
+    nat = load(spark, sf_dir, "nation")["nation"]
+    name = "dml_lifecycle_t"
+    if eng.table_exists(name):
+        eng.drop_table(name)
+    eng.create_table(
+        name, "n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT"
+    )
+    eng.insert_into(
+        name,
+        nat.filter(F.col("n_regionkey") < 3).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+    )
+    eng.delete_from(name, "n_nationkey % 3 = 0")
+    src = nat.filter(F.col("n_regionkey").isin(2, 3)).select(
+        "n_nationkey",
+        F.upper("n_name").alias("n_name"),
+        (F.col("n_regionkey") + 100).alias("n_regionkey"),
+    )
+    eng.merge_upsert(name, src, on=["n_nationkey"])
+    eng.update_table(name, {"n_name": "n_name || '!'"}, "n_regionkey >= 100")
+    return eng.table(name)
+
+
 _ENT_TOKS = f"regexp_split_to_array({oracle_normalize('text')}, '\\s+')"
 
 
