@@ -441,6 +441,75 @@ def dml_lifecycle_state(spark, sf_dir):
     return eng.table(name)
 
 
+# GPT-2-style pretokenizer regex, simplified to the corpus alphabet:
+# optional-apostrophe letter runs, 1-3 digit runs, single punctuation.
+# Same pattern string runs under Java regex (Spark) and RE2 (DuckDB).
+_BPE_PAT = "'?[a-z]+|[0-9]{1,3}|[^a-z0-9 ]"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), ' +')) AS ws_toks,
+             regexp_extract_all(lower(text), '{_BPE_PAT_SQL}') AS bpe
+      FROM documents),
+    p AS (
+      SELECT lang, ws_toks,
+             len(bpe) AS bpe_toks,
+             list_reduce(
+               list_transform(
+                 bpe, x -> CAST(floor((length(x) + 3) / 4) AS BIGINT)),
+               (a, b) -> a + b) AS subword_est
+      FROM t)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_toks) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(subword_est) AS BIGINT) AS total_subword_est,
+           ROUND(CAST(SUM(bpe_toks) AS DOUBLE) / CAST(SUM(ws_toks) AS DOUBLE), 6)
+             AS bpe_per_ws
+    FROM p
+    GROUP BY lang
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer regex (GPT-2-style
+    pattern: apostrophe-letter runs, short digit runs, punctuation)
+    alongside the whitespace count, plus a subword estimate
+    (ceil(len/4) per pretoken — the classic chars-per-token prior).
+    All integer arithmetic in-row (order-independent sums; the one
+    double division happens once per group), same regex under Java
+    regex and RE2. This is the cost-estimation pass before a real
+    tokenizer run: corpus token budgets per language from one scan."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    ws = F.size(F.split(F.trim(F.col("text")), " +", -1))
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0))
+    sub = F.aggregate(
+        bpe,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.floor((F.length(x) + F.lit(3)) / F.lit(4)).cast("bigint"),
+    )
+    p = d.select(
+        "lang",
+        ws.alias("ws_toks"),
+        F.size(bpe).alias("bpe_toks"),
+        sub.alias("subword_est"),
+    )
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_toks").cast("bigint").alias("total_ws_tokens"),
+        F.sum("bpe_toks").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("subword_est").cast("bigint").alias("total_subword_est"),
+        F.round(
+            F.sum("bpe_toks").cast("double") / F.sum("ws_toks").cast("double"), 6
+        ).alias("bpe_per_ws"),
+    )
+
+
 _ENT_TOKS = f"regexp_split_to_array({oracle_normalize('text')}, '\\s+')"
 
 
