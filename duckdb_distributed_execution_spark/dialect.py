@@ -79,6 +79,13 @@ FUNCTION_RENAMES = {
     "list_distinct": "array_distinct",
     "list_sort": "array_sort",
     "list_reverse": "reverse",
+    "list_append": "array_append",
+    # NOT renamed (semantics differ — pass through to fail loudly
+    # rather than silently change meaning): list_prepend (elem-first
+    # arg order vs array-first), list_slice (end-inclusive vs slice's
+    # length arg), list_position (NULL vs 0 on miss),
+    # string_split/str_split (literal separator vs split's regex).
+    "array_length": "size",
     "regexp_split_to_array": "split",
     "str_split_regex": "split",
     "quantile_cont": "percentile",

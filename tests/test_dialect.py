@@ -144,3 +144,13 @@ def test_qualify_with_tail(spark, duck):
 def test_cast_after_comment_raises():
     with pytest.raises(NotImplementedError):
         transpile("SELECT /* c */::INT FROM t", catalog=None)
+
+
+def test_list_append_and_length_renames(spark, duck):
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey, "
+        "array_length(list_append(list_value(1, 2), n_nationkey % 3)) AS n, "
+        "list_contains(list_append(list_value(1, 2), 3), 3) AS has3 "
+        "FROM nation",
+    )
