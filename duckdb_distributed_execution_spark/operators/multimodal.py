@@ -18,7 +18,6 @@ nothing ever collects to the driver.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -75,12 +74,12 @@ def _decode_one(payload: bytes, dim: int, stub: bool) -> list[float]:
             "run with decode_stub=True for the deterministic fake"
         )
     # Deterministic fake: md5-seeded byte folding — stable feature
-    # vector with the same shape a real encoder would emit.
+    # vector with the same shape a real encoder would emit. Values are
+    # integer-valued (0..255) so they are exact in float32, which lets
+    # the DuckDB oracle verify the Arrow/mapInPandas plumbing
+    # bit-exactly (queries/llm.py multimodal_features).
     h = hashlib.md5(payload).digest()
-    crc = zlib.crc32(payload)
-    return [
-        float((h[i % 16] * 31 + crc % (i + 7)) % 256) / 255.0 for i in range(dim)
-    ]
+    return [float((h[i % 16] * 31 + 7 * i) % 256) for i in range(dim)]
 
 
 def extract_features(

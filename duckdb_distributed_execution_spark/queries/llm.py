@@ -402,11 +402,35 @@ def multimodal_metadata(spark, sf_dir):
     )
 
 
-@register("multimodal_features", oracle=None)
+def _md5_byte_sql(j: int) -> str:
+    """DuckDB expr for byte j (0-based) of md5(text)'s digest: decode
+    the two hex chars at positions 2j+1, 2j+2 into 16*hi + lo."""
+
+    def hexdig(p: int) -> str:
+        a = f"ascii(substr(md5(text), {p}, 1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    return f"({hexdig(2 * j + 1)} * 16 + {hexdig(2 * j + 2)})"
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(({_md5_byte_sql(0)} * 31 + 0) % 256 AS DOUBLE) AS f0,
+           CAST(({_md5_byte_sql(7)} * 31 + 49) % 256 AS DOUBLE) AS f7
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads (decode
-    stubbed deterministically — see operators/multimodal.py). Driver
-    records rows-only; exactness is covered by pytest golden tests."""
+    """mapInPandas feature extraction over binary payloads, with the
+    deterministic decode STUB (operators/multimodal.py — a real
+    decoder swaps into _decode_one; the Arrow plumbing is what's real
+    here). The stub emits integer-valued floats derived from the md5
+    digest bytes, which are float32-exact — so the DuckDB oracle
+    (hex-digit arithmetic over md5(text)) verifies the Python
+    Arrow-batch path END TO END: batching, schema, row alignment.
+    Previously the inventory's only rows-only entry."""
     d = load(spark, sf_dir, "documents")["documents"]
     media = M.attach_binary_payload(d, "text", "doc_id")
     feats = M.extract_features(media, dim=8, decode_stub=True)

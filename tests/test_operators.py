@@ -5,7 +5,6 @@ inputs with known answers."""
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -257,9 +256,8 @@ def test_multimodal_features_deterministic(spark):
              for r in M.extract_features(media, dim=4).collect()}
     # mirror the stub computation in Python
     h = hashlib.md5(b"hello").digest()
-    crc = zlib.crc32(b"hello")
-    expected = [float((h[i % 16] * 31 + crc % (i + 7)) % 256) / 255.0 for i in range(4)]
-    assert feats[1] == pytest.approx(expected)
+    expected = [float((h[i % 16] * 31 + 7 * i) % 256) for i in range(4)]
+    assert feats[1] == expected  # integer-valued floats: float32-exact
     meta = {r.media_id: r for r in M.extract_metadata(media).collect()}
     assert meta[1].n_bytes == 5
     assert meta[1].content_md5 == hashlib.md5(b"hello").hexdigest()
