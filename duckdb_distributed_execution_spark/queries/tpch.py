@@ -4,9 +4,10 @@ DuckDB node (query_utils.cpp:20-35). Each is a genuinely distributed
 Spark plan: facts shuffle on join keys, dims broadcast, aggregation is
 partial/final, and every query hash-matches the DuckDB oracle.
 
-(Q1 ≡ agg_pricing_summary, Q5 ≡ join_multi_star, Q15 ≡ cte_revenue in
-core/joins/nested; this module adds the rest of the representative
-shapes.)"""
+(Q1 ≡ agg_pricing_summary, Q5 ≡ join_multi_star in core/joins;
+cte_revenue in nested keeps the AVG-threshold Q15 variant while
+tpch_q15_top_supplier below is the faithful MAX form; this module
+adds the rest of the representative shapes.)"""
 
 from __future__ import annotations
 
@@ -1131,4 +1132,49 @@ def tpch_q20_partsupp(spark, sf_dir):
             "left_semi",
         )
         .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Faithful TPC-H Q15: quarterly revenue view per supplier, then
+    the supplier(s) achieving the MAX revenue (equality against a
+    scalar subquery — exact because both engines compare identical
+    exact-decimal sums). cte_revenue keeps the AVG-threshold variant
+    of the same shape. Plan: one grouped aggregation on l_suppkey,
+    the 1-row MAX broadcast back, dim join broadcast."""
+    t = load(spark, sf_dir, "lineitem", "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(exact_sum(rev).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__top"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__top"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
