@@ -91,6 +91,39 @@ def ivf_assign(
     )
 
 
+def ivf_assign_n(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Multi-probe assignment: the ``nprobe`` nearest centroids per
+    vector (squared-L2, centroid id tie-break). ``nprobe=1`` is
+    exactly ``ivf_assign``. Used on the QUERY side of an IVF probe —
+    searching the runner-up cells recovers most of the recall lost to
+    quantization at the cost of nprobe× candidates, still ≪ brute
+    force."""
+    c = centroids.select(
+        F.col(cid_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    v = vecs.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    dists = v.join(F.broadcast(c)).select(
+        "__vid", "__cid", sq_l2(F.col("__v"), F.col("__cv")).alias("dist")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("__cid"))
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("__cid").alias(cid_col),
+            "dist",
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,10 +131,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe: route each query to its nearest centroid cell and
-    rank only that cell's members by cosine — candidates shrink by
-    ~n_cells× vs brute force; the cell join is a plain equi-join."""
+    """IVF probe: route each query to its ``nprobe`` nearest centroid
+    cells and rank only those cells' members by cosine — candidates
+    shrink by ~n_cells/nprobe× vs brute force; the cell join is a
+    plain equi-join. Each corpus vector lives in exactly one cell and
+    the probed cells are distinct, so no (query, neighbor) pair is
+    generated twice."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cid"
     )
@@ -110,7 +147,7 @@ def ivf_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     ).join(cells, on="neighbor_id")
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_cells = ivf_assign_n(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cid"
     )
     q = queries.select(

