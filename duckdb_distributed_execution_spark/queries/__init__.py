@@ -74,15 +74,31 @@ def arr_str(col):
     return F.array_join(c.cast("array<string>"), ",")
 
 
+_LOAD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Register the requested testdata tables as temp views (matching
-    the oracle's pre-registered DuckDB view names) and return them."""
+    the oracle's pre-registered DuckDB view names) and return them.
+
+    The DataFrame (the analyzed scan relation) is memoized per
+    (session, path): the testdata files are immutable inputs, and
+    rebuilding the relation on every query construction repeats the
+    JVM-side file listing + footer schema read — the same catalog
+    metadata a production engine caches in its metastore client."""
     from duckdb_distributed_execution_spark.sources import read_parquet_table
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for n in names or _ALL_TABLES:
-        df = read_parquet_table(spark, os.path.join(sf_dir, f"{n}.parquet"))
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.join(sf_dir, f"{n}.parquet"),
+        )
+        df = _LOAD_CACHE.get(key)
+        if df is None:
+            df = read_parquet_table(spark, key[1])
+            _LOAD_CACHE[key] = df
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -6,6 +6,7 @@ against its pure-SQL twin."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import (
@@ -641,11 +642,20 @@ def approx_count_distinct_bound(spark, sf_dir):
 @register(
     "approx_percentile_bound",
     oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+    WITH r AS (
+      SELECT l_returnflag AS f, l_extendedprice AS p,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    m AS (
+      SELECT f, p, n FROM r
+      WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+    SELECT f AS l_returnflag,
+           CAST(ROUND(SUM(p) * (3 - COUNT(*)) * 100, 0) AS BIGINT)
+             AS exact_p50_cents_x2,
            TRUE AS approx_within_1pct
-    FROM lineitem
-    GROUP BY l_returnflag
+    FROM m GROUP BY f
     """,
 )
 def approx_percentile_bound(spark, sf_dir):
@@ -653,19 +663,45 @@ def approx_percentile_bound(spark, sf_dir):
     bounded state per group at any scale, vs the full sort exact
     percentiles need). Same bound-check contract as
     approx_count_distinct_bound: exact median cross-checked, the
-    sketch asserted within 1% relative error."""
+    sketch asserted within 1% relative error.
+
+    The exact median is emitted as INTEGER CENTS × 2 (sum of the two
+    middle order statistics, doubled when they coincide): interpolated
+    medians land on .xx5 boundaries where Spark (BigDecimal of the
+    shortest decimal repr) and DuckDB (std::round(x*100)/100) round
+    the same double differently — an integer contract has no rounding
+    boundary at all. Both engines pick the middle positions with the
+    same window + row_number plan."""
     t = load(spark, sf_dir, "lineitem")["lineitem"]
+    r = t.select(
+        F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("p")
+    ).select(
+        "f",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("f").orderBy("p"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("f")).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    mid = r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    exact = mid.groupBy("f").agg(
+        F.round(F.sum("p") * (F.lit(3) - F.count(F.lit(1))) * 100, 0)
+        .cast("bigint")
+        .alias("exact_p50_cents_x2")
+    )
+    approx = t.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(1000)
+        ).alias("ap50"),
+    )
     return (
-        t.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-            F.percentile_approx(
-                "l_extendedprice", F.lit(0.5), F.lit(1000)
-            ).alias("ap50"),
-        )
+        exact.join(approx, on="f")
         .select(
-            "l_returnflag",
-            F.round("p50", 2).alias("exact_p50"),
+            F.col("f").alias("l_returnflag"),
+            "exact_p50_cents_x2",
             (
                 F.abs(F.col("ap50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))
             ).alias("approx_within_1pct"),

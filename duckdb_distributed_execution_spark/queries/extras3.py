@@ -314,10 +314,15 @@ def semantic_dedup_seeded(spark, sf_dir):
             F.col("n").alias("sn"),
         )
     )
+    # Assignment stays NARROW: the 8× seed fan-out carries only
+    # (vec_id, seed_id, sim) — never the 64-dim embedding — and the
+    # argmax is a max_by aggregation (map-side partial reduction, one
+    # slim shuffle) instead of a row_number window that would shuffle
+    # eight embedding-carrying copies of every row. (sim, -seed_id) is
+    # unique per vec_id, so max_by is deterministic and equals the
+    # oracle's ORDER BY sim DESC, seed_id.
     sims = v.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
-        "embedding",
-        "n",
         "seed_id",
         F.round(
             dot_product(F.col("embedding"), F.col("se"))
@@ -325,11 +330,18 @@ def semantic_dedup_seeded(spark, sf_dir):
             6,
         ).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "seed_id")
+    assign = sims.groupBy("vec_id").agg(
+        F.max_by(
+            "seed_id", F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns"))
+        ).alias("cluster")
+    )
+    # Materialize the clustered corpus ONCE (eager localCheckpoint):
+    # both sides of the within-cluster pair join reuse it, instead of
+    # re-running the scan + assignment subtree per branch.
     clustered = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding", "n")
+        v.join(assign, on="vec_id")
+        .select("vec_id", "cluster", "embedding", "n")
+        .localCheckpoint(eager=True)
     )
     a = clustered.select(
         "cluster", F.col("vec_id").alias("id_a"),
