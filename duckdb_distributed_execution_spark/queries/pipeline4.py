@@ -105,6 +105,91 @@ def text_pii_redact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Remote scan via the custom Python DataSource (reference A1/A2/A8/A9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "remote_scan_rowid_tasks",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def remote_scan_rowid_tasks(spark, sf_dir):
+    """The reference's distributed remote-table scan, Spark-native: a
+    custom Python DataSource (sources/remote.py) splits a DuckDB-held
+    table into rowid-BETWEEN range tasks (task_partitioner.cpp
+    strategy ladder: small-table bypass, row-group unit, 4× task cap),
+    each Spark task opens the database read-only and streams Arrow
+    batches. The quantity predicate is PUSHED into the remote engine
+    (pushFilters) — a strict superset of the reference, which pushes
+    projection only and filters client-side
+    (distributed_table_scan_function.cpp:40-41)."""
+    from duckdb_distributed_execution_spark.sources.remote import (
+        build_remote_db,
+        register_remote_source,
+    )
+
+    load(spark, sf_dir, "lineitem")  # oracle-side view
+    register_remote_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    db = build_remote_db(sf_dir)
+    df = (
+        spark.read.format("duckdb_remote")
+        .option("path", db)
+        .option("table", "lineitem")
+        .option("partitions", "8")
+        .option("page_rows", "8192")
+        .load()
+    )
+    return df.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "remote_scan_paged",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(s_suppkey) AS min_key,
+           MAX(s_suppkey) AS max_key,
+           COUNT(DISTINCT s_suppkey) AS n_keys
+    FROM supplier
+    """,
+)
+def remote_scan_paged(spark, sf_dir):
+    """LIMIT/OFFSET scan paging (the reference client's Flight ticket
+    loop, distributed_flight_server.cpp:503-508) as the ``offset``
+    strategy of the same DataSource: pages tile the table in physical
+    rowid order, one Spark task per page. The COUNT DISTINCT in the
+    checked aggregate proves pages neither overlap nor skip rows."""
+    from duckdb_distributed_execution_spark.sources.remote import (
+        build_remote_db,
+        register_remote_source,
+    )
+
+    load(spark, sf_dir, "supplier")
+    register_remote_source(spark)
+    db = build_remote_db(sf_dir)
+    df = (
+        spark.read.format("duckdb_remote")
+        .option("path", db)
+        .option("table", "supplier")
+        .option("strategy", "offset")
+        .option("page_rows", "64")
+        .option("partitions", "4")
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+        F.countDistinct("s_suppkey").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming: exact dedup, attribution join, custom keyed state
 # ---------------------------------------------------------------------------
 

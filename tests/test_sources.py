@@ -74,3 +74,91 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted((r.id, r.tag, r.v) for r in back.collect()) == [
         (1, "a", 1.5), (2, "b", 2.5),
     ]
+
+
+# ---------------------------------------------------------------------------
+# duckdb_remote custom DataSource (reference A1/A2/A8/A9 analog)
+# ---------------------------------------------------------------------------
+
+
+def _remote_db(tmp_path, rows=300):
+    import duckdb
+
+    p = str(tmp_path / "srv.duckdb")
+    con = duckdb.connect(p)
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS k, 'v' || CAST(range % 7 AS VARCHAR) AS v,"
+        " CASE WHEN range % 10 = 0 THEN NULL ELSE range * 1.5 END AS x"
+        f" FROM range({rows})"
+    )
+    con.close()
+    return p
+
+
+def test_remote_source_task_ladder(tmp_path):
+    """Strategy ladder parity (task_partitioner.cpp): small-table
+    bypass → one task; large table → ceil(rows/unit) capped at 4×
+    target parallelism."""
+    from pyspark.sql.types import StructType
+
+    from duckdb_distributed_execution_spark.sources.remote import (
+        DuckDBRemoteReader,
+    )
+
+    p = _remote_db(tmp_path, rows=300)
+    schema = StructType()  # columns unused by partitions()
+
+    def reader(**opts):
+        base = {"path": p, "table": "t", "partitions": "4"}
+        base.update(opts)
+        return DuckDBRemoteReader(base, schema)
+
+    # bypass: 300 rows < default 122,880-row unit → single task
+    assert len(reader().partitions()) == 1
+    # unit 50 → ceil(300/50)=6 tasks (< cap 16)
+    assert len(reader(page_rows="50").partitions()) == 6
+    # unit 10 → 30 would exceed cap 4×4 → capped at 16
+    assert len(reader(page_rows="10").partitions()) == 16
+    # ranges tile [0, rows) exactly, no overlap
+    parts = reader(page_rows="50").partitions()
+    covered = sorted((t.lo, t.hi) for t in parts)
+    assert covered[0][0] == 0 and covered[-1][1] == 299
+    for (lo1, hi1), (lo2, _) in zip(covered, covered[1:]):
+        assert lo2 == hi1 + 1
+
+
+def test_remote_source_read_and_pushdown(spark, tmp_path):
+    """Full read parity plus pushed string/IN/null predicates; rowid
+    and offset strategies return identical row sets."""
+    from duckdb_distributed_execution_spark.sources.remote import (
+        register_remote_source,
+    )
+
+    p = _remote_db(tmp_path, rows=300)
+    register_remote_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    def rd(strategy):
+        return (
+            spark.read.format("duckdb_remote")
+            .option("path", p)
+            .option("table", "t")
+            .option("partitions", "4")
+            .option("page_rows", "50")
+            .option("strategy", strategy)
+            .load()
+        )
+
+    rowid = rd("rowid")
+    assert rowid.count() == 300
+    assert rd("offset").count() == 300
+    assert sorted(r.k for r in rowid.collect()) == sorted(
+        r.k for r in rd("offset").collect()
+    )
+    # pushed predicates (translated to remote SQL) stay correct
+    assert rowid.filter("v = 'v3'").count() == 300 // 7 + (1 if 3 < 300 % 7 else 0)
+    assert rowid.filter("k >= 100 AND k < 110").count() == 10
+    assert rowid.filter("x IS NULL").count() == 30
+    assert rowid.filter("v IN ('v1', 'v2')").count() == sum(
+        1 for i in range(300) if i % 7 in (1, 2)
+    )
