@@ -39,6 +39,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 # Reference row-group unit: 122,880 rows (query_plan_analyzer.cpp:91,
@@ -191,6 +193,80 @@ class DuckDBRemoteReader(DataSourceReader):
             con.close()
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class DuckDBRemoteWriter(DataSourceArrowWriter):
+    """Distributed INSERT back to the remote database — the Spark
+    re-expression of the reference's write path (A3,
+    distributed_insert.cpp:26-100 + the DoPut Arrow ingest,
+    distributed_flight_server.cpp:573-613), minus its wart: the
+    reference serializes every chunk into one giant row-by-row
+    ``INSERT … VALUES`` SQL string on the driver; here every task
+    stages its partition as parquet (columnar, parallel, off-driver)
+    and ``commit()`` appends all staged files to the table in ONE
+    transaction — honoring DuckDB's single-writer model at the commit
+    point only, with data movement fully distributed. ``abort()``
+    removes the staging directory, so a failed write leaves the table
+    untouched (all-or-nothing, which the reference does not have)."""
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options["path"]
+        self._table = options["table"]
+        self._staging = self._path + ".staging"
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        out = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+        if writer is None:
+            return _StagedFile(path="", rows=0)
+        writer.close()
+        return _StagedFile(path=out, rows=rows)
+
+    def commit(self, messages):
+        import shutil
+
+        import duckdb
+
+        files = [m.path for m in messages if m is not None and m.path]
+        con = duckdb.connect(self._path)
+        try:
+            con.execute("BEGIN")
+            if self._overwrite:
+                con.execute(f'DELETE FROM "{self._table}"')
+            if files:
+                con.execute(
+                    f'INSERT INTO "{self._table}" '
+                    f"SELECT * FROM read_parquet(?)",
+                    [files],
+                )
+            con.execute("COMMIT")
+        finally:
+            con.close()
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
 class DuckDBRemoteDataSource(DataSource):
     """Register with ``spark.dataSource.register(DuckDBRemoteDataSource)``
     then::
@@ -223,6 +299,9 @@ class DuckDBRemoteDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return DuckDBRemoteReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> DuckDBRemoteWriter:
+        return DuckDBRemoteWriter(self.options, overwrite)
 
 
 _REGISTERED: set[str] = set()

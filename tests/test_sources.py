@@ -162,3 +162,47 @@ def test_remote_source_read_and_pushdown(spark, tmp_path):
     assert rowid.filter("v IN ('v1', 'v2')").count() == sum(
         1 for i in range(300) if i % 7 in (1, 2)
     )
+
+
+def test_remote_source_distributed_insert(spark, tmp_path):
+    """Distributed INSERT round-trip through the duckdb_remote writer:
+    tasks stage parquet in parallel, commit appends in one
+    transaction (A3 analog, columnar — never row-by-row VALUES).
+    Append and overwrite modes both verified by reading back through
+    the same source."""
+    import duckdb
+
+    from duckdb_distributed_execution_spark.sources.remote import (
+        register_remote_source,
+    )
+
+    p = _remote_db(tmp_path, rows=100)
+    register_remote_source(spark)
+
+    src = spark.range(1000, 1050).selectExpr(
+        "id AS k", "'w' || CAST(id % 3 AS STRING) AS v", "CAST(id AS DOUBLE) AS x"
+    ).repartition(4)
+    (
+        src.write.format("duckdb_remote")
+        .option("path", p)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    con = duckdb.connect(p, read_only=True)
+    assert con.sql("SELECT COUNT(*) FROM t").fetchone()[0] == 150
+    assert con.sql("SELECT COUNT(*) FROM t WHERE k >= 1000").fetchone()[0] == 50
+    con.close()
+
+    # overwrite: table contains exactly the new rows afterwards
+    (
+        src.write.format("duckdb_remote")
+        .option("path", p)
+        .option("table", "t")
+        .mode("overwrite")
+        .save()
+    )
+    con = duckdb.connect(p, read_only=True)
+    assert con.sql("SELECT COUNT(*) FROM t").fetchone()[0] == 50
+    assert con.sql("SELECT MIN(k), MAX(k) FROM t").fetchone() == (1000, 1049)
+    con.close()
