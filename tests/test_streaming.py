@@ -260,3 +260,52 @@ def test_streaming_foreachbatch_upsert(spark, engine):
     }
     assert got == expected and len(got) > 0
     engine.drop_table("fb_state")
+
+
+def test_remote_stream_ingest(spark, tmp_path):
+    """CDC-style streaming ingest from the duckdb_remote source: the
+    first availableNow drain reads the whole table; appending rows to
+    the remote table and draining again (same checkpoint) delivers
+    exactly the new tail — offsets tracked by rowid."""
+    import duckdb
+
+    from duckdb_distributed_execution_spark.sources.remote import (
+        register_remote_source,
+    )
+
+    p = str(tmp_path / "srv.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE ev AS SELECT range AS k, range * 2 AS v FROM range(50)")
+    con.close()
+    register_remote_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("duckdb_remote")
+            .option("path", p)
+            .option("table", "ev")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 50
+
+    con = duckdb.connect(p)
+    con.execute("INSERT INTO ev SELECT range AS k, range * 2 AS v FROM range(50, 70)")
+    con.close()
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 70
+    assert got.selectExpr("max(k)").first()[0] == 69
+    # no duplicates: each key delivered exactly once
+    assert got.select("k").distinct().count() == 70
