@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.queries import load, register
 
 # ---------------------------------------------------------------------------
@@ -101,6 +102,57 @@ def text_pii_redact(spark, sf_dir):
         .alias("n_phones"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classification (hashed-feature linear scorer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text),
+                  '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS n_toks,
+             CAST(list_sum(list_transform(
+               string_split(TRIM(regexp_replace(regexp_replace(LOWER(text),
+                  '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+               t -> (CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 2001) - 1000
+             )) AS BIGINT) AS logit_milli
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks, logit_milli,
+           logit_milli > 0 AS keep
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, the fastText-classifier step of
+    CCNet/LLaMA-style corpus pipelines, as pure codegen: each token is
+    a hashed feature whose weight is derived deterministically from
+    its md5 (stand-in for trained weights — swap a broadcast
+    weight map in and nothing else changes); the document logit is
+    the INTEGER milli-weight sum, so the score is exact and
+    order-independent on both engines (no float accumulation, no
+    sigmoid ulp drift — the keep decision thresholds the logit
+    directly). Per-row arithmetic only: embarrassingly parallel,
+    no shuffle, 100 TB-safe by construction."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = X.tokens(X.normalize_text("text"))
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 2001
+    ) - 1000
+    logit = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        logit.alias("logit_milli"),
+        (logit > 0).alias("keep"),
     )
 
 

@@ -67,6 +67,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--cores", default="8",
+        help="local[N] worker threads (vary to prove partition independence)")
+    ap.add_argument(
+        "--partitions", default=None,
+        help="spark.sql.shuffle.partitions (default = --cores)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -76,9 +82,9 @@ def main():
     import __spark_entry__ as entrymod
 
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{args.cores}]")
         .appName("selfcheck")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", args.partitions or args.cores)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
