@@ -162,6 +162,51 @@ class Engine:
         self._tables[name] = RegisteredTable(name, path, fmt, managed=False)
         return df
 
+    def register_remote_table(
+        self,
+        local_name: str,
+        db_path: str,
+        remote_name: str | None = None,
+        target_partitions: int | None = None,
+        replace: bool = False,
+    ) -> DataFrame:
+        """``PRAGMA duckherder_register_remote_table(local, remote)``
+        parity (duckherder_catalog.cpp:203-241, duckherder_pragmas.cpp
+        :16-35): register a table LIVING IN A DUCKDB DATABASE under a
+        local name. Scans go through the ``duckdb_remote`` Python
+        DataSource (sources/remote.py) — rowid-range task partitioning,
+        per-task read-only connections streaming Arrow batches, and
+        filter pushdown into the remote engine (a superset of the
+        reference's projection-only pushdown). Queries then address it
+        by name exactly like any registered table."""
+        from duckdb_distributed_execution_spark.sources.remote import (
+            register_remote_source,
+        )
+
+        if local_name in self._tables and not replace:
+            raise ValueError(
+                f"failed to register table {local_name!r} because it's "
+                "already registered"
+            )
+        register_remote_source(self.spark)
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        reader = (
+            self.spark.read.format("duckdb_remote")
+            .option("path", db_path)
+            .option("table", remote_name or local_name)
+            .option(
+                "partitions",
+                str(target_partitions
+                    or self.spark.sparkContext.defaultParallelism),
+            )
+        )
+        df = reader.load()
+        df.createOrReplaceTempView(local_name)
+        self._tables[local_name] = RegisteredTable(
+            local_name, db_path, "duckdb_remote", managed=False
+        )
+        return df
+
     def register_testdata(self, sf_dir: str) -> None:
         """Register the full driver-provided star schema from
         ``/root/testdata/sf*`` (TESTDATA.md)."""

@@ -391,7 +391,7 @@ def build_remote_db(
     path = os.path.join("/tmp", f"dde_remote_{tag}.duckdb")
     if os.path.exists(path):
         return path
-    tmp = path + ".build"
+    tmp = f"{path}.build-{os.getpid()}"
     if os.path.exists(tmp):
         os.unlink(tmp)
     con = duckdb.connect(tmp)

@@ -483,3 +483,33 @@ def test_worker_count_and_extensions(engine):
     assert engine.list_extensions() == ["httpfs", "json"]
     with pytest.raises(ValueError):
         engine.load_extension("bad name;")
+
+
+def test_register_remote_table(engine, tmp_path):
+    """duckherder_register_remote_table parity: a table living in a
+    DuckDB database file is registered under a local name, SQL then
+    addresses it like any table (scan via the duckdb_remote source),
+    double registration errors, unregister detaches."""
+    import duckdb
+
+    p = str(tmp_path / "remote.duckdb")
+    con = duckdb.connect(p)
+    con.execute(
+        "CREATE TABLE metrics AS SELECT range AS id, range % 5 AS grp,"
+        " range * 1.5 AS val FROM range(200)"
+    )
+    con.close()
+
+    engine.register_remote_table("rt_metrics", p, "metrics")
+    rows = engine.execute(
+        "SELECT grp, COUNT(*) AS n FROM rt_metrics GROUP BY grp ORDER BY grp"
+    )
+    assert [(r[0], r[1]) for r in rows] == [(g, 40) for g in range(5)]
+    assert engine.table_exists("rt_metrics")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already registered"):
+        engine.register_remote_table("rt_metrics", p, "metrics")
+    engine.unregister_table("rt_metrics")
+    assert "rt_metrics" not in engine.list_tables()
