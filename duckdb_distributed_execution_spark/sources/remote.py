@@ -371,7 +371,11 @@ _REGISTERED: set[str] = set()
 
 
 def register_remote_source(spark) -> None:
-    """Idempotently register the ``duckdb_remote`` format on a session."""
+    """Idempotently register the ``duckdb_remote`` format on a session.
+    Also enables Python-datasource filter pushdown: the reader
+    implements ``pushFilters`` and Spark refuses to plan it while the
+    capability flag is off."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     app = spark.sparkContext.applicationId
     if app in _REGISTERED:
         return
