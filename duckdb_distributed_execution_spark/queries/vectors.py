@@ -434,15 +434,22 @@ def ann_ivf_recall_eval(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
     )
+    # One broadcast left join + one aggregation: the IVF top-k list is
+    # query-set-sized (k × |queries|), so it broadcasts; every ground-
+    # truth row survives, and a query with zero hits still aggregates
+    # to 0 — no semi-join + re-join-back dance (which planned as a
+    # chain of sort-merge joins).
+    hits = ivf.withColumn("hit", F.lit(1))
     return (
-        bf.join(ivf, on=["query_id", "neighbor_id"], how="left_semi")
+        bf.join(F.broadcast(hits), on=["query_id", "neighbor_id"], how="left")
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
-        .join(bf.select("query_id").distinct(), on="query_id", how="right")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("n_hits")
+        )
         .select(
             "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+            "n_hits",
+            F.round(F.col("n_hits") / 5.0, 4).alias("recall_at_5"),
         )
     )
 
