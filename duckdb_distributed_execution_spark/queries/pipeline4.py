@@ -254,6 +254,50 @@ _NO_EVICT = "40 days"
 
 
 @register(
+    "remote_stream_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def remote_stream_window_counts(spark, sf_dir):
+    """The full remote→streaming composition: the ``duckdb_remote``
+    CDC stream reader (rowid-tail offsets) feeds a watermarked
+    tumbling-window aggregation, drained availableNow into a
+    complete-mode memory sink and checked against the batch
+    time_bucket oracle. This is the deployment shape where a
+    duckherder-style operational table continuously feeds a Spark
+    analytics pipeline — the reference cannot express any of it
+    (no streaming surface, SURVEY §2.C)."""
+    from duckdb_distributed_execution_spark.sources.remote import (
+        build_remote_db,
+        register_remote_source,
+    )
+    from duckdb_distributed_execution_spark.streaming import run_to_memory
+
+    load(spark, sf_dir, "events")
+    register_remote_source(spark)
+    db = build_remote_db(sf_dir)
+    stream = (
+        spark.readStream.format("duckdb_remote")
+        .option("path", db)
+        .option("table", "events")
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", _NO_EVICT)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+    run_to_memory(agg, "remote_stream_window_counts_sink", mode="complete")
+    return spark.table("remote_stream_window_counts_sink")
+
+
+@register(
     "streaming_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -384,7 +384,7 @@ def register_remote_source(spark) -> None:
 
 
 def build_remote_db(
-    sf_dir: str, tables: tuple[str, ...] = ("lineitem", "supplier")
+    sf_dir: str, tables: tuple[str, ...] = ("lineitem", "supplier", "events")
 ) -> str:
     """Materialize a deterministic DuckDB 'server' database from the
     testdata parquet (once per sf_dir per process) — the stand-in for
@@ -392,7 +392,9 @@ def build_remote_db(
     import duckdb
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join("/tmp", f"dde_remote_{tag}.duckdb")
+    # v2: table set grew (events added) — versioned name invalidates
+    # any db built by an earlier process with fewer tables.
+    path = os.path.join("/tmp", f"dde_remote_v2_{tag}.duckdb")
     if os.path.exists(path):
         return path
     tmp = f"{path}.build-{os.getpid()}"
