@@ -1,0 +1,119 @@
+"""Grammar-based SQL fuzz parity: randomly generated (seeded,
+deterministic) queries from a portable SELECT/WHERE/GROUP BY grammar
+run as the SAME SQL text through the dialect shim on Spark and
+directly on DuckDB, results compared with the selfcheck
+canonicalization. This exercises engine parity on queries nobody
+hand-picked — the named inventory checks what we claimed, the fuzzer
+checks what we didn't think of.
+
+The grammar deliberately stays inside the cross-engine-deterministic
+subset (see queries/__init__ conventions): integer/string/date
+columns, COUNT/MIN/MAX/SUM-of-integers aggregates (no double
+accumulation), set-semantics outputs (no bare LIMIT without total
+order).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tools.selfcheck import table_hash
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+ALL_COLS = INT_COLS + STR_COLS
+
+N_QUERIES = 60
+SEED = 20260814
+
+
+def _pred(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        c = rng.choice(INT_COLS)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"{c} {op} {rng.randrange(1, 60000)}"
+    if kind == 1:
+        c = rng.choice(STR_COLS)
+        v = rng.choice(["A", "N", "R", "O", "F"])
+        return f"{c} {rng.choice(['=', '<>'])} '{v}'"
+    if kind == 2:
+        c = rng.choice(INT_COLS)
+        lo = rng.randrange(1, 30000)
+        return f"{c} BETWEEN {lo} AND {lo + rng.randrange(1, 30000)}"
+    if kind == 3:
+        c = rng.choice(INT_COLS)
+        vals = ", ".join(str(rng.randrange(0, 8)) for _ in range(3))
+        return f"{c} % 10 IN ({vals})"
+    return f"{rng.choice(ALL_COLS)} IS NOT NULL"
+
+
+def _where(rng: random.Random) -> str:
+    n = rng.randrange(3)
+    if n == 0:
+        return ""
+    preds = [_pred(rng) for _ in range(n)]
+    return " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(preds)
+
+
+def _agg(rng: random.Random, i: int) -> str:
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"COUNT(*) AS a{i}"
+    if kind == 1:
+        return f"COUNT({rng.choice(ALL_COLS)}) AS a{i}"
+    if kind == 2:
+        return f"{rng.choice(['MIN', 'MAX'])}({rng.choice(ALL_COLS)}) AS a{i}"
+    return f"SUM({rng.choice(INT_COLS)}) AS a{i}"
+
+
+def _query(rng: random.Random) -> str:
+    if rng.random() < 0.5:
+        # grouped aggregate
+        keys = rng.sample(STR_COLS + ["l_linenumber"], rng.randrange(1, 3))
+        aggs = [_agg(rng, i) for i in range(rng.randrange(1, 4))]
+        return (
+            f"SELECT {', '.join(keys + aggs)} FROM lineitem"
+            f"{_where(rng)} GROUP BY {', '.join(keys)}"
+        )
+    # plain projection (CAST exercised through the :: shim syntax)
+    cols = rng.sample(ALL_COLS, rng.randrange(1, 4))
+    proj = list(cols)
+    if rng.random() < 0.5:
+        proj.append(f"({rng.choice(INT_COLS)} % 97)::VARCHAR AS tag")
+    return f"SELECT {', '.join(proj)} FROM lineitem{_where(rng)}"
+
+
+def _gen_queries():
+    rng = random.Random(SEED)
+    return [(i, _query(rng)) for i in range(N_QUERIES)]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, duck):
+    from duckdb_distributed_execution_spark.queries import load
+
+    load(spark, SF_ORACLE, "lineitem")
+    return spark, duck
+
+
+@pytest.mark.parametrize("i,sql", _gen_queries())
+def test_fuzz_query_parity(fuzz_env, i, sql):
+    from duckdb_distributed_execution_spark.dialect import transpile
+
+    spark, duck = fuzz_env
+    sdf = spark.sql(transpile(sql))
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(sql)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert len(srows) == len(drows), f"row count mismatch for: {sql}"
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in dcols
+    ), f"schema mismatch for: {sql}"
+    sh, _ = table_hash(srows, [c.lower() for c in sdf.columns])
+    dh, _ = table_hash(drows, [c.lower() for c in dcols])
+    assert sh == dh, f"value mismatch for: {sql}"
