@@ -71,7 +71,8 @@ def _agg(rng: random.Random, i: int) -> str:
 
 
 def _query(rng: random.Random) -> str:
-    if rng.random() < 0.5:
+    form = rng.random()
+    if form < 0.4:
         # grouped aggregate
         keys = rng.sample(STR_COLS + ["l_linenumber"], rng.randrange(1, 3))
         aggs = [_agg(rng, i) for i in range(rng.randrange(1, 4))]
@@ -79,12 +80,36 @@ def _query(rng: random.Random) -> str:
             f"SELECT {', '.join(keys + aggs)} FROM lineitem"
             f"{_where(rng)} GROUP BY {', '.join(keys)}"
         )
+    if form < 0.65:
+        # lineitem ⋈ orders equi-join, grouped on an orders attribute
+        key = rng.choice(["o_orderstatus", "o_orderpriority"])
+        aggs = [_agg(rng, i) for i in range(rng.randrange(1, 3))]
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        return (
+            f"SELECT {key}, {', '.join(aggs)} FROM orders "
+            f"{how} lineitem ON l_orderkey = o_orderkey"
+            f"{_where_join(rng)} GROUP BY {key}"
+        )
     # plain projection (CAST exercised through the :: shim syntax)
     cols = rng.sample(ALL_COLS, rng.randrange(1, 4))
     proj = list(cols)
     if rng.random() < 0.5:
         proj.append(f"({rng.choice(INT_COLS)} % 97)::VARCHAR AS tag")
     return f"SELECT {', '.join(proj)} FROM lineitem{_where(rng)}"
+
+
+def _where_join(rng: random.Random) -> str:
+    # join-safe predicates reference the orders side (always present
+    # on both engines for inner and left joins)
+    n = rng.randrange(2)
+    if n == 0:
+        return ""
+    kind = rng.randrange(3)
+    if kind == 0:
+        return f" WHERE o_custkey % 7 = {rng.randrange(7)}"
+    if kind == 1:
+        return f" WHERE o_orderkey < {rng.randrange(1000, 40000)}"
+    return f" WHERE o_orderstatus <> '{rng.choice(['O', 'F', 'P'])}'"
 
 
 def _gen_queries():
@@ -96,7 +121,7 @@ def _gen_queries():
 def fuzz_env(spark, duck):
     from duckdb_distributed_execution_spark.queries import load
 
-    load(spark, SF_ORACLE, "lineitem")
+    load(spark, SF_ORACLE, "lineitem", "orders")
     return spark, duck
 
 
