@@ -4,7 +4,9 @@ DuckDB node (query_utils.cpp:20-35). Each is a genuinely distributed
 Spark plan: facts shuffle on join keys, dims broadcast, aggregation is
 partial/final, and every query hash-matches the DuckDB oracle.
 
-(Q1 ≡ agg_pricing_summary, Q5 ≡ join_multi_star in core/joins;
+(Q1 ≡ agg_pricing_summary — the full 8-aggregate faithful form;
+tpch_q5_local_supplier below is the faithful Q5 while join_multi_star
+keeps the simplified star shape;
 cte_revenue in nested keeps the AVG-threshold Q15 variant while
 tpch_q15_top_supplier below is the faithful MAX form; this module
 adds the rest of the representative shapes.)"""
@@ -20,6 +22,57 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.queries import load, register
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """Faithful TPC-H Q5 — local supplier volume: the full six-table
+    join INCLUDING the supplier leg and the local-supplier condition
+    (c_nationkey = s_nationkey) that join_multi_star's simplified Q5
+    shape omits. Plan: the two facts shuffle on l_orderkey, every
+    dimension broadcasts, and the customer-nation = supplier-nation
+    equality is an extra join condition, not a post-filter, so no
+    inflated intermediate survives the join."""
+    t = load(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        orders.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum(rev).alias("revenue"))
+    )
 
 
 @register(
