@@ -16,6 +16,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import exact_sum
+from duckdb_distributed_execution_spark.functions import oracle_exact_sum as OE
 from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.queries import load, register
 
@@ -102,6 +104,75 @@ def text_pii_redact(spark, sf_dir):
         .alias("n_phones"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment aggregates from exact power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moments_skew_kurtosis",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {OE('l_quantity', True)} AS s1,
+             {OE('l_quantity * l_quantity', True)} AS s2,
+             {OE('l_quantity * l_quantity * l_quantity', True)} AS s3,
+             {OE('l_quantity * l_quantity * l_quantity * l_quantity', True)} AS s4
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND(s2/n - (s1/n)*(s1/n), 6) AS var_pop,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n))
+                    * sqrt(s2/n - (s1/n)*(s1/n))), 6) AS skew_pop,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+             AS kurt_pop
+    FROM s
+    """,
+)
+def moments_skew_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis from exact raw power
+    sums. Built-in skewness/kurtosis differ BETWEEN engines (sample
+    vs population corrections), so the deterministic contract computes
+    the moments itself: the four power sums accumulate exactly
+    (decimal — l_quantity is integral so every power is exactly
+    representable), and the final double arithmetic is written in the
+    IDENTICAL operation order on both engines (mul/div/sqrt are all
+    correctly-rounded IEEE ops, so same order ⇒ same bits; no pow(),
+    whose libm implementations differ). One partial/final grouped
+    aggregate — a single narrow shuffle at any scale."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(q, wide=True).alias("s1"),
+        exact_sum(q * q, wide=True).alias("s2"),
+        exact_sum(q * q * q, wide=True).alias("s3"),
+        exact_sum(q * q * q * q, wide=True).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - F.lit(3) * m * (s2 / n) + F.lit(2) * m * m * m) / (
+        var * F.sqrt(var)
+    )
+    kurt = (
+        s4 / n
+        - F.lit(4) * m * (s3 / n)
+        + F.lit(6) * m * m * (s2 / n)
+        - F.lit(3) * m * m * m * m
+    ) / (var * var) - F.lit(3)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(kurt, 6).alias("kurt_pop"),
     )
 
 
