@@ -26,7 +26,7 @@ INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
 ALL_COLS = INT_COLS + STR_COLS
 
-N_QUERIES = 60
+N_QUERIES = 90
 SEED = 20260814
 
 
@@ -72,15 +72,34 @@ def _agg(rng: random.Random, i: int) -> str:
 
 def _query(rng: random.Random) -> str:
     form = rng.random()
-    if form < 0.4:
-        # grouped aggregate
+    if form < 0.3:
+        # grouped aggregate, sometimes with HAVING
         keys = rng.sample(STR_COLS + ["l_linenumber"], rng.randrange(1, 3))
         aggs = [_agg(rng, i) for i in range(rng.randrange(1, 4))]
+        having = (
+            f" HAVING COUNT(*) > {rng.randrange(1, 500)}"
+            if rng.random() < 0.4
+            else ""
+        )
         return (
             f"SELECT {', '.join(keys + aggs)} FROM lineitem"
-            f"{_where(rng)} GROUP BY {', '.join(keys)}"
+            f"{_where(rng)} GROUP BY {', '.join(keys)}{having}"
         )
-    if form < 0.65:
+    if form < 0.4:
+        # DISTINCT projection
+        cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
+        return (
+            f"SELECT DISTINCT {', '.join(cols)} FROM lineitem{_where(rng)}"
+        )
+    if form < 0.5:
+        # UNION ALL / UNION of two filtered slices of the same shape
+        cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
+        op = rng.choice(["UNION ALL", "UNION"])
+        return (
+            f"SELECT {', '.join(cols)} FROM lineitem{_where(rng)} "
+            f"{op} SELECT {', '.join(cols)} FROM lineitem{_where(rng)}"
+        )
+    if form < 0.7:
         # lineitem ⋈ orders equi-join, grouped on an orders attribute
         key = rng.choice(["o_orderstatus", "o_orderpriority"])
         aggs = [_agg(rng, i) for i in range(rng.randrange(1, 3))]
