@@ -207,6 +207,35 @@ class Engine:
         )
         return df
 
+    def attach_remote_catalog(
+        self, db_path: str, prefix: str = "", replace: bool = False
+    ) -> list[str]:
+        """``ATTACH DATABASE 'dh' (TYPE duckherder, …)`` parity
+        (duckherder_storage.cpp:12-43): attach a whole remote DuckDB
+        catalog — every base table it contains is registered through
+        :meth:`register_remote_table` (optionally under ``prefix``),
+        after which SQL addresses them like local tables. Returns the
+        registered local names."""
+        import duckdb
+
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            names = [
+                r[0]
+                for r in con.sql(
+                    "SELECT table_name FROM information_schema.tables "
+                    "WHERE table_type = 'BASE TABLE' ORDER BY table_name"
+                ).fetchall()
+            ]
+        finally:
+            con.close()
+        out = []
+        for t in names:
+            local = f"{prefix}{t}"
+            self.register_remote_table(local, db_path, t, replace=replace)
+            out.append(local)
+        return out
+
     def register_testdata(self, sf_dir: str) -> None:
         """Register the full driver-provided star schema from
         ``/root/testdata/sf*`` (TESTDATA.md)."""
@@ -319,6 +348,18 @@ class Engine:
         """Run a query eagerly and record execution stats, like the
         reference's driver path (distributed_executor.cpp:51-212 →
         query_recorder.cpp)."""
+        if "duckherder_get_query" in query:
+            # The reference exposes stats as TABLE FUNCTIONS
+            # (query_execution_stats_query_function.cpp:22-124); here
+            # they are temp views refreshed at reference time so
+            # ``SELECT * FROM duckherder_get_query_execution_stats``
+            # runs unchanged (group_by_distributed.test:71-94 shape).
+            self.recorder.stats_df().createOrReplaceTempView(
+                "duckherder_get_query_execution_stats"
+            )
+            self.recorder.history_df().createOrReplaceTempView(
+                "duckherder_get_query_history"
+            )
         df = self.spark.sql(query)
         with Timer() as t:
             rows = df.collect()

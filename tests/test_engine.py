@@ -513,3 +513,30 @@ def test_register_remote_table(engine, tmp_path):
         engine.register_remote_table("rt_metrics", p, "metrics")
     engine.unregister_table("rt_metrics")
     assert "rt_metrics" not in engine.list_tables()
+
+
+def test_attach_remote_catalog_and_stats_sql(engine, tmp_path):
+    """ATTACH-catalog parity: every base table in a DuckDB database
+    becomes a registered remote table under a prefix; the stats table
+    FUNCTION is queryable as plain SQL with the reference's name."""
+    import duckdb
+
+    p = str(tmp_path / "cat.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE t1 AS SELECT range AS a FROM range(10)")
+    con.execute("CREATE TABLE t2 AS SELECT range AS b, range % 2 AS c FROM range(20)")
+    con.close()
+
+    names = engine.attach_remote_catalog(p, prefix="dh_")
+    assert names == ["dh_t1", "dh_t2"]
+    assert engine.execute("SELECT COUNT(*) FROM dh_t1")[0][0] == 10
+    assert engine.execute(
+        "SELECT c, COUNT(*) FROM dh_t2 GROUP BY c ORDER BY c"
+    ) == [(0, 10), (1, 10)]
+
+    rows = engine.execute(
+        "SELECT sql FROM duckherder_get_query_execution_stats"
+    )
+    assert any("dh_t1" in r[0] for r in rows)
+    for n in names:
+        engine.unregister_table(n)
