@@ -45,6 +45,32 @@ def oracle_normalize(expr: str) -> str:
     )
 
 
+def hashed_logit(col: Column | str) -> Column:
+    """Hashed-feature linear score: every normalized token is a
+    feature whose integer milli-weight derives deterministically from
+    its md5 ((hash % 2001) - 1000 ∈ [-1000, 1000]); the document
+    logit is the exact BIGINT sum — order-independent on any engine,
+    no float accumulation. Stand-in for trained fastText-style
+    weights; swap a broadcast weight map in and nothing else changes."""
+    toks = tokens(normalize_text(col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + (F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 2001)
+        - 1000,
+    )
+
+
+def oracle_hashed_logit(expr: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform("
+        f"string_split({oracle_normalize(expr)}, ' '), "
+        f"t -> (CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 2001) - 1000"
+        f")) AS BIGINT)"
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text. (A content
     hash over a canonical form — the batch analog of a rolling hash;

@@ -6,6 +6,7 @@ the mapInPandas feature extraction, which gets a rows-only check).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import exact_avg, oracle_exact_avg
@@ -582,6 +583,57 @@ def dedup_cluster_keep_one(spark, sf_dir):
     from duckdb_distributed_execution_spark.operators import graph as G
 
     return G.dedup_clusters(_cc_edges(spark, sf_dir))
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle="WITH RECURSIVE "
+    + _CC_EDGES_ORACLE.format(simhash=D.oracle_simhash("text", 32))
+    + f""",
+    q AS (SELECT doc_id, {X.oracle_hashed_logit('text')} AS logit
+          FROM documents),
+    sel AS (
+      SELECT cc.comp AS component, q.doc_id, q.logit,
+             row_number() OVER (PARTITION BY cc.comp
+                                ORDER BY q.logit DESC, q.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cc.comp) AS n_members
+      FROM cc JOIN q ON q.doc_id = cc.node)
+    SELECT component, doc_id AS keep_id, logit AS best_logit, n_members
+    FROM sel WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Quality-aware cluster resolution: per near-dup cluster keep the
+    HIGHEST-QUALITY member (hashed-classifier logit, doc_id
+    tie-break), not the lowest id — what production dedup actually
+    does (drop the worse copies, keep the best). The logit is an
+    exact integer, so the argmax is engine-stable; the join and
+    window shuffle on the component id, whose cardinality is the
+    cluster count — no global funnel."""
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    cc = G.connected_components(_cc_edges(spark, sf_dir))
+    q = d.select("doc_id", X.hashed_logit("text").alias("logit"))
+    joined = cc.join(q, cc["node"] == q["doc_id"]).select(
+        F.col("comp").alias("component"), "doc_id", "logit"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("logit"), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.col("logit").alias("best_logit"),
+            "n_members",
+        )
+    )
 
 
 @register(

@@ -212,12 +212,7 @@ def text_quality_classifier(spark, sf_dir):
     no shuffle, 100 TB-safe by construction."""
     d = load(spark, sf_dir, "documents")["documents"]
     toks = X.tokens(X.normalize_text("text"))
-    weight = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long") % 2001
-    ) - 1000
-    logit = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
-    )
+    logit = X.hashed_logit("text")
     return d.select(
         "doc_id",
         "lang",
