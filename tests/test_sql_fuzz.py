@@ -26,7 +26,7 @@ INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
 ALL_COLS = INT_COLS + STR_COLS
 
-N_QUERIES = 90
+N_QUERIES = 120
 SEED = 20260814
 
 
@@ -108,6 +108,28 @@ def _query(rng: random.Random) -> str:
             f"SELECT {key}, {', '.join(aggs)} FROM orders "
             f"{how} lineitem ON l_orderkey = o_orderkey"
             f"{_where_join(rng)} GROUP BY {key}"
+        )
+    if form < 0.8:
+        # window functions — deterministic: row_number orders by the
+        # (l_orderkey, l_linenumber) unique composite; rank/sum windows
+        # are value-deterministic regardless of peer order
+        part = rng.choice(STR_COLS)
+        fn = rng.choice(
+            [
+                "ROW_NUMBER() OVER (PARTITION BY {p} "
+                "ORDER BY l_orderkey, l_linenumber)",
+                "RANK() OVER (PARTITION BY {p} ORDER BY l_orderkey)",
+                "DENSE_RANK() OVER (PARTITION BY {p} ORDER BY l_linenumber)",
+                "SUM(l_linenumber) OVER (PARTITION BY {p})",
+                "COUNT(*) OVER (PARTITION BY {p})",
+                "MIN(l_orderkey) OVER (PARTITION BY {p} "
+                "ORDER BY l_orderkey, l_linenumber ROWS BETWEEN 2 PRECEDING "
+                "AND CURRENT ROW)",
+            ]
+        ).format(p=part)
+        return (
+            f"SELECT l_orderkey, l_linenumber, {part}, {fn} AS w "
+            f"FROM lineitem{_where(rng)}"
         )
     # plain projection (CAST exercised through the :: shim syntax)
     cols = rng.sample(ALL_COLS, rng.randrange(1, 4))
