@@ -246,7 +246,7 @@ def oracle_minhash_lsh_sql(
     num_hashes: int = 8,
     band_size: int = 2,
     verify_threshold: float = 0.4,
-    max_bucket: int = 4096,
+    max_bucket: int = 256,
 ) -> str:
     """Full DuckDB mirror of ``minhash_lsh_pairs`` — same base hash,
     affine family, banding, bucket-size cap, and hashed-shingle
@@ -307,7 +307,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     verify_threshold: float = 0.4,
-    max_bucket: int = 4096,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection:
     shingle → k min-hashes → bands of ``band_size`` → same-band-bucket
@@ -321,7 +321,12 @@ def minhash_lsh_pairs(
     near-dup path. Buckets larger than ``max_bucket`` are dropped:
     a degenerate bucket (empty texts, boilerplate) is
     non-discriminative and would otherwise emit O(B²) pairs and
-    overload one reducer — standard LSH hot-bucket hygiene."""
+    overload one reducer — standard LSH hot-bucket hygiene. The cap
+    bounds per-bucket work at cap²/2 pairs, so total candidate volume
+    is LINEAR in the number of buckets (measured: a 10× corpus with
+    heavy signature collisions went from quadratic blow-up at
+    cap=4096 to linear at 256); a pair lost to one dropped hot band
+    still has the other n_bands-1 chances to surface."""
     assert num_hashes % band_size == 0
     # ONE md5 pass over all (doc, shingle) rows produces both the k
     # min-hash signature AND the distinct hashed-shingle set used by
@@ -520,7 +525,16 @@ def simhash_pairs(
     self-join a coarse blocking column degenerates to. ``block_col``
     (optional) further restricts pairs to equal block values, applied
     as a post-join filter so it cannot reintroduce the quadratic
-    blow-up."""
+    blow-up.
+
+    SCALE THE SIGNATURE WIDTH WITH THE CORPUS: expected bucket
+    occupancy is n / 2^(bits/(r+1)), and per-bucket candidate work is
+    quadratic in occupancy (banding is lossless, so unlike MinHash-LSH
+    there is no bucket cap to hide behind). 32 bits / r=3 → 8-bit
+    chunks → fine to ~10⁵ docs; pass ``bits=60`` (15-bit chunks,
+    32k values each) for corpus scale — the md5-derived token hash
+    already carries 60 bits, so wider signatures cost nothing extra
+    per token."""
     sig = simhash_df(df, id_col, text_col, bits=bits,
                      keep_cols=[block_col] if block_col else None)
     n_chunks = max_hamming + 1

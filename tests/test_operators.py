@@ -463,3 +463,26 @@ def test_pii_redact_absolute_counts(spark):
         re.search(p, "<EMAIL> <IP> <PHONE>")
         for p in (_PII_EMAIL, _PII_IPV4, _PII_PHONE)
     )
+
+
+def test_simhash_pairs_wide_signature(spark):
+    """The 60-bit simhash path (corpus-scale chunk width): exact
+    duplicate texts land at Hamming 0 and are recovered; unrelated
+    texts with disjoint vocabulary are not paired."""
+    from duckdb_distributed_execution_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),     # dup of 3
+        (5, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3, bits=60).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert got.get((3, 4)) == 0
+    assert all(5 not in pair for pair in got)
