@@ -199,6 +199,32 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_pairs_wide",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {D.oracle_simhash('text', 60)} AS sh
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a
+    JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def dedup_simhash_pairs_wide(spark, sf_dir):
+    """The corpus-scale SimHash configuration, oracle-checked: 60-bit
+    signatures (the full width the md5 token hash carries) with the
+    same lossless pigeonhole banding — 15-bit chunks give 32k bucket
+    values per chunk, so expected bucket occupancy stays ~n/32k and
+    the candidate join survives corpora where the 32-bit default
+    saturates (see operators/dedup.simhash_pairs docstring for the
+    occupancy math). The oracle is the definitionally-equivalent
+    all-pairs form, fine at oracle scale."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, bits=60)
+
+
+@register(
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
