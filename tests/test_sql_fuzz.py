@@ -26,12 +26,16 @@ INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
 ALL_COLS = INT_COLS + STR_COLS
 
-N_QUERIES = 120
+N_QUERIES = 150
 SEED = 20260814
 
 
 def _pred(rng: random.Random) -> str:
-    kind = rng.randrange(5)
+    kind = rng.randrange(6)
+    if kind == 5:
+        d = f"1997-{rng.randrange(1, 13):02d}-{rng.randrange(1, 29):02d}"
+        op = rng.choice(["<", ">=", ">"])
+        return f"l_shipdate {op} TIMESTAMP '{d}'"
     if kind == 0:
         c = rng.choice(INT_COLS)
         op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
@@ -131,11 +135,30 @@ def _query(rng: random.Random) -> str:
             f"SELECT l_orderkey, l_linenumber, {part}, {fn} AS w "
             f"FROM lineitem{_where(rng)}"
         )
-    # plain projection (CAST exercised through the :: shim syntax)
-    cols = rng.sample(ALL_COLS, rng.randrange(1, 4))
+    # plain projection with portable scalar expressions (CAST through
+    # the :: shim syntax, CASE WHEN, string functions, || concat)
+    cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
     proj = list(cols)
-    if rng.random() < 0.5:
+    extra = rng.randrange(4)
+    if extra == 0:
         proj.append(f"({rng.choice(INT_COLS)} % 97)::VARCHAR AS tag")
+    elif extra == 1:
+        proj.append(
+            f"CASE WHEN {rng.choice(INT_COLS)} % 2 = 0 THEN 'even' "
+            f"ELSE 'odd' END AS par"
+        )
+    elif extra == 2:
+        proj.append(
+            rng.choice(
+                [
+                    "upper(l_returnflag) AS s",
+                    "length(l_linestatus) AS s",
+                    "substr(l_returnflag, 1, 1) AS s",
+                    "l_returnflag || '_' || l_linestatus AS s",
+                    "lower(l_returnflag || l_linestatus) AS s",
+                ]
+            )
+        )
     return f"SELECT {', '.join(proj)} FROM lineitem{_where(rng)}"
 
 
