@@ -344,6 +344,36 @@ class Engine:
 
         return self.spark.sql(transpile(query, catalog=catalog))
 
+    def explain(self, query: str) -> str:
+        """``EXPLAIN <sql>`` parity: the formatted physical plan for a
+        query, without executing it (the reference surfaces DuckDB's
+        EXPLAIN untouched; here it is Catalyst's formatted plan, which
+        is what a user tunes against — exchanges, pushed filters,
+        codegen spans)."""
+        from duckdb_distributed_execution_spark.plans import formatted_plan
+
+        return formatted_plan(self.spark.sql(query))
+
+    def profile(self, query: str) -> dict:
+        """``EXPLAIN ANALYZE`` parity: execute the query and return
+        the recorded execution profile (duration, mode, row count)
+        plus the physical plan — the same information the reference's
+        stats table exposes per query, in one call."""
+        from duckdb_distributed_execution_spark.plans import formatted_plan
+
+        df = self.spark.sql(query)
+        plan = formatted_plan(df)
+        with Timer() as t:
+            n_rows = len(df.collect())
+        info = self.recorder.record(query, df, t.ms)
+        return {
+            "sql": query,
+            "n_rows": n_rows,
+            "duration_ms": t.ms,
+            "execution_mode": info.execution_mode,
+            "plan": plan,
+        }
+
     def execute(self, query: str) -> list:
         """Run a query eagerly and record execution stats, like the
         reference's driver path (distributed_executor.cpp:51-212 →

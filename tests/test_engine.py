@@ -540,3 +540,17 @@ def test_attach_remote_catalog_and_stats_sql(engine, tmp_path):
     assert any("dh_t1" in r[0] for r in rows)
     for n in names:
         engine.unregister_table(n)
+
+
+def test_explain_and_profile(engine):
+    """EXPLAIN / EXPLAIN ANALYZE parity surface."""
+    engine.register_testdata("/root/testdata/sf0.001")
+    plan = engine.explain("SELECT COUNT(*) FROM lineitem WHERE l_orderkey < 100")
+    assert "lineitem" in plan or "Scan" in plan
+    prof = engine.profile(
+        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag"
+    )
+    assert prof["n_rows"] > 0
+    assert prof["duration_ms"] >= 0
+    assert prof["execution_mode"]
+    assert "Exchange" in prof["plan"] or "Aggregate" in prof["plan"]
