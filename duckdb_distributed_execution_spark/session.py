@@ -344,6 +344,19 @@ class Engine:
 
         return self.spark.sql(transpile(query, catalog=catalog))
 
+    def describe(self, name: str) -> list[tuple[str, str, str]]:
+        """``DESCRIBE <table>`` parity: (column_name, column_type,
+        null) rows with DuckDB-style type names (typemap
+        spark_to_duckdb — the same mapping the DDL path accepts), so
+        reference users see the dialect they wrote."""
+        from duckdb_distributed_execution_spark.typemap import spark_to_duckdb
+
+        schema = self.spark.table(name).schema
+        return [
+            (f.name, spark_to_duckdb(f.dataType), "YES" if f.nullable else "NO")
+            for f in schema.fields
+        ]
+
     def explain(self, query: str) -> str:
         """``EXPLAIN <sql>`` parity: the formatted physical plan for a
         query, without executing it (the reference surfaces DuckDB's

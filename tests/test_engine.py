@@ -554,3 +554,13 @@ def test_explain_and_profile(engine):
     assert prof["duration_ms"] >= 0
     assert prof["execution_mode"]
     assert "Exchange" in prof["plan"] or "Aggregate" in prof["plan"]
+
+
+def test_describe_duckdb_types(engine):
+    """DESCRIBE parity: DuckDB-style type names out of the Spark
+    schema via the same typemap the DDL path accepts."""
+    engine.register_testdata("/root/testdata/sf0.001")
+    d = dict((c, t) for c, t, _ in engine.describe("lineitem"))
+    assert d["l_orderkey"] == "BIGINT"
+    assert d["l_returnflag"] == "VARCHAR"
+    assert d["l_quantity"] == "DOUBLE"
