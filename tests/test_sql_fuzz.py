@@ -26,7 +26,7 @@ INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
 ALL_COLS = INT_COLS + STR_COLS
 
-N_QUERIES = 150
+N_QUERIES = 180
 SEED = 20260814
 
 
@@ -102,6 +102,23 @@ def _query(rng: random.Random) -> str:
         return (
             f"SELECT {', '.join(cols)} FROM lineitem{_where(rng)} "
             f"{op} SELECT {', '.join(cols)} FROM lineitem{_where(rng)}"
+        )
+    if form < 0.55:
+        # correlated EXISTS / NOT EXISTS / IN subquery over the fact
+        sub = rng.choice(
+            [
+                "EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey"
+                f" AND l_quantity > {rng.randrange(10, 50)})",
+                "NOT EXISTS (SELECT 1 FROM lineitem WHERE"
+                " l_orderkey = o_orderkey"
+                f" AND l_linenumber >= {rng.randrange(2, 7)})",
+                "o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE"
+                f" l_suppkey % 5 = {rng.randrange(5)})",
+            ]
+        )
+        return (
+            f"SELECT o_orderstatus, COUNT(*) AS n FROM orders o "
+            f"WHERE {sub} GROUP BY o_orderstatus"
         )
     if form < 0.7:
         # lineitem ⋈ orders equi-join, grouped on an orders attribute
