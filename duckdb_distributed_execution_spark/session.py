@@ -764,6 +764,42 @@ class Engine:
             w = w.option("header", "true")
         getattr(w, fmt)(path)
 
+    def copy_from(self, name: str, path: str, fmt: str = "parquet",
+                  **options) -> int:
+        """COPY name FROM path (FORMAT fmt) — DuckDB's import surface
+        as a distributed columnar append into a managed table (the
+        ingest the reference's DoPut path degrades to row-by-row
+        INSERT SQL for, distributed_flight_server.cpp:573-613).
+        Schema is validated against the target by name; returns the
+        number of rows appended."""
+        from duckdb_distributed_execution_spark.sources import read
+
+        t = self._tables.get(name)
+        if t is None or not t.managed:
+            raise ValueError(f"copy_from requires a managed table, got {name!r}")
+        target = self.spark.table(name)
+        df = read(self.spark, path, fmt=fmt, schema=target.schema, **options)
+        n = df.count()
+        df.write.mode("append").parquet(t.path)
+        self._attach_managed(name, t.path)
+        return n
+
+    def reattach_warehouse(self) -> list[str]:
+        """Catalog recovery: re-register every managed table found in
+        the warehouse directory (the reference's server keeps its
+        catalog in the duckling DuckDB file across restarts; here the
+        warehouse parquet layout IS the durable catalog). Returns the
+        re-attached table names."""
+        out = []
+        if not os.path.isdir(self._warehouse):
+            return out
+        for entry in sorted(os.listdir(self._warehouse)):
+            p = os.path.join(self._warehouse, entry)
+            if os.path.isdir(p) and entry not in self._tables:
+                self._attach_managed(entry, p)
+                out.append(entry)
+        return out
+
     def compact_table(self, name: str,
                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """OPTIMIZE (bin-packing compaction): rewrite a managed table

@@ -564,3 +564,26 @@ def test_describe_duckdb_types(engine):
     assert d["l_orderkey"] == "BIGINT"
     assert d["l_returnflag"] == "VARCHAR"
     assert d["l_quantity"] == "DOUBLE"
+
+
+def test_copy_from_and_warehouse_recovery(engine, spark, tmp_path):
+    """COPY FROM ingest symmetry + catalog recovery: a managed table
+    ingests an external parquet columnar-append style; a second Engine
+    over the same warehouse re-attaches every managed table."""
+    from duckdb_distributed_execution_spark import Engine
+
+    engine.create_table("cf_t", "id BIGINT, v VARCHAR")
+    src = str(tmp_path / "in.parquet")
+    spark.range(25).selectExpr("id", "'x' || CAST(id AS STRING) AS v").write.parquet(src)
+    n = engine.copy_from("cf_t", src)
+    assert n == 25
+    assert engine.execute("SELECT COUNT(*) FROM cf_t")[0][0] == 25
+
+    eng2 = Engine(spark, num_workers=2, warehouse=engine._warehouse)
+    try:
+        recovered = eng2.reattach_warehouse()
+        assert "cf_t" in recovered
+        assert eng2.execute("SELECT COUNT(*) FROM cf_t")[0][0] == 25
+    finally:
+        eng2._tables.clear()  # don't let eng2.close() delete the shared warehouse
+    engine.drop_table("cf_t")
