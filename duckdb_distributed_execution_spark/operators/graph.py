@@ -35,7 +35,13 @@ def connected_components(
     via the undirected edge set.  Only vertices that appear in at
     least one edge are returned (isolated docs are their own singleton
     cluster by definition — callers left-join and coalesce to doc_id).
-    """
+
+    Convergence is O(log diameter) rounds, not O(diameter): each
+    round propagates labels across edges (hash-min) AND compresses
+    them by one pointer jump (comp ← label(comp)), the standard
+    large-graph CC accelerant — without the jump, a chain-shaped
+    near-dup cluster of length d needs d rounds and a 1000-link chain
+    blows the iteration budget (regression-tested)."""
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -55,11 +61,26 @@ def connected_components(
         offers = und.join(labels, und["u"] == labels["node"]).select(
             F.col("v").alias("node"), F.col("comp")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", "comp")
             .union(offers)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jump: comp ← label(comp). comp is always a node id
+        # present in the label table, so the self-join resolves every
+        # row; min() keeps monotone convergence to the component min.
+        jump = propagated.select(
+            F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+        )
+        new_labels = (
+            propagated.join(jump, propagated["comp"] == jump["__jn"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
+                ).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -486,3 +486,23 @@ def test_simhash_pairs_wide_signature(spark):
     assert got.get((1, 2)) == 0
     assert got.get((3, 4)) == 0
     assert all(5 not in pair for pair in got)
+
+
+def test_connected_components_chain_converges(spark):
+    """Pointer-jumping regression: a 1000-link chain (diameter 1000)
+    must converge within the default iteration budget — O(log d)
+    rounds with label compression, where plain hash-min propagation
+    needs d rounds and times out."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.range(999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cc = connected_components(chain, max_iterations=30)
+    assert cc.select("comp").distinct().count() == 1
+    assert cc.count() == 1000
+    assert cc.agg(F.min("comp")).first()[0] == 0
