@@ -163,44 +163,99 @@ def _rewrite_code(code: str, catalog: str | None) -> str:
     return code
 
 
-_CHAIN_CAST = re.compile(rf"^\s*::\s*({_CAST_TARGET})")
+_FILL_STR = "\x01"
+_FILL_COMMENT = "\x02"
+
+# A bare keyword cannot be a cast operand — reaching one means the
+# real operand was absent (e.g. "SELECT /* c */::INT").
+_NON_OPERAND_KEYWORDS = frozenset(
+    "SELECT FROM WHERE AND OR NOT GROUP BY HAVING ORDER LIMIT OFFSET "
+    "JOIN ON AS UNION ALL DISTINCT CASE WHEN THEN ELSE END IN IS "
+    "BETWEEN LIKE ILIKE EXISTS VALUES SET INSERT UPDATE DELETE".split()
+)
 
 
-def _rewrite_literal_casts(
-    spans: list[tuple[str, str]],
-) -> list[tuple[str, str]]:
-    """Cross-span casts: ``'2024-01-01'::DATE`` / ``"col"::INT``.
+def _build_mask(sql: str) -> str:
+    """Length-preserving structural mask: code chars verbatim, string/
+    quoted-identifier chars → \\x01, comment chars → \\x02. Regex and
+    paren scans over the mask can never match inside non-code spans,
+    while indices remain valid for the original text."""
+    parts = []
+    for kind, text in _split_tokens(sql):
+        if kind == "code":
+            parts.append(text)
+        elif kind == "comment":
+            parts.append(_FILL_COMMENT * len(text))
+        else:
+            parts.append(_FILL_STR * len(text))
+    return "".join(parts)
 
-    ``_split_tokens`` isolates the literal, so the following code span
-    starts with ``::TYPE`` and the in-span backward operand scan of
-    ``_rewrite_casts`` would find nothing (ADVICE r1: emitted an
-    empty-operand CAST). Here the literal/quoted-identifier span
-    itself becomes the operand: the chain ``'x'::A::B`` turns into
-    code ``CAST(CAST(`` + untouched literal span + code
-    `` AS A) AS B)``. The emitted wrapper spans are plain code and
-    contain nothing further rewritable."""
-    out: list[tuple[str, str]] = []
-    for kind, text in spans:
-        if kind == "code" and out and out[-1][0] in ("str", "qid"):
-            types = []
-            rest = text
-            while True:
-                m = _CHAIN_CAST.match(rest)
-                if m is None:
-                    break
-                types.append(m.group(1))
-                rest = rest[m.end():]
-            if types:
-                lit = out.pop()
-                out.append(("code", "CAST(" * len(types)))
-                out.append(lit)
-                out.append(
-                    ("code",
-                     "".join(f" AS {_type_alias(t)})" for t in types) + rest)
+
+def _rewrite_casts_masked(sql: str) -> str:
+    """``operand::TYPE`` → ``CAST(operand AS TYPE)`` over the WHOLE
+    statement via the structural mask, so the operand may freely cross
+    literal boundaries — ``f(l, 'x')::INT``, ``'2024-01-01'::DATE``,
+    chains ``x::INT::VARCHAR`` — cases the old per-code-span scan
+    could not see (it mangled a call operand whose parens enclosed a
+    literal). Paren balancing counts only code parens (literal parens
+    are masked); a ``::`` inside a literal or comment never matches."""
+    pat = re.compile(rf"::\s*({_CAST_TARGET})")
+    while True:
+        mask = _build_mask(sql)
+        m = pat.search(mask)
+        if m is None:
+            return sql
+        i = m.start() - 1
+        while i >= 0 and (mask[i].isspace() or mask[i] == _FILL_COMMENT):
+            i -= 1
+        if i < 0:
+            raise NotImplementedError(
+                "'::' cast with no resolvable operand: " + sql[: m.end()][-80:]
+            )
+        if mask[i] == ")":
+            depth = 0
+            j = i
+            while j >= 0:
+                if mask[j] == ")":
+                    depth += 1
+                elif mask[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise NotImplementedError(
+                    "unbalanced parens before '::' cast: "
+                    + sql[: m.end()][-80:]
                 )
-                continue
-        out.append((kind, text))
-    return out
+            # Include a preceding function name: f(...)::T casts the
+            # CALL result, so the operand is "f(...)" not "(...)".
+            k = j - 1
+            while k >= 0 and (mask[k].isalnum() or mask[k] in "_$."):
+                k -= 1
+            start = k + 1
+        elif mask[i] == _FILL_STR:
+            # The operand IS a literal / quoted identifier.
+            j = i
+            while j >= 0 and mask[j] == _FILL_STR:
+                j -= 1
+            start = j + 1
+        else:
+            j = i
+            while j >= 0 and (mask[j].isalnum() or mask[j] in "_$."):
+                j -= 1
+            start = j + 1
+        operand = sql[start : i + 1]
+        if not operand.strip() or operand.upper() in _NON_OPERAND_KEYWORDS:
+            raise NotImplementedError(
+                "'::' cast with no resolvable operand in this context: "
+                + sql[: m.end()][-80:]
+            )
+        sql = (
+            sql[:start]
+            + f"CAST({operand} AS {_type_alias(m.group(1))})"
+            + sql[m.end():]
+        )
 
 
 def _rewrite_casts(code: str) -> str:
@@ -330,8 +385,8 @@ def _rewrite_qualify(sql: str, mask: str) -> str:
 def transpile(sql: str, catalog: str | None = "dh") -> str:
     """Rewrite DuckDB-dialect SQL into Spark SQL (see module doc for
     the audited subset)."""
+    sql = _rewrite_casts_masked(sql)
     spans = _split_tokens(sql)
-    spans = _rewrite_literal_casts(spans)
     spans = [
         (kind, _rewrite_code(text, catalog) if kind == "code" else text)
         for kind, text in spans

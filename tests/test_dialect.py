@@ -154,3 +154,23 @@ def test_list_append_and_length_renames(spark, duck):
         "list_contains(list_append(list_value(1, 2), 3), 3) AS has3 "
         "FROM nation",
     )
+
+
+def test_cast_operand_crossing_literal_spans():
+    """Masked cast rewrite: call operands containing string literals,
+    literal chains, and mixed expressions all resolve (the old
+    per-code-span scan mangled f(l, 'x')::INT)."""
+    assert (
+        transpile("SELECT list_contains(l, 'x')::INT FROM t", catalog=None)
+        == "SELECT CAST(array_contains(l, 'x') AS INT) FROM t"
+    )
+    assert (
+        transpile("SELECT 'x'::VARCHAR::BLOB FROM t", catalog=None)
+        == "SELECT CAST(CAST('x' AS STRING) AS BINARY) FROM t"
+    )
+    assert (
+        transpile(
+            "SELECT coalesce(b, 'z')::VARCHAR FROM t", catalog=None
+        )
+        == "SELECT CAST(coalesce(b, 'z') AS STRING) FROM t"
+    )
