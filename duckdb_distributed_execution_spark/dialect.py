@@ -212,39 +212,54 @@ def _rewrite_casts_masked(sql: str) -> str:
             raise NotImplementedError(
                 "'::' cast with no resolvable operand: " + sql[: m.end()][-80:]
             )
-        if mask[i] == ")":
-            depth = 0
-            j = i
-            while j >= 0:
-                if mask[j] == ")":
-                    depth += 1
-                elif mask[j] == "(":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j -= 1
-            if j < 0:
-                raise NotImplementedError(
-                    "unbalanced parens before '::' cast: "
-                    + sql[: m.end()][-80:]
-                )
-            # Include a preceding function name: f(...)::T casts the
-            # CALL result, so the operand is "f(...)" not "(...)".
-            k = j - 1
-            while k >= 0 and (mask[k].isalnum() or mask[k] in "_$."):
-                k -= 1
-            start = k + 1
-        elif mask[i] == _FILL_STR:
-            # The operand IS a literal / quoted identifier.
-            j = i
-            while j >= 0 and mask[j] == _FILL_STR:
-                j -= 1
-            start = j + 1
-        else:
-            j = i
-            while j >= 0 and (mask[j].isalnum() or mask[j] in "_$."):
-                j -= 1
-            start = j + 1
+        # Walk the operand's trailers right-to-left: any sequence of
+        # (...) call/group and [...] subscript suffixes, then the base
+        # (identifier, literal, or bare group) — so a[1]::T,
+        # f(x,'s')[2]::T and (e)::T all resolve.
+        pos = i
+        start = None
+        while start is None:
+            c = mask[pos]
+            if c in ")]":
+                open_ch = "(" if c == ")" else "["
+                depth = 0
+                j = pos
+                while j >= 0:
+                    if mask[j] == c:
+                        depth += 1
+                    elif mask[j] == open_ch:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                if j < 0:
+                    raise NotImplementedError(
+                        "unbalanced brackets before '::' cast: "
+                        + sql[: m.end()][-80:]
+                    )
+                if j == 0:
+                    start = 0
+                elif mask[j - 1] in ")]":
+                    pos = j - 1  # another trailer precedes
+                elif mask[j - 1].isalnum() or mask[j - 1] in "_$.":
+                    # function name / subscripted base identifier
+                    k = j - 1
+                    while k >= 0 and (mask[k].isalnum() or mask[k] in "_$."):
+                        k -= 1
+                    start = k + 1
+                else:
+                    start = j  # bare parenthesized group
+            elif c == _FILL_STR:
+                # The operand IS a literal / quoted identifier.
+                j = pos
+                while j >= 0 and mask[j] == _FILL_STR:
+                    j -= 1
+                start = j + 1
+            else:
+                j = pos
+                while j >= 0 and (mask[j].isalnum() or mask[j] in "_$."):
+                    j -= 1
+                start = j + 1
         operand = sql[start : i + 1]
         if not operand.strip() or operand.upper() in _NON_OPERAND_KEYWORDS:
             raise NotImplementedError(

@@ -174,3 +174,20 @@ def test_cast_operand_crossing_literal_spans():
         )
         == "SELECT CAST(coalesce(b, 'z') AS STRING) FROM t"
     )
+
+
+def test_cast_subscript_operands():
+    """Trailer-aware operand scan: subscripted bases and chained
+    call/subscript trailers all cast the full postfix expression."""
+    assert (
+        transpile("SELECT a[1]::INT FROM t", catalog=None)
+        == "SELECT CAST(a[1] AS INT) FROM t"
+    )
+    assert (
+        transpile("SELECT f(g(x), 'y')[3]::INT FROM t", catalog=None)
+        == "SELECT CAST(f(g(x), 'y')[3] AS INT) FROM t"
+    )
+    assert (
+        transpile("SELECT a[1][2]::INT FROM t", catalog=None)
+        == "SELECT CAST(a[1][2] AS INT) FROM t"
+    )
