@@ -22,8 +22,13 @@ type aliases           VARCHAR/TEXT→STRING, BLOB→BINARY,
                        (§1.2 of SURVEY.md), INT1/2/4/8, FLOAT4/8
 function renames       list_value→array, list_contains→
                        array_contains, list_distinct→array_distinct,
-                       list_sort→array_sort, regexp_split_to_array→
+                       list_sort→array_sort, list_position/indexof→
+                       array_position, regexp_split_to_array→
                        split, quantile_cont→percentile
+arg transforms         list_prepend(e,l)→array_insert(l,1,e);
+                       list_slice(l,a,b)→slice(l,a,b-a+1)
+                       (structural, mask-based — nesting and
+                       literal commas handled)
 =====================  ==========================================
 
 All rewriting is token-aware (string literals, quoted identifiers and
@@ -80,11 +85,14 @@ FUNCTION_RENAMES = {
     "list_sort": "array_sort",
     "list_reverse": "reverse",
     "list_append": "array_append",
-    # NOT renamed (semantics differ — pass through to fail loudly
-    # rather than silently change meaning): list_prepend (elem-first
-    # arg order vs array-first), list_slice (end-inclusive vs slice's
-    # length arg), list_position (NULL vs 0 on miss),
-    # string_split/str_split (literal separator vs split's regex).
+    # list_prepend / list_slice need ARGUMENT transforms, not renames
+    # — handled structurally by _rewrite_arg_calls. list_position /
+    # list_indexof return 0 on miss in both engines (verified), so
+    # they are plain renames. NOT translated (pass through to fail
+    # loudly rather than silently change meaning): string_split /
+    # str_split (literal separator vs split's regex argument).
+    "list_position": "array_position",
+    "list_indexof": "array_position",
     "array_length": "size",
     "regexp_split_to_array": "split",
     "str_split_regex": "split",
@@ -189,6 +197,71 @@ def _build_mask(sql: str) -> str:
         else:
             parts.append(_FILL_STR * len(text))
     return "".join(parts)
+
+
+# Calls whose Spark twin needs argument REORDERING or arithmetic, not
+# just a rename (semantics verified side-by-side on both engines):
+#   list_prepend(e, l)   → array_insert(l, 1, e)
+#   list_slice(l, a, b)  → slice(l, a, (b)-(a)+1)   (1-based inclusive
+#        → start+length; positive indices — the audited subset; DuckDB
+#        negative-index slicing is NOT translated and should not be
+#        fed through the shim)
+_ARG_REWRITES: dict[str, tuple[int, "callable"]] = {
+    "list_prepend": (2, lambda a: f"array_insert({a[1]}, 1, {a[0]})"),
+    "list_slice": (3, lambda a: f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"),
+}
+
+
+def _rewrite_arg_calls(sql: str) -> str:
+    """Rewrite the ``_ARG_REWRITES`` calls over the structural mask:
+    the call is located in code spans only, its argument list split at
+    top-level commas (bracket depth counted on the mask, so commas in
+    literals or nested calls never split), and the Spark form emitted.
+    Outermost-first; nested occurrences are picked up on the next
+    scan over the rewritten text."""
+    pat = re.compile(
+        r"\b(" + "|".join(_ARG_REWRITES) + r")\s*\(", re.IGNORECASE
+    )
+    while True:
+        mask = _build_mask(sql)
+        m = pat.search(mask)
+        if m is None:
+            return sql
+        name = m.group(1).lower()
+        depth = 0
+        close = -1
+        for j in range(m.end() - 1, len(mask)):
+            if mask[j] == "(":
+                depth += 1
+            elif mask[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close < 0:
+            raise NotImplementedError(
+                f"unbalanced parens in {name}() call: " + sql[m.start():][:80]
+            )
+        inner = sql[m.end(): close]
+        inner_mask = mask[m.end(): close]
+        args, d, last = [], 0, 0
+        for idx, ch in enumerate(inner_mask):
+            if ch in "([":
+                d += 1
+            elif ch in ")]":
+                d -= 1
+            elif ch == "," and d == 0:
+                args.append(inner[last:idx])
+                last = idx + 1
+        args.append(inner[last:])
+        args = [a.strip() for a in args]
+        arity, fn = _ARG_REWRITES[name]
+        if len(args) != arity:
+            raise NotImplementedError(
+                f"{name}() expects {arity} args, got {len(args)}: "
+                + sql[m.start(): close + 1][:80]
+            )
+        sql = sql[: m.start()] + fn(args) + sql[close + 1:]
 
 
 def _rewrite_casts_masked(sql: str) -> str:
@@ -400,6 +473,7 @@ def _rewrite_qualify(sql: str, mask: str) -> str:
 def transpile(sql: str, catalog: str | None = "dh") -> str:
     """Rewrite DuckDB-dialect SQL into Spark SQL (see module doc for
     the audited subset)."""
+    sql = _rewrite_arg_calls(sql)
     sql = _rewrite_casts_masked(sql)
     spans = _split_tokens(sql)
     spans = [

@@ -191,3 +191,16 @@ def test_cast_subscript_operands():
         transpile("SELECT a[1][2]::INT FROM t", catalog=None)
         == "SELECT CAST(a[1][2] AS INT) FROM t"
     )
+
+
+def test_list_arg_transform_calls(spark, duck):
+    """list_prepend / list_slice / list_position: argument-transform
+    rewrites verified by running the same DuckDB SQL on both engines."""
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey, "
+        "list_prepend(n_nationkey, list_value(1, 2)) AS lp, "
+        "list_slice(list_value(10, 20, 30, 40), 2, 3) AS sl, "
+        "list_position(list_value(4, 5), n_nationkey % 6) AS pos "
+        "FROM nation",
+    )
