@@ -26,9 +26,12 @@ function renames       list_value→array, list_contains→
                        array_position, regexp_split_to_array→
                        split, quantile_cont→percentile
 arg transforms         list_prepend(e,l)→array_insert(l,1,e);
-                       list_slice(l,a,b)→slice(l,a,b-a+1)
+                       list_slice(l,a,b)→slice(l,a,b-a+1);
+                       string_split/str_split/string_to_array with a
+                       LITERAL separator → split(s, re-escaped sep)
                        (structural, mask-based — nesting and
-                       literal commas handled)
+                       literal commas handled; non-literal
+                       separators raise)
 =====================  ==========================================
 
 All rewriting is token-aware (string literals, quoted identifiers and
@@ -85,12 +88,10 @@ FUNCTION_RENAMES = {
     "list_sort": "array_sort",
     "list_reverse": "reverse",
     "list_append": "array_append",
-    # list_prepend / list_slice need ARGUMENT transforms, not renames
-    # — handled structurally by _rewrite_arg_calls. list_position /
-    # list_indexof return 0 on miss in both engines (verified), so
-    # they are plain renames. NOT translated (pass through to fail
-    # loudly rather than silently change meaning): string_split /
-    # str_split (literal separator vs split's regex argument).
+    # list_prepend / list_slice / string_split(literal sep) need
+    # ARGUMENT transforms, not renames — handled structurally by
+    # _rewrite_arg_calls. list_position / list_indexof return 0 on
+    # miss in both engines (verified), so they are plain renames.
     "list_position": "array_position",
     "list_indexof": "array_position",
     "array_length": "size",
@@ -206,9 +207,30 @@ def _build_mask(sql: str) -> str:
 #        → start+length; positive indices — the audited subset; DuckDB
 #        negative-index slicing is NOT translated and should not be
 #        fed through the shim)
+def _split_literal_sep(args: list[str]) -> str:
+    """``string_split(s, '<literal>')`` → ``split(s, '<re-escaped>')``:
+    DuckDB splits on a LITERAL separator, Spark's split takes a Java
+    regex — translatable only when the separator is a literal we can
+    escape at transpile time. A non-literal separator raises (fail
+    loudly, never silently change meaning). Backslashes introduced by
+    the escaping are doubled for Spark's C-style string literals."""
+    sep = args[1].strip()
+    if not (len(sep) >= 2 and sep[0] == "'" and sep[-1] == "'"):
+        raise NotImplementedError(
+            "string_split with a non-literal separator is not translatable "
+            f"(Spark split takes a regex): {args[1]!r}"
+        )
+    content = sep[1:-1].replace("''", "'")
+    escaped = re.escape(content).replace("\\", "\\\\").replace("'", "''")
+    return f"split({args[0]}, '{escaped}')"
+
+
 _ARG_REWRITES: dict[str, tuple[int, "callable"]] = {
     "list_prepend": (2, lambda a: f"array_insert({a[1]}, 1, {a[0]})"),
     "list_slice": (3, lambda a: f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"),
+    "string_split": (2, _split_literal_sep),
+    "str_split": (2, _split_literal_sep),
+    "string_to_array": (2, _split_literal_sep),
 }
 
 

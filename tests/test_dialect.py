@@ -204,3 +204,15 @@ def test_list_arg_transform_calls(spark, duck):
         "list_position(list_value(4, 5), n_nationkey % 6) AS pos "
         "FROM nation",
     )
+
+
+def test_string_split_literal_separator(spark, duck):
+    """string_split with literal separators (space, dot) translates to
+    a regex-escaped Spark split; non-literal separators raise."""
+    _run_both(
+        spark, duck,
+        "SELECT n_name, string_split(n_name || ' x.y', ' ') AS words, "
+        "string_split('a.b.c', '.') AS dots FROM nation",
+    )
+    with pytest.raises(NotImplementedError):
+        transpile("SELECT string_split(s, sep) FROM t", catalog=None)
