@@ -764,6 +764,64 @@ class Engine:
             w = w.option("header", "true")
         getattr(w, fmt)(path)
 
+    def create_dedup_registry(self, name: str) -> None:
+        """Persistent corpus-wide dedup state: a managed table of
+        content fingerprints already admitted to the corpus. The
+        incremental-ingest twin of the one-shot dedup queries — at
+        100 TB you never re-dedup the whole corpus per batch; you
+        anti-join each new batch against this registry (hash-
+        partitioned equi-join) and append only the survivors'
+        fingerprints."""
+        self.create_table(name, "fp VARCHAR, first_seen_batch BIGINT")
+
+    def dedup_ingest(
+        self,
+        registry: str,
+        batch: DataFrame,
+        text_col: str = "text",
+        batch_id: int = 0,
+    ) -> DataFrame:
+        """Incrementally dedup one ingest batch against the registry:
+        returns the batch rows whose normalized-content fingerprint is
+        BOTH new to the registry AND unique within the batch (first
+        occurrence by fingerprint kept, via a keyed min-aggregate —
+        never a window over the whole batch), then records the
+        survivors' fingerprints. Exactly-once admission per content
+        fingerprint across any number of batches."""
+        from duckdb_distributed_execution_spark.operators.text import (
+            fingerprint,
+        )
+
+        fp = fingerprint(F.col(text_col))
+        tagged = batch.withColumn("__fp", fp)
+        # in-batch keep-first: one row per fingerprint (deterministic:
+        # min of a monotone per-row struct would need an id column; we
+        # keep an arbitrary-but-single row via a fp-keyed aggregate on
+        # the row struct — content-identical rows are interchangeable
+        # by definition of exact dedup)
+        one_per_fp = (
+            tagged.groupBy("__fp")
+            .agg(F.min(F.struct(*[F.col(c) for c in batch.columns])).alias("__r"))
+            .select("__fp", "__r.*")
+        )
+        # Materialize BEFORE appending to the registry: the anti-join
+        # reads the registry's parquet, so a lazy plan re-evaluated
+        # after the append would anti-join the batch against its own
+        # just-admitted fingerprints and come back empty.
+        survivors = one_per_fp.join(
+            self.spark.table(registry).select(F.col("fp").alias("__fp")),
+            on="__fp",
+            how="left_anti",
+        ).localCheckpoint(eager=True)
+        admitted = survivors.select(
+            F.col("__fp").alias("fp"),
+            F.lit(batch_id).cast("bigint").alias("first_seen_batch"),
+        )
+        t = self._tables[registry]
+        admitted.write.mode("append").parquet(t.path)
+        self._attach_managed(registry, t.path)
+        return survivors.drop("__fp")
+
     def copy_from(self, name: str, path: str, fmt: str = "parquet",
                   **options) -> int:
         """COPY name FROM path (FORMAT fmt) — DuckDB's import surface

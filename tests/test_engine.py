@@ -587,3 +587,33 @@ def test_copy_from_and_warehouse_recovery(engine, spark, tmp_path):
     finally:
         eng2._tables.clear()  # don't let eng2.close() delete the shared warehouse
     engine.drop_table("cf_t")
+
+
+def test_incremental_dedup_ingest(engine, spark):
+    """Exactly-once admission across batches: batch 1 admits unique
+    content; batch 2's repeats (of batch 1 AND within-batch) are
+    rejected; the registry holds one fingerprint per admitted
+    content."""
+    engine.create_dedup_registry("dedup_reg")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha   BETA!")],
+        ["doc_id", "text"],
+    )  # doc 3 normalizes identically to doc 1
+    s1 = engine.dedup_ingest("dedup_reg", b1, batch_id=1)
+    admitted1 = {r.text for r in s1.collect()}
+    assert len(admitted1) == 2  # alpha-beta content admitted once
+
+    b2 = spark.createDataFrame(
+        [(4, "ALPHA beta"), (5, "epsilon zeta"), (6, "epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    s2 = engine.dedup_ingest("dedup_reg", b2, batch_id=2)
+    rows2 = s2.collect()
+    assert {r.text for r in rows2} == {"epsilon zeta"}
+    assert len(rows2) == 1
+    reg = engine.execute(
+        "SELECT first_seen_batch, COUNT(*) FROM dedup_reg "
+        "GROUP BY first_seen_batch ORDER BY first_seen_batch"
+    )
+    assert [(r[0], r[1]) for r in reg] == [(1, 2), (2, 1)]
+    engine.drop_table("dedup_reg")
