@@ -41,6 +41,14 @@ above is passed through for Spark to parse — unsupported DuckDB
 constructs fail loudly at parse time rather than silently changing
 meaning; QUALIFY inside a subquery raises ``NotImplementedError``.
 
+Known ENGINE divergence (not a shim issue — found by the SQL fuzzer):
+GROUPING SETS/ROLLUP/CUBE over an EMPTY input relation: DuckDB emits
+the grand-total ``()`` grouping-set row (one row, aggregates over
+zero rows — the standard's behavior, matching a plain global
+aggregate); Spark's Expand-based implementation emits no rows at
+all. Plain global aggregates agree (both emit one row). Queries whose
+grouping-set input can be empty should not rely on the () row.
+
 Known limitation (shared with the reference — ``SanitizeQuery``,
 src/utils/catalog_utils.cpp:12-21, which is blinder still and strips
 ``dh.`` even inside string literals): the catalog-prefix strip

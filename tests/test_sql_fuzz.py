@@ -89,6 +89,22 @@ def _query(rng: random.Random) -> str:
             f"SELECT {', '.join(keys + aggs)} FROM lineitem"
             f"{_where(rng)} GROUP BY {', '.join(keys)}{having}"
         )
+    if form < 0.35:
+        # grouping sets / rollup / cube over two keys. No WHERE: the
+        # engines genuinely diverge on EMPTY input (DuckDB emits the
+        # grand-total () row per the standard; Spark's Expand-based
+        # grouping sets emit nothing) — documented in dialect.py; the
+        # fuzzer checks the shared non-empty semantics.
+        k1, k2 = rng.sample(STR_COLS + ["l_linenumber"], 2)
+        agg = _agg(rng, 0)
+        shape = rng.choice(
+            [
+                f"GROUPING SETS (({k1}), ({k1}, {k2}), ())",
+                f"ROLLUP ({k1}, {k2})",
+                f"CUBE ({k1}, {k2})",
+            ]
+        )
+        return f"SELECT {k1}, {k2}, {agg} FROM lineitem GROUP BY {shape}"
     if form < 0.4:
         # DISTINCT projection
         cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
