@@ -189,6 +189,10 @@ def _query(rng: random.Random) -> str:
                     "substr(l_returnflag, 1, 1) AS s",
                     "l_returnflag || '_' || l_linestatus AS s",
                     "lower(l_returnflag || l_linestatus) AS s",
+                    "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS s",
+                    "CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS s",
+                    "date_trunc('month', l_shipdate) AS s",
+                    "CAST(l_shipdate AS DATE) AS s",
                 ]
             )
         )
