@@ -1,0 +1,187 @@
+"""Reproducible 10× scale probes — the evidence behind README's
+"measured scaling, not just asserted" section.
+
+Builds 10×-replicated copies of the sf0.1 testdata in /tmp (DuckDB
+COPY … CROSS JOIN range(10); documents get shingle-breaking salt so
+the corpus is genuinely distinct, events/facts get key offsets) and
+times one representative operator per family at 1× and 10×:
+
+    python tools/probe_scale.py [--families dedup,events,facts,...]
+
+Probes found two real scale hazards in round 2 (both fixed): the
+MinHash-LSH hot-bucket cap admitting quadratic candidate volume, and
+O(diameter) connected-components divergence on chain graphs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+OUT = "/tmp/dde_probe10"
+
+
+def build_datasets() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    jobs = {
+        "documents.parquet": """
+            SELECT (r.range * 5000 + doc_id)::BIGINT AS doc_id,
+                   replace(text, ' ', ' r' || CAST(r.range AS VARCHAR) || ' ')
+                     AS text,
+                   lang, source, n_chars
+            FROM '{sf}/documents.parquet' CROSS JOIN range(10) r""",
+        "events.parquet": """
+            SELECT (r.range * 100000 + event_id)::BIGINT AS event_id,
+                   ts + to_microseconds((r.range * 37)::BIGINT) AS ts,
+                   user_id + r.range * 150 AS user_id,
+                   event_type, value, props
+            FROM '{sf}/events.parquet' CROSS JOIN range(10) r""",
+        "lineitem.parquet": """
+            SELECT l_orderkey + r.range * 10000000 AS l_orderkey, l_partkey,
+                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{sf}/lineitem.parquet' CROSS JOIN range(10) r""",
+        "embeddings.parquet": """
+            SELECT (r.range * 2000 + vec_id)::BIGINT AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x + (r.range * 0.013)) AS embedding,
+                   label
+            FROM '{sf}/embeddings.parquet' CROSS JOIN range(10) r""",
+    }
+    for fname, sql in jobs.items():
+        dst = os.path.join(OUT, fname)
+        if not os.path.exists(dst):
+            con.execute(
+                f"COPY ({sql.format(sf=SF)}) TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+
+
+def timed(label: str, fn, runs: int = 2) -> None:
+    fn()  # warm
+    best = min(
+        (lambda t0=time.perf_counter(): (fn(), time.perf_counter() - t0)[1])()
+        for _ in range(runs)
+    )
+    print(f"{label}: {best:.2f}s", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="dedup,events,facts,embeddings,multimodal")
+    args = ap.parse_args()
+    fams = set(args.families.split(","))
+
+    build_datasets()
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from duckdb_distributed_execution_spark.operators import dedup as D
+    from duckdb_distributed_execution_spark.operators.asof import asof_join
+    from duckdb_distributed_execution_spark.operators.multimodal import (
+        extract_features,
+    )
+    from duckdb_distributed_execution_spark.operators.sessionize import (
+        sessionize_window,
+    )
+    from duckdb_distributed_execution_spark.operators.similarity import ivf_assign
+    from duckdb_distributed_execution_spark.sources import read_parquet_table
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    for base, tag in ((SF, "1x"), (OUT, "10x")):
+        if "dedup" in fams:
+            d = read_parquet_table(spark, f"{base}/documents.parquet")
+            timed(
+                f"minhash_lsh @{tag}",
+                lambda d=d: noop(D.minhash_lsh_pairs(d, "doc_id", "text")),
+            )
+            timed(
+                f"simhash_pairs60 @{tag}",
+                lambda d=d: noop(
+                    D.simhash_pairs(d, "doc_id", "text", max_hamming=3, bits=60)
+                ),
+            )
+        if "events" in fams:
+            ev = read_parquet_table(spark, f"{base}/events.parquet")
+            clicks = ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            purch = ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            timed(
+                f"asof_join @{tag}",
+                lambda p=purch, c=clicks: noop(
+                    asof_join(p, c, on="user_id", left_ts="p_ts", right_ts="c_ts")
+                ),
+            )
+            timed(
+                f"sessionize @{tag}",
+                lambda ev=ev: noop(sessionize_window(ev, "user_id", "ts", 1800)),
+            )
+        if "facts" in fams:
+            li = read_parquet_table(spark, f"{base}/lineitem.parquet")
+            timed(
+                f"q1_agg @{tag}",
+                lambda li=li: noop(
+                    li.groupBy("l_returnflag", "l_linestatus").agg(
+                        F.count(F.lit(1)), F.sum("l_quantity")
+                    )
+                ),
+            )
+            w = Window.partitionBy("l_returnflag").orderBy(
+                "l_orderkey", "l_linenumber"
+            )
+            timed(
+                f"window_rownum @{tag}",
+                lambda li=li: noop(
+                    li.select("l_orderkey", F.row_number().over(w).alias("rn"))
+                ),
+            )
+        if "embeddings" in fams:
+            e = read_parquet_table(spark, f"{base}/embeddings.parquet")
+            cents = e.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cid"), "embedding"
+            )
+            timed(
+                f"ivf_assign @{tag}",
+                lambda e=e, c=cents: noop(ivf_assign(e, c)),
+            )
+        if "multimodal" in fams:
+            m = read_parquet_table(spark, f"{base}/documents.parquet").select(
+                F.col("doc_id").alias("media_id"),
+                F.col("text").cast("binary").alias("payload"),
+            )
+            timed(
+                f"multimodal_features @{tag}",
+                lambda m=m: noop(extract_features(m)),
+            )
+
+
+if __name__ == "__main__":
+    main()
