@@ -335,13 +335,17 @@ def semantic_dedup_seeded(spark, sf_dir):
             "seed_id", F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns"))
         ).alias("cluster")
     )
-    # Materialize the clustered corpus ONCE (eager localCheckpoint):
-    # both sides of the within-cluster pair join reuse it, instead of
-    # re-running the scan + assignment subtree per branch.
+    # Materialize the clustered corpus ONCE (lazy MEMORY_AND_DISK
+    # persist): both sides of the within-cluster pair join reuse it,
+    # instead of re-running the scan + assignment subtree per branch.
+    # Lazy persist > eager localCheckpoint here: no extra up-front
+    # job, and lineage survives executor loss at cluster scale.
+    from pyspark.storagelevel import StorageLevel
+
     clustered = (
         v.join(assign, on="vec_id")
         .select("vec_id", "cluster", "embedding", "n")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = clustered.select(
         "cluster", F.col("vec_id").alias("id_a"),
