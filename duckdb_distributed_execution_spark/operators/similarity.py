@@ -287,3 +287,112 @@ def kmeans_train(
         [(i, v) for i, v in enumerate(prev)],
         f"cid INT, {vec_col} ARRAY<DOUBLE>",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — asymmetric distance computation
+# ---------------------------------------------------------------------------
+#
+# The 100 TB compression step past int8 SQ: a d-dim vector becomes m
+# sub-codes (one byte each at k<=256), a 64-dim float corpus shrinks
+# 32x, and query scoring never touches the original vectors — each
+# query precomputes an (m x k) lookup table of partial distances to
+# every codebook entry, and scoring a corpus vector is m table
+# lookups + adds (the ADC of Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). In Spark terms: the encoded
+# corpus is a narrow (id, sub, code) table, the LUT is a broadcast,
+# and scoring is one broadcast equi-join + grouped sum — no vector
+# ever shuffles after encoding.
+
+
+def pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Explode each vector into its ``m`` contiguous ``dsub``-dim
+    subvectors: (id, sub, sv). Narrow rows — ``m`` per vector, each
+    carrying only a ``dsub``-dim slice."""
+    spark = df.sparkSession
+    subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    return df.crossJoin(F.broadcast(subs)).select(
+        F.col(id_col).alias("__id"),
+        "sub",
+        F.slice(
+            F.col(vec_col).cast("array<double>"),
+            F.col("sub") * dsub + 1,
+            F.lit(dsub),
+        ).alias("sv"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dsub: int = 8,
+) -> DataFrame:
+    """Encode the corpus against a codebook DF (sub, code, cv):
+    per (vector, subspace) the argmin-squared-L2 code, code-id
+    tie-break. The codebook (m*k tiny rows) broadcasts; the argmin is
+    a struct-min grouped aggregate (partial/final, map-side combine),
+    so encoding is one narrow shuffle of (id, sub, dist, code) rows.
+    Returns (id, sub, code)."""
+    sv = pq_subvectors(corpus, id_col, vec_col, m, dsub)
+    cb = codebook.select("sub", "code", "cv")
+    dists = sv.join(F.broadcast(cb), on="sub").select(
+        "__id",
+        "sub",
+        sq_l2(F.col("sv"), F.col("cv")).alias("dist"),
+        "code",
+    )
+    # min(struct(dist, code)) == ORDER BY dist, code LIMIT 1: struct
+    # comparison is lexicographic and the doubles are bit-identical
+    # across engines (same op order in sq_l2).
+    return (
+        dists.groupBy("__id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("__m"))
+        .select(F.col("__id").alias(id_col), "sub", F.col("__m.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query build the (sub, code) →
+    partial-squared-L2 lookup table against the codebook (m*k rows per
+    query — broadcastable for any practical query batch), join it to
+    the encoded corpus on (sub, code), and sum the m partials per
+    (query, vector). The per-partial values are snapped to 6 fixed
+    decimals before the sum (``exact_sum``) so the total is
+    order-independent and engine-exact. Returns
+    (query_id, neighbor_id, rank, adist)."""
+    from duckdb_distributed_execution_spark.functions import exact_sum
+
+    qv = pq_subvectors(queries, id_col, vec_col, m, dsub).select(
+        F.col("__id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    cb = codebook.select("sub", "code", "cv")
+    lut = qv.join(F.broadcast(cb), on="sub").select(
+        "query_id", "sub", "code", sq_l2(F.col("qv"), F.col("cv")).alias("pdist")
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("neighbor_id"), "sub", "code")
+        .join(F.broadcast(lut), on=["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(exact_sum("pdist").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -118,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         textstats,
         tpch,
         vectors,

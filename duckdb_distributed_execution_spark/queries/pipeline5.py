@@ -1,0 +1,380 @@
+"""Round-2 widening: PQ-ADC similarity search, Bloom-filter
+decontamination, exponential moving averages, ORC sink/source.
+
+All greenfield LLM-pipeline / warehouse surface beyond the
+reference's own operators (the reference delegates every scalar and
+window computation to DuckDB and has no vector or corpus tooling —
+SURVEY §0, §2.B). Each query keeps the repo's determinism
+conventions: identical double op order on both engines, exact-decimal
+accumulation for order-dependent sums, ROUND()ed similarity outputs,
+unique-key ordering for any row subset.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import oracle_exact_sum
+from duckdb_distributed_execution_spark.operators.dedup import oracle_word_shingles, word_shingles
+from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries.extras import (
+    _ROUNDTRIP_ORACLE,
+    _roundtrip_agg,
+)
+
+# ---------------------------------------------------------------------------
+# Product quantization — asymmetric distance top-k
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_DSUB = 8     # dims per subspace (8 x 8 = the 64-dim embeddings)
+_PQ_K = 16       # codes per subspace (seeded codebook)
+
+_PQ_COMMON = f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    subs AS (SELECT CAST(i AS INTEGER) AS sub FROM range(0, {_PQ_M}) t(i)),
+    cbv AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, e
+            FROM v WHERE vec_id < {_PQ_K}),
+    cb AS (SELECT code, sub,
+                  list_slice(e, sub * {_PQ_DSUB} + 1, sub * {_PQ_DSUB} + {_PQ_DSUB}) AS cv
+           FROM cbv CROSS JOIN subs),
+    corp AS (SELECT vec_id, sub,
+                    list_slice(e, sub * {_PQ_DSUB} + 1, sub * {_PQ_DSUB} + {_PQ_DSUB}) AS sv
+             FROM v CROSS JOIN subs WHERE vec_id >= {_PQ_K}),
+    encd AS (SELECT c.vec_id, c.sub, cb.code,
+                    (list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cv))
+                      + list_dot_product(cv, cv) AS dist
+             FROM corp c JOIN cb ON cb.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist, code) AS rn
+              FROM encd) WHERE rn = 1)
+"""
+
+
+@register(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH {_PQ_COMMON}
+    SELECT sub, code, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+    FROM enc GROUP BY sub, code
+    """,
+)
+def ann_pq_codes(spark, sf_dir):
+    """PQ index build, checked at the code-assignment level: every
+    corpus vector quantized to 8 sub-codes against a deterministic
+    seeded codebook (the 16 lowest vec_ids' subvectors — one
+    assignment step; `similarity.kmeans` refines codebooks when real
+    training is wanted). The per-(sub, code) occupancy histogram is
+    the index statistic an IVF-PQ deployment monitors for balance."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        pq_encode,
+        pq_subvectors,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cb_src = e.filter(F.col("vec_id") < _PQ_K)
+    w = Window.orderBy("vec_id")
+    cb_ranked = cb_src.select(
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "embedding"
+    )
+    cb = pq_subvectors(cb_ranked, "code", "embedding", _PQ_M, _PQ_DSUB).select(
+        F.col("__id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    corpus = e.filter(F.col("vec_id") >= _PQ_K)
+    codes = pq_encode(corpus, cb, m=_PQ_M, dsub=_PQ_DSUB)
+    return codes.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_COMMON},
+    qsub AS (SELECT vec_id AS query_id, sub,
+                    list_slice(e, sub * {_PQ_DSUB} + 1, sub * {_PQ_DSUB} + {_PQ_DSUB}) AS qv
+             FROM v CROSS JOIN subs
+             WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + 5}),
+    lut AS (SELECT query_id, q.sub, cb.code,
+                   (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, cv))
+                     + list_dot_product(cv, cv) AS pdist
+            FROM qsub q JOIN cb ON cb.sub = q.sub),
+    scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+                      {oracle_exact_sum('pdist')} AS adist
+               FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+               GROUP BY l.query_id, e.vec_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           ROUND(adist, 4) AS adist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (Jegou et al. 2011): queries score
+    the ENCODED corpus via a broadcast (sub, code) → partial-distance
+    lookup table — m lookups + adds per corpus vector, the original
+    floats never shuffle. This is the memory-bound ANN scale path: at
+    100 TB the encoded corpus is 32× smaller than the float rows and
+    the scoring plan is broadcast-join + grouped exact-sum, both
+    map-side-combining. Partial distances are snapped to 6 fixed
+    decimals before summing so the 8-term total is order-independent
+    and engine-exact."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cb_src = e.filter(F.col("vec_id") < _PQ_K)
+    w = Window.orderBy("vec_id")
+    cb_ranked = cb_src.select(
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "embedding"
+    )
+    cb = pq_subvectors(cb_ranked, "code", "embedding", _PQ_M, _PQ_DSUB).select(
+        F.col("__id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    corpus = e.filter(F.col("vec_id") >= _PQ_K)
+    queries = e.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + 5)
+    )
+    codes = pq_encode(corpus, cb, m=_PQ_M, dsub=_PQ_DSUB)
+    out = pq_adc_topk(codes, queries, cb, m=_PQ_M, dsub=_PQ_DSUB, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("adist", 4).alias("adist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination screen
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384   # filter size in bit positions
+_BLOOM_WORD = 62      # usable bits per int64 word (DuckDB errors on 1<<63)
+
+
+@register(
+    "contamination_bloom",
+    oracle=f"""
+    WITH grams AS (SELECT doc_id, UNNEST({oracle_word_shingles('text', 3)}) AS g
+                   FROM documents),
+    bpos AS (SELECT DISTINCT p FROM (
+        SELECT CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM grams WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT CAST('0x' || substr(md5(g), 8, 7) AS BIGINT) % {_BLOOM_BITS} AS p
+        FROM grams WHERE doc_id % 50 = 0)),
+    bloom AS (SELECT CAST(p // {_BLOOM_WORD} AS INTEGER) AS w,
+                     bit_or(1::BIGINT << CAST(p % {_BLOOM_WORD} AS INTEGER)) AS bits
+              FROM bpos GROUP BY 1),
+    cand AS (SELECT doc_id, g,
+                    CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) % {_BLOOM_BITS} AS p1,
+                    CAST('0x' || substr(md5(g), 8, 7) AS BIGINT) % {_BLOOM_BITS} AS p2
+             FROM grams WHERE doc_id % 50 <> 0),
+    hits AS (SELECT c.doc_id,
+                    CASE WHEN (COALESCE(b1.bits, 0) &
+                               (1::BIGINT << CAST(c.p1 % {_BLOOM_WORD} AS INTEGER))) <> 0
+                          AND (COALESCE(b2.bits, 0) &
+                               (1::BIGINT << CAST(c.p2 % {_BLOOM_WORD} AS INTEGER))) <> 0
+                         THEN 1 ELSE 0 END AS hit
+             FROM cand c
+             LEFT JOIN bloom b1 ON b1.w = CAST(c.p1 // {_BLOOM_WORD} AS INTEGER)
+             LEFT JOIN bloom b2 ON b2.w = CAST(c.p2 // {_BLOOM_WORD} AS INTEGER)),
+    agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(hit) AS BIGINT) AS n_hits
+            FROM hits GROUP BY doc_id)
+    SELECT doc_id, n_grams, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_grams, 4) AS hit_rate
+    FROM agg WHERE n_hits * 5 >= n_grams
+    """,
+)
+def contamination_bloom(spark, sf_dir):
+    """Bloom-filter decontamination: benchmark 3-grams (docs with
+    doc_id % 50 = 0 stand in for the eval set) are folded into a
+    16384-bit filter (2 md5-derived probes per gram, 62 usable bits
+    per int64 word), and every candidate doc's grams are screened
+    against it. Docs with ≥20% possibly-benchmark grams are flagged.
+
+    This is the O(1)-memory screen in front of the exact join
+    (`contamination_ngram_overlap`): at 100 TB the benchmark gram SET
+    may not broadcast, but its Bloom bitmap always does (the filter is
+    ~260 longs regardless of corpus size; size it by target FP rate,
+    not data volume). The bitmap is built with a bit_or grouped
+    aggregate — map-side combining, one tiny shuffle — and screening
+    is two broadcast joins, so nothing quadratic anywhere. False
+    positives are inherent (and deterministic: both engines compute
+    identical probe positions); the exact join then rescreens only
+    flagged docs."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    p1 = F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long") % _BLOOM_BITS
+    p2 = F.conv(F.substring(F.md5(F.col("g")), 8, 7), 16, 10).cast("long") % _BLOOM_BITS
+
+    bench = grams.filter(F.col("doc_id") % 50 == 0)
+    bpos = (
+        bench.select(p1.alias("p"))
+        .unionAll(bench.select(p2.alias("p")))
+        .distinct()
+    )
+    bloom = (
+        bpos.select(
+            (F.col("p") / _BLOOM_WORD).cast("int").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))"
+            ).alias("bv"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bv").alias("bits"))
+    )
+
+    cand = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", p1.alias("p1"), p2.alias("p2")
+    )
+    bv1 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p1 % {_BLOOM_WORD} AS INT))")
+    bv2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p2 % {_BLOOM_WORD} AS INT))")
+    hits = (
+        cand.join(
+            F.broadcast(bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))),
+            F.col("w1") == (F.col("p1") / _BLOOM_WORD).cast("int"),
+            "left",
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))),
+            F.col("w2") == (F.col("p2") / _BLOOM_WORD).cast("int"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.coalesce(F.col("bits1"), F.lit(0)).bitwiseAND(bv1) != 0)
+                & (F.coalesce(F.col("bits2"), F.lit(0)).bitwiseAND(bv2) != 0),
+                1,
+            ).otherwise(0).alias("hit"),
+        )
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    )
+    return agg.filter(F.col("n_hits") * 5 >= F.col("n_grams")).select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 4).alias(
+            "hit_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average (bounded-window EWMA)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ewma",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             list(CAST(floor(value * 1000000.0 + 0.5) AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE event_type = 'view')
+    SELECT user_id, event_id,
+           ROUND(
+             list_reduce(list_transform(l, (x, i) ->
+                           x * pow(0.5, CAST(len(l) - i AS DOUBLE))),
+                         (a, b) -> a + b)
+             / list_reduce(list_transform(l, (x, i) ->
+                             pow(0.5, CAST(len(l) - i AS DOUBLE))),
+                           (a, b) -> a + b)
+             / 1000000.0, 6) AS ewma
+    FROM o
+    """,
+)
+def window_ewma(spark, sf_dir):
+    """Per-user exponential moving average (α=0.5) over the trailing
+    11 events — the recurrence s_i = α·x_i + (1−α)·s_{i−1} unrolled to
+    its truncated weighted-sum form, normalized by the weight sum
+    (pandas ``ewm(adjust=True)`` over a bounded window). One keyed
+    window shuffle; the per-row fold is over ≤11 elements.
+
+    Engine-exact by construction: values snap to integer micros
+    first, and α=0.5 makes every weight a power of two, so each
+    product and the ≤11-term sums are EXACT in binary doubles — no
+    libm/fold-order drift for ROUND to paper over. (DuckDB's lambda
+    index is 1-based, Spark's 0-based; the exponents ``len−i`` and
+    ``size−1−i`` line up.)"""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    with_list = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        F.collect_list(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("double")
+        ).over(w).alias("l"),
+    )
+    weight = lambda i: F.pow(  # noqa: E731
+        F.lit(0.5), (F.size(F.col("l")) - 1 - i).cast("double")
+    )
+    num = F.aggregate(
+        F.transform("l", lambda x, i: x * weight(i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform("l", lambda x, i: weight(i)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return with_list.select(
+        "user_id",
+        "event_id",
+        F.round(num / den / F.lit(1000000.0), 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC sink + source
+# ---------------------------------------------------------------------------
+
+
+@register("orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink + source — Spark's second columnar format, same
+    lossless-cycle contract as csv_roundtrip/json_roundtrip: write
+    orders to ORC, read back with an explicit schema, aggregate, and
+    hash-match the parquet-derived oracle. ORC stripes are splittable
+    and predicate-pushdown-capable like parquet row groups, so the
+    read path distributes identically at scale."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"dde_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE"
+    ).orc(out)
+    return _roundtrip_agg(back)
