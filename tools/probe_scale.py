@@ -76,7 +76,10 @@ def timed(label: str, fn, runs: int = 2) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", default="dedup,events,facts,embeddings,multimodal")
+    ap.add_argument(
+        "--families",
+        default="dedup,events,facts,embeddings,multimodal,pq,bloom",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
 
@@ -171,6 +174,44 @@ def main() -> None:
             timed(
                 f"ivf_assign @{tag}",
                 lambda e=e, c=cents: noop(ivf_assign(e, c)),
+            )
+        if "pq" in fams:
+            from duckdb_distributed_execution_spark.operators.similarity import (
+                pq_adc_topk,
+                pq_encode,
+                pq_subvectors,
+            )
+
+            e = read_parquet_table(spark, f"{base}/embeddings.parquet")
+            wrank = Window.orderBy("vec_id")
+            cbr = e.filter(F.col("vec_id") < 16).select(
+                (F.row_number().over(wrank) - 1).cast("int").alias("code"),
+                "embedding",
+            )
+            cb = pq_subvectors(cbr, "code", "embedding", 8, 8).select(
+                F.col("__id").alias("code"), "sub", F.col("sv").alias("cv")
+            )
+            corpus = e.filter(F.col("vec_id") >= 16)
+            qs = e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 21))
+            timed(
+                f"pq_encode @{tag}",
+                lambda c=corpus, cb=cb: noop(pq_encode(c, cb)),
+            )
+            timed(
+                f"pq_adc_topk @{tag}",
+                lambda c=corpus, q=qs, cb=cb: noop(
+                    pq_adc_topk(pq_encode(c, cb), q, cb)
+                ),
+            )
+        if "bloom" in fams:
+            from duckdb_distributed_execution_spark.queries import REGISTRY
+            import duckdb_distributed_execution_spark.queries.pipeline5  # noqa: F401
+
+            timed(
+                f"contamination_bloom @{tag}",
+                lambda b=base: noop(
+                    REGISTRY["contamination_bloom"].fn(spark, b)
+                ),
             )
         if "multimodal" in fams:
             m = read_parquet_table(spark, f"{base}/documents.parquet").select(
