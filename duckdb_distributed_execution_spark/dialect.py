@@ -31,7 +31,36 @@ arg transforms         list_prepend(e,l)→array_insert(l,1,e);
                        LITERAL separator → split(s, re-escaped sep)
                        (structural, mask-based — nesting and
                        literal commas handled; non-literal
-                       separators raise)
+                       separators raise);
+                       strftime(ts, 'fmt') → date_format with the C
+                       directives translated to a Java pattern
+                       (literal fmt only; unknown directives raise);
+                       date_diff('part', a, b) → timestampdiff over
+                       date_trunc'd endpoints (DuckDB counts PART
+                       BOUNDARIES crossed, Spark's bare timestampdiff
+                       counts elapsed units — truncating both
+                       endpoints to the part start makes them agree);
+                       epoch(ts) → unix_micros(ts)/1e6 (DuckDB epoch
+                       returns fractional seconds as DOUBLE)
+``a ^ b``, ``a ** b``  ``power(a, b)`` — in DuckDB ``^`` is
+                       exponentiation; Spark's ``^`` is bitwise XOR,
+                       so passing it through would silently change
+                       semantics. Operands resolved structurally
+                       (leftmost-first ⇒ left-associative, matching
+                       DuckDB; an immediately preceding unary sign
+                       binds to the operand: ``-2 ^ 2`` = 4 in
+                       DuckDB and here). Unary ``~`` (bitwise NOT)
+                       is untouched — same meaning on both engines.
+``s ~ p`` / ``s !~ p`` ``s [NOT] RLIKE concat('^(?:', p, ')$')`` —
+                       DuckDB's ``~`` is a FULL-string regex match
+                       (regexp_full_match), Spark RLIKE is a
+                       substring search, hence the anchor wrap.
+                       ``~~``/``!~~`` → ``LIKE``/``NOT LIKE``.
+                       Case-insensitive ``~*``/``!~*`` raise.
+                       (Pattern DIALECT differences — DuckDB uses
+                       RE2, Spark uses Java regex — are not
+                       translated; the common subset behaves
+                       identically.)
 =====================  ==========================================
 
 All rewriting is token-aware (string literals, quoted identifiers and
@@ -233,12 +262,112 @@ def _split_literal_sep(args: list[str]) -> str:
     return f"split({args[0]}, '{escaped}')"
 
 
+# C strftime directive → Java SimpleDateFormat/DateTimeFormatter
+# pattern piece (the subset whose OUTPUT is verified identical on
+# both engines; anything else raises rather than guessing).
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "I": "hh", "M": "mm", "S": "ss",
+    "f": "SSSSSS", "j": "DDD", "p": "a",
+    "A": "EEEE", "a": "EEE", "B": "MMMM", "b": "MMM",
+    "%": "%",
+}
+
+
+def _strftime_fmt(args: list[str]) -> str:
+    """``strftime(ts, '<literal C fmt>')`` → ``date_format(ts,
+    '<Java pattern>')``. Literal (non-directive) LETTERS are quoted
+    for the Java pattern; a non-literal format raises."""
+    fmt = args[1].strip()
+    if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+        raise NotImplementedError(
+            f"strftime with a non-literal format is not translatable: {args[1]!r}"
+        )
+    content = fmt[1:-1].replace("''", "'")
+    out: list[str] = []
+    i = 0
+    while i < len(content):
+        c = content[i]
+        if c == "%":
+            if i + 1 >= len(content):
+                raise NotImplementedError("dangling '%' in strftime format")
+            d = content[i + 1]
+            piece = _STRFTIME_MAP.get(d)
+            if piece is None:
+                raise NotImplementedError(
+                    f"strftime directive %{d} is not translated"
+                )
+            out.append(piece)
+            i += 2
+        elif c.isalpha():
+            # Literal letter — must be quoted in a Java pattern.
+            j = i
+            while j < len(content) and content[j].isalpha():
+                j += 1
+            out.append("'" + content[i:j] + "'")
+            i = j
+        elif c == "'":
+            out.append("''")  # literal quote in Java pattern
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    # Escape for the surrounding SQL single-quoted literal.
+    sql_lit = "".join(out).replace("'", "''")
+    return f"date_format({args[0]}, '{sql_lit}')"
+
+
+_DATE_PARTS = {
+    "year": "YEAR", "years": "YEAR", "y": "YEAR", "yr": "YEAR",
+    "quarter": "QUARTER", "quarters": "QUARTER",
+    "month": "MONTH", "months": "MONTH", "mon": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "w": "WEEK",
+    "day": "DAY", "days": "DAY", "d": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "h": "HOUR", "hr": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE", "min": "MINUTE",
+    "second": "SECOND", "seconds": "SECOND", "s": "SECOND", "sec": "SECOND",
+    "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+    "ms": "MILLISECOND",
+    "microsecond": "MICROSECOND", "microseconds": "MICROSECOND",
+    "us": "MICROSECOND",
+}
+
+
+def _date_diff(args: list[str]) -> str:
+    """``date_diff('part', a, b)`` → ``timestampdiff(PART,
+    date_trunc('PART', a), date_trunc('PART', b))``. DuckDB counts
+    PART BOUNDARIES crossed between a and b; Spark's bare
+    timestampdiff counts fully-elapsed units — truncating both
+    endpoints to the part start reconciles them (verified
+    side-by-side for every part in tests/test_dialect.py)."""
+    part_lit = args[0].strip()
+    if not (len(part_lit) >= 2 and part_lit[0] == "'" and part_lit[-1] == "'"):
+        raise NotImplementedError(
+            f"date_diff with a non-literal part is not translatable: {args[0]!r}"
+        )
+    part = _DATE_PARTS.get(part_lit[1:-1].lower())
+    if part is None:
+        raise NotImplementedError(
+            f"date_diff part {part_lit} is not translated"
+        )
+    return (
+        f"timestampdiff({part}, date_trunc('{part}', {args[1]}), "
+        f"date_trunc('{part}', {args[2]}))"
+    )
+
+
 _ARG_REWRITES: dict[str, tuple[int, "callable"]] = {
     "list_prepend": (2, lambda a: f"array_insert({a[1]}, 1, {a[0]})"),
     "list_slice": (3, lambda a: f"slice({a[0]}, {a[1]}, ({a[2]}) - ({a[1]}) + 1)"),
     "string_split": (2, _split_literal_sep),
     "str_split": (2, _split_literal_sep),
     "string_to_array": (2, _split_literal_sep),
+    "strftime": (2, _strftime_fmt),
+    "date_diff": (3, _date_diff),
+    "datediff": (3, _date_diff),
+    # DuckDB epoch() returns fractional seconds as DOUBLE; Spark's
+    # unix_timestamp() truncates, so go through microseconds.
+    "epoch": (1, lambda a: f"(unix_micros({a[0]}) / CAST(1000000 AS DOUBLE))"),
 }
 
 
@@ -292,6 +421,222 @@ def _rewrite_arg_calls(sql: str) -> str:
                 + sql[m.start(): close + 1][:80]
             )
         sql = sql[: m.start()] + fn(args) + sql[close + 1:]
+
+
+def _operand_back(mask: str, i: int) -> int:
+    """Start index of the operand ENDING at mask index ``i`` (i points
+    at its last non-space char): walks (...)/[...] trailers
+    right-to-left, then the base identifier / literal / bare group —
+    the same shape the cast rewrite resolves. Returns the start, or
+    raises if nothing resolvable precedes."""
+    pos = i
+    while True:
+        c = mask[pos]
+        if c in ")]":
+            open_ch = "(" if c == ")" else "["
+            depth = 0
+            j = pos
+            while j >= 0:
+                if mask[j] == c:
+                    depth += 1
+                elif mask[j] == open_ch:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise NotImplementedError(
+                    "unbalanced brackets scanning operand"
+                )
+            if j == 0:
+                return 0
+            if mask[j - 1] in ")]":
+                pos = j - 1
+                continue
+            if mask[j - 1].isalnum() or mask[j - 1] in "_$.":
+                k = j - 1
+                while k >= 0 and (mask[k].isalnum() or mask[k] in "_$."):
+                    k -= 1
+                return k + 1
+            return j
+        if c == _FILL_STR:
+            j = pos
+            while j >= 0 and mask[j] == _FILL_STR:
+                j -= 1
+            return j + 1
+        j = pos
+        while j >= 0 and (mask[j].isalnum() or mask[j] in "_$."):
+            j -= 1
+        return j + 1
+
+
+def _operand_fwd(mask: str, i: int) -> tuple[int, int]:
+    """(start, end_exclusive) of the operand BEGINNING at or after
+    mask index ``i``: skips whitespace/comments, takes an optional
+    unary sign, then a literal / identifier / parenthesized group,
+    then any (...)/[...] trailers."""
+    n = len(mask)
+    while i < n and (mask[i].isspace() or mask[i] == _FILL_COMMENT):
+        i += 1
+    if i >= n:
+        raise NotImplementedError("operator with no right operand")
+    start = i
+    if mask[i] in "+-":
+        i += 1
+        while i < n and (mask[i].isspace() or mask[i] == _FILL_COMMENT):
+            i += 1
+    if i >= n:
+        raise NotImplementedError("operator with no right operand")
+    c = mask[i]
+    if c == _FILL_STR:
+        while i < n and mask[i] == _FILL_STR:
+            i += 1
+    elif c == "(":
+        depth = 0
+        while i < n:
+            if mask[i] == "(":
+                depth += 1
+            elif mask[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+        else:
+            raise NotImplementedError("unbalanced parens in right operand")
+    elif c.isalnum() or c in "_$":
+        while i < n and (mask[i].isalnum() or mask[i] in "_$."):
+            i += 1
+    else:
+        raise NotImplementedError(
+            f"cannot resolve right operand starting at {c!r}"
+        )
+    # Trailers: calls/subscripts directly following (allow spaces
+    # before an opening paren — function call style).
+    while True:
+        j = i
+        while j < n and (mask[j].isspace() or mask[j] == _FILL_COMMENT):
+            j += 1
+        if j < n and mask[j] in "([":
+            open_ch, close_ch = mask[j], ")" if mask[j] == "(" else "]"
+            depth = 0
+            while j < n:
+                if mask[j] == open_ch:
+                    depth += 1
+                elif mask[j] == close_ch:
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            else:
+                raise NotImplementedError("unbalanced trailer in operand")
+            i = j
+        else:
+            break
+    return start, i
+
+
+# Characters after which a '-'/'+' is a unary sign, not a binary op.
+_SIGN_CONTEXT = set("(,=<>+-*/%|&^")
+
+
+def _prev_is_operand(mask: str, k: int) -> bool:
+    """True if mask position ``k`` (a non-space char) ends an operand
+    — an identifier/number/literal/closing bracket — as opposed to an
+    operator, punctuation, or a bare SQL keyword (``SELECT -2``,
+    ``WHERE ~x`` …: the word before the sign is a keyword, so what
+    follows is unary)."""
+    if k < 0:
+        return False
+    c = mask[k]
+    if c in ")]" or c == _FILL_STR:
+        return True
+    if not (c.isalnum() or c in "_$"):
+        return False
+    j = k
+    while j >= 0 and (mask[j].isalnum() or mask[j] in "_$."):
+        j -= 1
+    word = mask[j + 1 : k + 1]
+    return word.upper() not in _NON_OPERAND_KEYWORDS
+
+
+def _rewrite_power_ops(sql: str) -> str:
+    """``a ^ b`` / ``a ** b`` → ``power(a, b)``; leftmost-first ⇒
+    left-associative like DuckDB (``2 ^ 3 ^ 2`` = 64). An immediately
+    preceding unary sign joins the left operand (``-2 ^ 2`` = 4)."""
+    pat = re.compile(r"\*\*|\^")
+    while True:
+        mask = _build_mask(sql)
+        m = pat.search(mask)
+        if m is None:
+            return sql
+        i = m.start() - 1
+        while i >= 0 and (mask[i].isspace() or mask[i] == _FILL_COMMENT):
+            i -= 1
+        if i < 0:
+            raise NotImplementedError("'^' with no left operand")
+        lstart = _operand_back(mask, i)
+        # Fold a unary sign into the left operand (DuckDB parses
+        # -2 ^ 2 as (-2) ^ 2).
+        k = lstart - 1
+        while k >= 0 and (mask[k].isspace() or mask[k] == _FILL_COMMENT):
+            k -= 1
+        if k >= 0 and mask[k] in "+-":
+            k2 = k - 1
+            while k2 >= 0 and (mask[k2].isspace() or mask[k2] == _FILL_COMMENT):
+                k2 -= 1
+            if k2 < 0 or mask[k2] in _SIGN_CONTEXT or not _prev_is_operand(mask, k2):
+                lstart = k
+        rstart, rend = _operand_fwd(mask, m.end())
+        left = sql[lstart : i + 1]
+        right = sql[rstart:rend]
+        sql = sql[:lstart] + f"power({left}, {right})" + sql[rend:]
+
+
+def _rewrite_regex_ops(sql: str) -> str:
+    """Postgres-style regex/LIKE operators → Spark predicates.
+    ``~``/``!~`` are FULL matches in DuckDB, so the pattern operand is
+    anchor-wrapped via concat (works for non-literal patterns too);
+    ``~~``/``!~~`` are plain LIKE aliases. Unary ``~`` (bitwise NOT —
+    no left operand) is left alone: same meaning on both engines."""
+    pat = re.compile(r"!~~|~~|!~\*|~\*|!~|~")
+    search_from = 0
+    while True:
+        mask = _build_mask(sql)
+        m = pat.search(mask, search_from)
+        if m is None:
+            return sql
+        op = m.group(0)
+        if op in ("~*", "!~*"):
+            raise NotImplementedError(
+                "case-insensitive regex match (~* / !~*) is not translated; "
+                "use regexp_matches with a (?i) flag explicitly"
+            )
+        i = m.start() - 1
+        while i >= 0 and (mask[i].isspace() or mask[i] == _FILL_COMMENT):
+            i -= 1
+        binary = _prev_is_operand(mask, i)
+        if not binary:
+            if op in ("~~", "!~~", "!~"):
+                raise NotImplementedError(f"'{op}' with no left operand")
+            search_from = m.end()  # unary bitwise NOT — leave as-is
+            continue
+        if op == "~~":
+            sql = sql[: m.start()] + " LIKE " + sql[m.end():]
+            continue
+        if op == "!~~":
+            sql = sql[: m.start()] + " NOT LIKE " + sql[m.end():]
+            continue
+        rstart, rend = _operand_fwd(mask, m.end())
+        rhs = sql[rstart:rend]
+        kw = " RLIKE " if op == "~" else " NOT RLIKE "
+        sql = (
+            sql[: m.start()]
+            + kw
+            + f"concat('^(?:', {rhs}, ')$')"
+            + sql[rend:]
+        )
 
 
 def _rewrite_casts_masked(sql: str) -> str:
@@ -505,6 +850,8 @@ def transpile(sql: str, catalog: str | None = "dh") -> str:
     the audited subset)."""
     sql = _rewrite_arg_calls(sql)
     sql = _rewrite_casts_masked(sql)
+    sql = _rewrite_power_ops(sql)
+    sql = _rewrite_regex_ops(sql)
     spans = _split_tokens(sql)
     spans = [
         (kind, _rewrite_code(text, catalog) if kind == "code" else text)

@@ -216,3 +216,76 @@ def test_string_split_literal_separator(spark, duck):
     )
     with pytest.raises(NotImplementedError):
         transpile("SELECT string_split(s, sep) FROM t", catalog=None)
+
+
+def test_power_operator_rewrite(spark, duck):
+    """DuckDB ^ / ** are exponentiation (Spark's ^ is XOR — passing it
+    through would silently change meaning). Precedence and the unary
+    sign fold (-2 ^ 2 = 4 in DuckDB) verified on both engines."""
+    _run_both(
+        spark, duck,
+        "SELECT n_nationkey, n_nationkey ^ 2 AS sq, "
+        "2 ** (n_nationkey % 4) AS p2, "
+        "-2 ^ 2 AS signed, 2 ^ 3 ^ 2 AS assoc, "
+        "1 + n_nationkey ^ 2 * 2 AS prec "
+        "FROM nation",
+    )
+
+
+def test_regex_match_operators(spark, duck):
+    """~ / !~ are FULL regex matches in DuckDB (anchor-wrapped RLIKE on
+    Spark); ~~ / !~~ are LIKE aliases; unary ~ (bitwise NOT) is left
+    alone. Operators inside string literals never rewritten."""
+    _run_both(
+        spark, duck,
+        "SELECT n_name, n_name ~ '[A-Z]+' AS full_upper, "
+        "n_name ~ 'A.*' AS starts_a, n_name !~ '.*A.*' AS no_a, "
+        "n_name ~~ 'A%' AS like_a, n_name !~~ '%A%' AS nlike_a, "
+        "~n_nationkey AS bnot, '~ ^ **' AS lit "
+        "FROM nation",
+    )
+    with pytest.raises(NotImplementedError):
+        transpile("SELECT s ~* 'x' FROM t", catalog=None)
+
+
+def test_strftime_translation(spark, duck):
+    """strftime C directives → Java date_format pattern, literal
+    letters quoted; unknown directives and non-literal formats raise."""
+    _run_both(
+        spark, duck,
+        "SELECT o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS iso, "
+        "strftime(o_orderdate, 'on %A, %B %d (%j)') AS words "
+        "FROM orders WHERE o_orderkey < 100",
+    )
+    with pytest.raises(NotImplementedError):
+        transpile("SELECT strftime(d, fmt) FROM t", catalog=None)
+    with pytest.raises(NotImplementedError):
+        transpile("SELECT strftime(d, '%Q') FROM t", catalog=None)
+
+
+def test_date_diff_boundary_semantics(spark, duck):
+    """date_diff counts part-boundary crossings in DuckDB; the
+    timestampdiff-over-date_trunc rewrite reproduces that exactly
+    (bare timestampdiff counts elapsed units and would differ)."""
+    _run_both(
+        spark, duck,
+        "SELECT o_orderkey, "
+        "date_diff('day', DATE '1995-01-01', o_orderdate) AS dd, "
+        "date_diff('month', DATE '1995-01-15', o_orderdate) AS dm, "
+        "date_diff('year', DATE '1995-06-01', o_orderdate) AS dy, "
+        "date_diff('week', DATE '1995-01-01', o_orderdate) AS dw, "
+        "date_diff('quarter', DATE '1995-02-01', o_orderdate) AS dq "
+        "FROM orders WHERE o_orderkey < 200",
+    )
+
+
+def test_epoch_fractional_seconds(spark, duck):
+    """epoch() returns fractional seconds as DOUBLE in DuckDB; the
+    unix_micros/1e6 rewrite preserves the fraction (unix_timestamp
+    would truncate)."""
+    _run_both(
+        spark, duck,
+        "SELECT event_id, epoch(ts) AS es FROM events "
+        "WHERE event_id < 50",
+    )
