@@ -378,3 +378,93 @@ def orc_roundtrip(spark, sf_dir):
         "o_totalprice DOUBLE, o_orderdate DATE"
     ).orc(out)
     return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_rebalance_sample",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS toks
+               FROM documents),
+    pl AS (SELECT lang, COUNT(*) AS total_docs, SUM(toks) AS lang_toks
+           FROM t GROUP BY lang),
+    m AS (SELECT MIN(lang_toks) AS min_toks FROM pl),
+    r AS (SELECT pl.lang, pl.total_docs, pl.lang_toks,
+                 least(1.0, CAST(min_toks AS DOUBLE) / lang_toks) AS rate
+          FROM pl CROSS JOIN m),
+    acc AS (SELECT t.lang, COUNT(*) AS sampled_docs,
+                   SUM(t.toks) AS sampled_tokens
+            FROM t JOIN r ON t.lang = r.lang
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15) AS BIGINT)
+                    % 1000000
+                  < CAST(floor(rate * 1000000.0) AS BIGINT)
+            GROUP BY t.lang)
+    SELECT r.lang, r.total_docs, CAST(r.lang_toks AS BIGINT) AS total_tokens,
+           CAST(COALESCE(acc.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+           CAST(COALESCE(acc.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+           ROUND(r.rate, 6) AS rate
+    FROM r LEFT JOIN acc ON acc.lang = r.lang
+    """,
+)
+def mix_rebalance_sample(spark, sf_dir):
+    """Domain-mixture rebalancing — the training-data op of
+    downsampling over-represented languages to the SMALLEST language's
+    token budget: rate(lang) = min_lang_tokens / lang_tokens, applied
+    as a deterministic hash-Bernoulli per document (same salt-keyed
+    bucket as the sampling family, so reruns and retries admit the
+    same docs). Reports per-lang totals, sampled counts, and the rate.
+
+    Scale shape: one grouped aggregate for the budgets (tiny result →
+    broadcast back), then a pure filter — the corpus itself never
+    shuffles to be sampled, so this composes with any downstream op at
+    100 TB. Swapping the min-budget target for an arbitrary mixture
+    weight vector is a one-line change to `rate`."""
+    from duckdb_distributed_execution_spark.operators.sampling import (
+        sample_bucket,
+    )
+    from duckdb_distributed_execution_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select("doc_id", "lang", token_count(F.col("text")).alias("toks"))
+    pl = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("toks").alias("lang_toks"),
+    )
+    # Global min via an empty-frame window over the TINY per-lang
+    # aggregate (a handful of rows) — no scalar cross-join, and the
+    # fact table is never touched twice.
+    r = pl.select(
+        "lang",
+        "total_docs",
+        "lang_toks",
+        F.least(
+            F.lit(1.0),
+            F.min("lang_toks").over(Window.partitionBy()).cast("double")
+            / F.col("lang_toks"),
+        ).alias("rate"),
+    )
+    acc = (
+        t.join(F.broadcast(r.select("lang", "rate")), on="lang")
+        .filter(
+            sample_bucket(F.col("doc_id"), "mix")
+            < F.floor(F.col("rate") * 1000000.0).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("toks").alias("sampled_tokens"),
+        )
+    )
+    return r.join(acc, on="lang", how="left").select(
+        "lang",
+        "total_docs",
+        F.col("lang_toks").cast("long").alias("total_tokens"),
+        F.coalesce("sampled_docs", F.lit(0)).cast("long").alias("sampled_docs"),
+        F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
+        F.round("rate", 6).alias("rate"),
+    )
