@@ -26,6 +26,12 @@ _TRIGGERS = [
     "LIMIT 5",
     "-- not a comment",
     "/* not a comment */",
+    "2 ^ 3",
+    "x ** y",
+    "a ~ b",
+    "s !~~ t",
+    "strftime(d, fmt)",
+    "date_diff('day', a, b)",
 ]
 
 _literal_text = st.one_of(

@@ -193,6 +193,20 @@ def _query(rng: random.Random) -> str:
                     "CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS s",
                     "date_trunc('month', l_shipdate) AS s",
                     "CAST(l_shipdate AS DATE) AS s",
+                    # dialect-shim operator surface (^/** are power in
+                    # DuckDB; ~ is a FULL regex match; values kept
+                    # integer-exact so the double results hash-match)
+                    "(l_linenumber % 5) ^ 2 AS s",
+                    "2 ** (l_suppkey % 6) AS s",
+                    "-2 ^ (l_linenumber % 3) AS s",
+                    "l_returnflag ~ '[A-Z]' AS s",
+                    "l_returnflag !~ '[NR]' AS s",
+                    "(l_returnflag || l_linestatus) ~~ 'A%' AS s",
+                    "strftime(l_shipdate, '%Y-%m') AS s",
+                    "strftime(l_shipdate, '%j/%d') AS s",
+                    "date_diff('month', DATE '1995-01-15', l_shipdate) AS s",
+                    "date_diff('week', DATE '1996-01-01', l_shipdate) AS s",
+                    "epoch(l_shipdate) AS s",
                 ]
             )
         )
