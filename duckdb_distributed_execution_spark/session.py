@@ -38,7 +38,9 @@ from pyspark.sql import types as T
 
 from duckdb_distributed_execution_spark.stats import QueryRecorder, Timer
 from duckdb_distributed_execution_spark.typemap import (
+    SqlDefault,
     enum_domains_from_ddl,
+    parse_create_columns,
     schema_from_ddl,
 )
 
@@ -90,6 +92,13 @@ class Engine:
         # ENUM column domains (table, col) → declared values; enforced
         # on insert like the reference (enum_type_support.test:20-28).
         self._enums: dict[tuple[str, str], list[str]] = {}
+        # Inline CREATE TABLE constraints (DuckDB DDL surface):
+        # PRIMARY KEY / UNIQUE column sets and CHECK expressions,
+        # enforced on every insert. FOREIGN KEY clauses are recorded
+        # only (the reference never exercises them).
+        self._keys: dict[str, list[list[str]]] = {}
+        self._checks: dict[str, list[str]] = {}
+        self._foreign: dict[str, list[str]] = {}
         # duckherder_load_extension analog: bookkeeping only — Spark
         # has no extension loading; parity is the call surface
         # (distributed_server_function.cpp:243-281).
@@ -450,12 +459,25 @@ class Engine:
 
     def create_table(self, name: str, columns_ddl: str) -> None:
         """CREATE TABLE name (col type, …) with DuckDB-style types
-        mapped per SURVEY §1.2."""
+        mapped per SURVEY §1.2 and DuckDB inline constraints parsed
+        and enforced: PRIMARY KEY / UNIQUE (insert-time uniqueness),
+        NOT NULL, DEFAULT <expr>, CHECK (<pred>) — column-level and
+        table-level forms."""
         if self.table_exists(name):
             raise ValueError(f"table {name!r} already exists")
-        schema = schema_from_ddl(columns_ddl)
+        schema, cons = parse_create_columns(columns_ddl)
         for col, vals in enum_domains_from_ddl(columns_ddl).items():
             self._enums[(name, col)] = vals
+        for col in cons.not_null:
+            self._not_null.add((name, col))
+        for col, expr in cons.defaults.items():
+            self._defaults[(name, col)] = expr
+        if cons.keys:
+            self._keys[name] = cons.keys
+        if cons.checks:
+            self._checks[name] = cons.checks
+        if cons.foreign:
+            self._foreign[name] = cons.foreign
         empty = self.spark.createDataFrame([], schema).coalesce(1)
         path = self._managed_path(name)
         empty.write.mode("overwrite").parquet(path)
@@ -481,6 +503,13 @@ class Engine:
         del self._tables[name]
         for iname in [i for i, e in self._indexes.items() if e.table == name]:
             del self._indexes[iname]
+        self._keys.pop(name, None)
+        self._checks.pop(name, None)
+        self._foreign.pop(name, None)
+        for store in (self._defaults, self._enums):
+            for k in [k for k in store if k[0] == name]:
+                del store[k]
+        self._not_null -= {k for k in self._not_null if k[0] == name}
 
     @staticmethod
     def _dir_bytes(path: str) -> int:
@@ -628,6 +657,39 @@ class Engine:
                     f"ENUM domain violated on {name}.{col}: "
                     f"{sample[0][col]!r} not in {vals}"
                 )
+        for check in self._checks.get(name, []):
+            # Standard CHECK semantics: only FALSE violates (a NULL
+            # check passes), which is exactly what filter(~expr) keeps.
+            bad = aligned.filter(~F.expr(check)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"CHECK ({check}) violated on {name}: {tuple(bad[0])!r}"
+                )
+        for keycols in self._keys.get(name, []):
+            # PRIMARY KEY / UNIQUE: the combined relation must stay
+            # unique on the key set. Rows with a NULL key component
+            # are exempt (SQL UNIQUE semantics; PK columns are NOT
+            # NULL so nothing escapes there). One grouped count over
+            # the key columns only — map-side combining, no row data
+            # shuffled.
+            nonnull = functools.reduce(
+                lambda a, b: a & b, [F.col(c).isNotNull() for c in keycols]
+            )
+            dup = (
+                target.select(*keycols)
+                .unionAll(aligned.select(*keycols))
+                .filter(nonnull)
+                .groupBy(*keycols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate key {keycols} on {name}: "
+                    f"{tuple(dup[0])[:-1]!r}"
+                )
         if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
             aligned.write.mode("append").parquet(t.path)
             self._attach_managed(name, t.path)
@@ -650,7 +712,12 @@ class Engine:
             for f in target.schema.fields:
                 if f.name not in columns:
                     dflt = self._defaults.get((name, f.name))
-                    df = df.withColumn(f.name, F.lit(dflt).cast(f.dataType))
+                    if isinstance(dflt, SqlDefault):
+                        # DDL DEFAULT captured as SQL text — evaluate.
+                        dcol = F.expr(dflt)
+                    else:
+                        dcol = F.lit(dflt)
+                    df = df.withColumn(f.name, dcol.cast(f.dataType))
             df = df.select(*[f.name for f in target.schema.fields])
         self.insert_into(name, df)
 

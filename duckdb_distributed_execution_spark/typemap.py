@@ -234,13 +234,18 @@ def schema_from_ddl(ddl: str) -> T.StructType:
 
 def enum_domains_from_ddl(ddl: str) -> dict[str, list[str]]:
     """Column → declared ENUM values for every ENUM column in a
-    DuckDB-style column list (empty dict if none)."""
+    DuckDB-style column list (empty dict if none). Tolerates inline
+    constraint tails and table-level constraint items."""
     out: dict[str, list[str]] = {}
-    for part in _split_top_level(ddl):
-        name, _, typ = part.partition(" ")
-        vals = parse_enum_values(typ.strip())
+    for part in _split_constraint_items(ddl):
+        if _TABLE_LEVEL_PAT.match(part):
+            continue
+        name, _, rest = part.partition(" ")
+        cm = _depth0_search(rest, _CONSTRAINT_PAT)
+        typ = (rest[: cm.start()] if cm else rest).strip()
+        vals = parse_enum_values(typ)
         if vals is not None:
-            out[name] = vals
+            out[name.strip().strip('"')] = vals
     return out
 
 
@@ -252,3 +257,214 @@ def enum_rank_expr(col: str, values: list[str]) -> str:
         f"WHEN {col} = '{v}' THEN {i}" for i, v in enumerate(values)
     )
     return f"CASE {whens} ELSE NULL END"
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE column-list parsing with inline constraints
+# ---------------------------------------------------------------------------
+#
+# DuckDB DDL allows constraints inline with the columns —
+#   CREATE TABLE t (id INTEGER PRIMARY KEY, v INT NOT NULL DEFAULT 3,
+#                   s VARCHAR UNIQUE CHECK (length(s) > 0),
+#                   PRIMARY KEY (a, b), CHECK (v < 100))
+# — and the reference forwards that text verbatim to DuckDB. The
+# engine parses the same surface: PRIMARY KEY / UNIQUE become enforced
+# key sets, NOT NULL / DEFAULT feed the existing per-column
+# bookkeeping, CHECK expressions are validated on every insert
+# (standard semantics: only a FALSE check violates — NULL passes).
+# REFERENCES / FOREIGN KEY clauses are accepted and recorded but not
+# enforced (the reference does not exercise them either).
+
+import dataclasses as _dc
+
+
+class SqlDefault(str):
+    """A column DEFAULT captured from DDL as SQL expression text
+    (``DEFAULT 3``, ``DEFAULT upper('x')``) — distinguished from a
+    plain Python literal default so the insert path evaluates it with
+    ``F.expr`` instead of ``F.lit``."""
+
+
+@_dc.dataclass
+class TableConstraints:
+    not_null: list[str] = _dc.field(default_factory=list)
+    defaults: dict[str, "SqlDefault"] = _dc.field(default_factory=dict)
+    keys: list[list[str]] = _dc.field(default_factory=list)  # PK/UNIQUE sets
+    checks: list[str] = _dc.field(default_factory=list)
+    foreign: list[str] = _dc.field(default_factory=list)  # recorded only
+
+
+_CONSTRAINT_PAT = re.compile(
+    r"\b(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT|CHECK|NULL|REFERENCES)\b",
+    re.IGNORECASE,
+)
+
+
+def _depth0_search(s: str, pat: re.Pattern, start: int = 0):
+    """Earliest match of ``pat`` at bracket depth 0 outside quotes.
+    Depth counts ONLY () and [] — unlike the type splitter's angle
+    brackets, because constraint expressions legitimately contain
+    comparison < / > (``CHECK (v > 0)``)."""
+    depth = 0
+    quote: str | None = None
+    i = start
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            i += 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _split_constraint_items(s: str) -> list[str]:
+    """Split a CREATE TABLE column list on depth-0 commas, counting
+    only ()/[] (a CHECK's comparison operators must not perturb the
+    depth the way the type splitter's <> handling would)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf.clear()
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _balanced_group(s: str, open_idx: int) -> int:
+    """Index just past the ')' closing the '(' at ``open_idx``."""
+    depth = 0
+    quote: str | None = None
+    for i in range(open_idx, len(s)):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(f"unbalanced parens in DDL: {s[open_idx:][:60]!r}")
+
+
+def _parse_constraint_tail(col: str, tail: str, out: TableConstraints) -> None:
+    i = 0
+    n = len(tail)
+    while i < n:
+        while i < n and tail[i] in " \t\n,":
+            i += 1
+        if i >= n:
+            return
+        m = _CONSTRAINT_PAT.match(tail, i)
+        if not m:
+            raise ValueError(
+                f"unsupported column constraint near {tail[i:][:40]!r}"
+            )
+        kw = re.sub(r"\s+", " ", m.group(1).upper())
+        i = m.end()
+        if kw == "NOT NULL":
+            out.not_null.append(col)
+        elif kw == "NULL":
+            pass  # explicit nullable — the default
+        elif kw == "PRIMARY KEY":
+            out.not_null.append(col)
+            out.keys.append([col])
+        elif kw == "UNIQUE":
+            out.keys.append([col])
+        elif kw == "CHECK":
+            j = tail.find("(", i)
+            if j < 0:
+                raise ValueError("CHECK without parenthesized expression")
+            end = _balanced_group(tail, j)
+            out.checks.append(tail[j + 1 : end - 1].strip())
+            i = end
+        elif kw == "REFERENCES":
+            j = tail.find("(", i)
+            end = _balanced_group(tail, j) if j >= 0 else n
+            out.foreign.append(f"{col} REFERENCES {tail[i:end].strip()}")
+            i = end
+        elif kw == "DEFAULT":
+            nxt = _depth0_search(tail, _CONSTRAINT_PAT, i)
+            end = nxt.start() if nxt else n
+            # A DEFAULT f(...) call: the call parens hide any keyword
+            # inside; a bare scan suffices because _depth0_search
+            # skips bracketed spans.
+            expr = tail[i:end].strip()
+            if not expr:
+                raise ValueError(f"DEFAULT with no expression on {col}")
+            out.defaults[col] = SqlDefault(expr)
+            i = end
+
+
+_TABLE_LEVEL_PAT = re.compile(
+    r"^\s*(PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY)\b", re.IGNORECASE
+)
+
+
+def parse_create_columns(ddl: str) -> tuple[T.StructType, TableConstraints]:
+    """Parse a DuckDB CREATE TABLE column list (types + inline and
+    table-level constraints) into (schema, TableConstraints)."""
+    fields: list[T.StructField] = []
+    cons = TableConstraints()
+    for part in _split_constraint_items(ddl):
+        tm = _TABLE_LEVEL_PAT.match(part)
+        if tm:
+            kw = re.sub(r"\s+", " ", tm.group(1).upper())
+            j = part.find("(", tm.end())
+            if kw in ("PRIMARY KEY", "UNIQUE"):
+                end = _balanced_group(part, j)
+                cols = [c.strip().strip('"') for c in part[j + 1 : end - 1].split(",")]
+                cons.keys.append(cols)
+                if kw == "PRIMARY KEY":
+                    cons.not_null.extend(cols)
+            elif kw == "CHECK":
+                end = _balanced_group(part, j)
+                cons.checks.append(part[j + 1 : end - 1].strip())
+            else:  # FOREIGN KEY — recorded, not enforced
+                cons.foreign.append(part)
+            continue
+        name, _, rest = part.partition(" ")
+        name = name.strip().strip('"')
+        cm = _depth0_search(rest, _CONSTRAINT_PAT)
+        typ = (rest[: cm.start()] if cm else rest).strip()
+        fields.append(T.StructField(name, duckdb_to_spark(typ), True))
+        if cm:
+            _parse_constraint_tail(name, rest[cm.start():], cons)
+    return T.StructType(fields), cons

@@ -645,3 +645,80 @@ def test_coverage_doc_cites_real_queries():
         ))
     }
     assert not lookalikes, f"COVERAGE.md cites unknown queries: {sorted(lookalikes)}"
+
+
+def test_create_table_inline_constraints(engine):
+    """DuckDB DDL with inline constraints — the surface a reference
+    user's CREATE TABLE actually carries: PRIMARY KEY uniqueness,
+    NOT NULL, DEFAULT expressions, CHECK predicates, table-level
+    composite keys. Behavior mirrored from DuckDB (PK rejects dups
+    and NULLs; CHECK only rejects FALSE; DEFAULT fills omitted
+    columns)."""
+    import pytest
+
+    engine.create_table(
+        "ct_cons",
+        "id INTEGER PRIMARY KEY, v INTEGER NOT NULL DEFAULT 7, "
+        "tag VARCHAR CHECK (length(tag) <= 3), "
+        "CHECK (v >= 0)",
+    )
+    engine.insert_values("ct_cons", [(1, 5, "ok")])
+    # DEFAULT expression fills omitted column
+    engine.insert_values("ct_cons", [(2,)], columns=["id"])
+    rows = {r.id: (r.v, r.tag) for r in engine.table("ct_cons").collect()}
+    assert rows[2] == (7, None)
+
+    # PRIMARY KEY: duplicate rejected
+    with pytest.raises(ValueError, match="duplicate key"):
+        engine.insert_values("ct_cons", [(1, 3, "x")])
+    # PRIMARY KEY implies NOT NULL
+    with pytest.raises(ValueError, match="NOT NULL"):
+        engine.insert_values("ct_cons", [(None, 3, "x")])
+    # CHECK: FALSE rejects...
+    with pytest.raises(ValueError, match="CHECK"):
+        engine.insert_values("ct_cons", [(3, -1, "x")])
+    with pytest.raises(ValueError, match="CHECK"):
+        engine.insert_values("ct_cons", [(3, 1, "toolong")])
+    # ...but a NULL check passes (tag NULL → length(tag) NULL)
+    engine.insert_values("ct_cons", [(4, 1, None)])
+    assert engine.table("ct_cons").count() == 3
+    engine.drop_table("ct_cons")
+
+
+def test_create_table_composite_unique(engine):
+    import pytest
+
+    engine.create_table(
+        "ct_uni",
+        "a INTEGER, b INTEGER, note VARCHAR, UNIQUE (a, b)",
+    )
+    engine.insert_values("ct_uni", [(1, 1, "x"), (1, 2, "y")])
+    with pytest.raises(ValueError, match="duplicate key"):
+        engine.insert_values("ct_uni", [(1, 2, "z")])
+    # UNIQUE permits NULL key components (SQL semantics)
+    engine.insert_values("ct_uni", [(None, 2, "n1"), (None, 2, "n2")])
+    assert engine.table("ct_uni").count() == 4
+    engine.drop_table("ct_uni")
+
+
+def test_constraint_ddl_matches_duckdb():
+    """The same inline-constraint DDL behaves identically on DuckDB:
+    dup PK and failed CHECK abort, NULL check passes."""
+    import duckdb
+    import pytest
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, "
+        "v INTEGER NOT NULL DEFAULT 7, "
+        "tag VARCHAR CHECK (length(tag) <= 3), CHECK (v >= 0))"
+    )
+    con.execute("INSERT INTO t VALUES (1, 5, 'ok')")
+    con.execute("INSERT INTO t (id) VALUES (2)")
+    assert con.execute("SELECT v, tag FROM t WHERE id = 2").fetchall() == [(7, None)]
+    with pytest.raises(duckdb.ConstraintException):
+        con.execute("INSERT INTO t VALUES (1, 3, 'x')")
+    with pytest.raises(duckdb.ConstraintException):
+        con.execute("INSERT INTO t VALUES (3, -1, 'x')")
+    con.execute("INSERT INTO t VALUES (4, 1, NULL)")  # NULL check passes
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 3
