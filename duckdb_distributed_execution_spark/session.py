@@ -27,9 +27,11 @@ partitioner, SQL-rewriting scatter and result mergers wholesale.
 from __future__ import annotations
 
 import functools
+import json
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -506,6 +508,7 @@ class Engine:
         self._keys.pop(name, None)
         self._checks.pop(name, None)
         self._foreign.pop(name, None)
+        shutil.rmtree(self._snapshot_dir(name), ignore_errors=True)
         for store in (self._defaults, self._enums):
             for k in [k for k in store if k[0] == name]:
                 del store[k]
@@ -524,10 +527,12 @@ class Engine:
     # (task_partitioner.cpp:14-21: < 1 row group ⇒ one DELEGATED task).
     _COMPACT_BYTES = 64 * 1024 * 1024
 
-    def _rewrite(self, name: str, df: DataFrame) -> None:
+    def _rewrite(self, name: str, df: DataFrame, op: str = "rewrite") -> None:
         """Copy-on-write rewrite of a managed table (Spark parquet
         tables are immutable; ALTER/DELETE rewrite — same approach a
-        lakehouse format takes, minus the transaction log)."""
+        lakehouse format takes). The pre-rewrite state is snapshotted
+        first (hardlinks, no data copy) for time travel — see the
+        version-history section below."""
         t = self._tables[name]
         if not t.managed:
             raise ValueError(
@@ -536,6 +541,7 @@ class Engine:
             )
         if self._dir_bytes(t.path) < self._COMPACT_BYTES:
             df = df.coalesce(1)
+        self._snapshot(name, op)
         tmp = t.path + "__tmp"
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(t.path, ignore_errors=True)
@@ -564,6 +570,11 @@ class Engine:
             raise ValueError("rename requires a managed table")
         new_path = self._managed_path(new)
         os.rename(t.path, new_path)
+        if os.path.isdir(self._snapshot_dir(old)):
+            os.makedirs(
+                os.path.dirname(self._snapshot_dir(new)), exist_ok=True
+            )
+            os.rename(self._snapshot_dir(old), self._snapshot_dir(new))
         self.spark.catalog.dropTempView(old)
         del self._tables[old]
         self._attach_managed(new, new_path)
@@ -691,10 +702,11 @@ class Engine:
                     f"{tuple(dup[0])[:-1]!r}"
                 )
         if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
+            self._snapshot(name, "insert")
             aligned.write.mode("append").parquet(t.path)
             self._attach_managed(name, t.path)
         else:
-            self._rewrite(name, target.unionByName(aligned))
+            self._rewrite(name, target.unionByName(aligned), op="insert")
 
     def insert_values(self, name: str, rows: list[tuple],
                       columns: list[str] | None = None) -> None:
@@ -919,11 +931,110 @@ class Engine:
         if not os.path.isdir(self._warehouse):
             return out
         for entry in sorted(os.listdir(self._warehouse)):
+            if entry.startswith("."):
+                continue  # .snapshots — version history, not a table
             p = os.path.join(self._warehouse, entry)
             if os.path.isdir(p) and entry not in self._tables:
                 self._attach_managed(entry, p)
                 out.append(entry)
         return out
+
+    # ------------------------------------------------------------------
+    # Table version history (time travel)
+    # ------------------------------------------------------------------
+    #
+    # Every mutation of a managed table (INSERT/DELETE/UPDATE/ALTER/
+    # MERGE — anything that goes through _rewrite or the append path)
+    # first snapshots the current state into
+    # <warehouse>/.snapshots/<table>/v<k>/. Snapshots are HARDLINKS of
+    # the immutable parquet files (copy-on-write: _rewrite replaces
+    # the live directory wholesale and the append path only adds new
+    # files, so linked bytes are never rewritten in place) — a
+    # snapshot costs O(#files) metadata, no data copy. This is the
+    # same version-pointer idea a lakehouse table format (Delta/
+    # Iceberg) implements with manifests; at 100 TB you'd use one of
+    # those — the engine ships the semantics at warehouse scale:
+    # table_at_version / history / restore_version / vacuum_history.
+
+    def _snapshot_dir(self, name: str) -> str:
+        return os.path.join(self._warehouse, ".snapshots", name)
+
+    def _snapshot(self, name: str, op: str) -> int:
+        t = self._tables.get(name)
+        if t is None or not t.managed or t.path is None \
+                or not os.path.isdir(t.path):
+            return -1
+        base = self._snapshot_dir(name)
+        os.makedirs(base, exist_ok=True)
+        existing = [
+            int(d[1:]) for d in os.listdir(base)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        k = max(existing, default=-1) + 1
+        dst = os.path.join(base, f"v{k}")
+        os.makedirs(dst)
+        for f in os.listdir(t.path):
+            src = os.path.join(t.path, f)
+            if not os.path.isfile(src):
+                continue
+            try:
+                os.link(src, os.path.join(dst, f))
+            except OSError:
+                shutil.copy2(src, os.path.join(dst, f))
+        with open(os.path.join(dst, "_snapshot.json"), "w") as fh:
+            json.dump({"op": op, "ts": time.time(), "version": k}, fh)
+        return k
+
+    def history(self, name: str) -> list[dict]:
+        """Version history of a managed table, oldest first; each row
+        is the state BEFORE the recorded op ran."""
+        base = self._snapshot_dir(name)
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in sorted(os.listdir(base), key=lambda s: int(s[1:])):
+            meta_path = os.path.join(base, d, "_snapshot.json")
+            meta = {"version": int(d[1:]), "op": "?", "ts": None}
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            out.append(meta)
+        return out
+
+    def table_at_version(self, name: str, version: int) -> DataFrame:
+        """Read a managed table AS OF a recorded version (the state
+        before that version's op ran). The live table is version
+        ``len(history)``."""
+        if version >= len(self.history(name)):
+            return self.table(name)
+        p = os.path.join(self._snapshot_dir(name), f"v{version}")
+        if not os.path.isdir(p):
+            raise ValueError(f"no version {version} for table {name!r}")
+        return self.spark.read.parquet(p)
+
+    def restore_version(self, name: str, version: int) -> None:
+        """Roll a managed table back to a snapshot (the rollback
+        itself is snapshotted first, so it can be undone)."""
+        df = self.table_at_version(name, version)
+        # Materialize via the snapshot files themselves (the read
+        # above is lazy over them; _rewrite will copy into a fresh
+        # live directory).
+        self._rewrite(name, df, op=f"restore v{version}")
+
+    def vacuum_history(self, name: str, keep_last: int = 0) -> int:
+        """Drop old snapshots, keeping the most recent ``keep_last``.
+        Returns the number of versions removed."""
+        base = self._snapshot_dir(name)
+        if not os.path.isdir(base):
+            return 0
+        versions = sorted(
+            (d for d in os.listdir(base) if d.startswith("v")),
+            key=lambda s: int(s[1:]),
+        )
+        drop = versions[: len(versions) - keep_last] if keep_last else versions
+        for d in drop:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        return len(drop)
 
     def compact_table(self, name: str,
                       target_file_bytes: int = 128 * 1024 * 1024) -> dict:
@@ -945,6 +1056,7 @@ class Engine:
         before = _nfiles(t.path)
         n = max(1, -(-self._dir_bytes(t.path) // target_file_bytes))
         df = self.table(name).repartition(n)
+        self._snapshot(name, "compact")
         tmp = t.path + "__tmp"
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(t.path, ignore_errors=True)

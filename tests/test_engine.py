@@ -722,3 +722,50 @@ def test_constraint_ddl_matches_duckdb():
         con.execute("INSERT INTO t VALUES (3, -1, 'x')")
     con.execute("INSERT INTO t VALUES (4, 1, NULL)")  # NULL check passes
     assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 3
+
+
+def test_time_travel_history_and_restore(engine):
+    """Hardlink-snapshot time travel: every mutation records the prior
+    state; table_at_version reads it, restore_version rolls back (and
+    is itself undoable), vacuum_history reclaims."""
+    engine.create_table("tt", "id INTEGER, v VARCHAR")
+    engine.insert_values("tt", [(1, "a"), (2, "b")])       # v0: empty
+    engine.insert_values("tt", [(3, "c")])                 # v1: {1,2}
+    engine.delete_from("tt", "id = 1")                     # v2: {1,2,3}
+    engine.update_table("tt", {"v": "'z'"}, "id = 2")      # v3: {2,3}
+
+    hist = engine.history("tt")
+    assert [h["op"] for h in hist] == ["insert", "insert", "rewrite", "rewrite"]
+    assert engine.table_at_version("tt", 0).count() == 0
+    assert {r.id for r in engine.table_at_version("tt", 2).collect()} == {1, 2, 3}
+    assert {r.id for r in engine.table("tt").collect()} == {2, 3}
+    assert {r.v for r in engine.table("tt").collect()} == {"z", "c"}
+
+    # live version index == len(history)
+    assert engine.table_at_version("tt", len(hist)).count() == 2
+
+    engine.restore_version("tt", 2)  # back to {1,2,3} pre-delete
+    assert {r.id for r in engine.table("tt").collect()} == {1, 2, 3}
+    # the restore snapshotted the pre-restore state — undo the undo
+    hist2 = engine.history("tt")
+    assert hist2[-1]["op"] == "restore v2"
+
+    removed = engine.vacuum_history("tt", keep_last=1)
+    assert removed == len(hist2) - 1
+    assert len(engine.history("tt")) == 1
+    engine.drop_table("tt")
+    assert engine.history("tt") == []
+
+
+def test_time_travel_survives_reattach(engine):
+    """Snapshots live under <warehouse>/.snapshots — catalog recovery
+    must not re-register that directory as a table, and history is
+    readable after reattach."""
+    engine.create_table("tt2", "id INTEGER")
+    engine.insert_values("tt2", [(1,)])
+    engine.insert_values("tt2", [(2,)])
+    names = engine.reattach_warehouse()
+    assert ".snapshots" not in names
+    assert len(engine.history("tt2")) == 2
+    assert engine.table_at_version("tt2", 1).count() == 1
+    engine.drop_table("tt2")
