@@ -31,5 +31,43 @@ Catalyst planner, shuffle service and partial/final aggregation
 
 from duckdb_distributed_execution_spark.session import Engine
 
-__all__ = ["Engine"]
+__all__ = ["Engine", "ensure_worker_pythonpath"]
 __version__ = "0.1.0"
+
+
+_PYFILES_ADDED: set[str] = set()
+
+
+def ensure_worker_pythonpath(spark) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    Operators that send Python closures to executors (the
+    ``duckdb_remote`` Python DataSource, ``mapInPandas`` multimodal
+    decode, ``applyInPandas`` sessionization) reference module-level
+    helpers, which cloudpickle serializes BY REFERENCE — the worker
+    process must be able to import the package. That import only
+    works for free when the driver's CWD is the repo root (workers
+    inherit it on sys.path); a harness launched from anywhere else
+    gets ``ModuleNotFoundError`` in the worker. Zipping the package
+    once per SparkContext and ``addPyFile``-ing it makes worker-side
+    imports location-independent. Idempotent per application."""
+    import os
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_ADDED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"dde_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        base,
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    _PYFILES_ADDED.add(key)

@@ -86,8 +86,13 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     rebuilding the relation on every query construction repeats the
     JVM-side file listing + footer schema read — the same catalog
     metadata a production engine caches in its metastore client."""
+    from duckdb_distributed_execution_spark import ensure_worker_pythonpath
     from duckdb_distributed_execution_spark.sources import read_parquet_table
 
+    # Workers must be able to import this package regardless of the
+    # harness's CWD (mapInPandas / Python DataSource closures pickle
+    # module-level helpers by reference).
+    ensure_worker_pythonpath(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for n in names or _ALL_TABLES:

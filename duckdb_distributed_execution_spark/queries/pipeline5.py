@@ -468,3 +468,75 @@ def mix_rebalance_sample(spark, sf_dir):
         F.coalesce("sampled_tokens", F.lit(0)).cast("long").alias("sampled_tokens"),
         F.round("rate", 6).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source, g FROM (
+        SELECT doc_id, source, UNNEST({oracle_word_shingles('text', 4)}) AS g
+        FROM documents)),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+           FROM documents GROUP BY source),
+    df AS (SELECT source, g, COUNT(*) AS doc_freq
+           FROM grams GROUP BY source, g),
+    flagged AS (
+      SELECT df.source, df.g, df.doc_freq, nd.n_docs,
+             ROUND(CAST(df.doc_freq AS DOUBLE) / nd.n_docs, 4) AS df_ratio
+      FROM df JOIN nd ON nd.source = df.source
+      WHERE df.doc_freq * 5 >= nd.n_docs AND df.doc_freq >= 3)
+    SELECT source, g, doc_freq, n_docs, df_ratio,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY doc_freq DESC, g) AS rn
+          FROM flagged)
+    WHERE rn <= 20
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection, C4/RefinedWeb-style: 4-gram shingles
+    whose document frequency within a SOURCE exceeds 20% (and ≥3
+    docs) are headers/footers/navigation chrome, not content — the
+    per-source top-20 is the removal list a cleaning pass would
+    subtract. Two grouped aggregates (distinct doc-gram explode →
+    per-source doc-frequency), both map-side combining; the shuffle
+    carries |distinct grams| not |token occurrences|, so the plan
+    holds at corpus scale. The tiny per-source doc-count aggregate
+    broadcasts into the ratio join."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    grams = d.select(
+        "doc_id", "source",
+        F.explode(word_shingles(F.col("text"), 4)).alias("g"),
+    ).distinct()
+    nd = d.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    flagged = (
+        df.join(F.broadcast(nd), on="source")
+        .filter(
+            (F.col("doc_freq") * 5 >= F.col("n_docs"))
+            & (F.col("doc_freq") >= 3)
+        )
+        .select(
+            "source", "g", "doc_freq", "n_docs",
+            F.round(
+                F.col("doc_freq").cast("double") / F.col("n_docs"), 4
+            ).alias("df_ratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("doc_freq").desc(), F.col("g")
+    )
+    return (
+        flagged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )

@@ -109,6 +109,11 @@ class Engine:
         self._matviews: dict[str, str] = {}
         # rollup name → (group_cols, specs) for incremental maintenance
         self._rollups: dict[str, tuple[list[str], dict]] = {}
+        from duckdb_distributed_execution_spark import (
+            ensure_worker_pythonpath,
+        )
+
+        ensure_worker_pythonpath(spark)
         self.recorder = QueryRecorder(spark, self.num_workers)
         self._warehouse = warehouse or tempfile.mkdtemp(prefix="dde_spark_wh_")
         # Deterministic timestamp semantics (DuckDB timestamps are

@@ -379,6 +379,19 @@ def register_remote_source(spark) -> None:
     app = spark.sparkContext.applicationId
     if app in _REGISTERED:
         return
+    # The registered DataSource class is cloudpickled into planner-
+    # and worker-side Python processes that (unlike task workers) do
+    # NOT see sc.addPyFile additions for streaming source init — if
+    # this module is pickled BY REFERENCE, any harness whose CWD isn't
+    # the repo root dies with ModuleNotFoundError there. Registering
+    # the module for pickle-BY-VALUE makes the class self-contained
+    # (its globals ride along; stdlib/pyspark/duckdb imports stay by
+    # reference).
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(DuckDBRemoteDataSource)
     _REGISTERED.add(app)
 

@@ -45,6 +45,9 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     ``path`` may be the parquet file itself or its directory — the
     file source requires a directory, so a file path becomes
     (dirname, pathGlobFilter=basename)."""
+    from duckdb_distributed_execution_spark import ensure_worker_pythonpath
+
+    ensure_worker_pythonpath(spark)
     import os
 
     from duckdb_distributed_execution_spark.sources import _nanos_columns

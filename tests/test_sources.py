@@ -206,3 +206,39 @@ def test_remote_source_distributed_insert(spark, tmp_path):
     assert con.sql("SELECT COUNT(*) FROM t").fetchone()[0] == 50
     assert con.sql("SELECT MIN(k), MAX(k) FROM t").fetchone() == (1000, 1049)
     con.close()
+
+
+def test_worker_imports_cwd_independent():
+    """Queries that ship Python closures to workers (mapInPandas
+    multimodal decode, the duckdb_remote Python DataSource — batch and
+    STREAMING) must work when the harness's CWD is not the repo root:
+    ensure_worker_pythonpath ships the package via addPyFile and the
+    DataSource module is registered pickle-by-value. Regression for
+    the ModuleNotFoundError class of failure (worker processes don't
+    inherit the driver's sys.path)."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from duckdb_distributed_execution_spark.queries import all_queries
+qs = all_queries()
+n1 = qs["multimodal_features"].fn(spark, "/root/testdata/sf0.001").count()
+n2 = qs["remote_stream_window_counts"].fn(spark, "/root/testdata/sf0.001").count()
+assert n1 > 0 and n2 > 0, (n1, n2)
+print("CWD_INDEPENDENT_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CWD_INDEPENDENT_OK" in out.stdout, out.stderr[-2000:]
