@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         textstats,
         tpch,
         vectors,

@@ -71,6 +71,8 @@ def main() -> None:
             "tpch_q11_partsupp",                  # synthetic-partsupp
             "tpch_q16_partsupp",                  # derivation (see
             "tpch_q20_partsupp",                  # queries/tpch.py r2 section)
+            "bm25_retrieval_topk",                # 1-row n_docs/avgdl broadcast
+            "graph_triangle_count",               # 1-row count combines
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
