@@ -125,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         textstats,
         tpch,
         vectors,

@@ -73,6 +73,7 @@ def main() -> None:
             "tpch_q20_partsupp",                  # queries/tpch.py r2 section)
             "bm25_retrieval_topk",                # 1-row n_docs/avgdl broadcast
             "graph_triangle_count",               # 1-row count combines
+            "minhash_candidate_recall",           # 1-row count combines
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
