@@ -126,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
         textstats,
         tpch,
         vectors,

@@ -738,6 +738,124 @@ class Engine:
             df = df.select(*[f.name for f in target.schema.fields])
         self.insert_into(name, df)
 
+    def insert_by_name(self, name: str, df: DataFrame,
+                       allow_new_columns: bool = False) -> None:
+        """Name-aligned append with optional SCHEMA EVOLUTION — the
+        mergeSchema/auto-evolve write every long-lived warehouse
+        needs (positional ``insert_into`` is the reference's INSERT
+        shape; neither it nor DuckDB evolves a table on insert).
+
+        Columns are matched by NAME: input columns missing from the
+        table error; table columns missing from the input take their
+        DEFAULT (or NULL). With ``allow_new_columns=True``, input
+        columns the table lacks are first added to the table (typed
+        from the input schema, NULL for history) — a snapshotted ALTER,
+        so time travel sees the pre-evolution state — and the append
+        then proceeds through the constraint-checked ``insert_into``.
+        """
+        target = self.table(name)
+        existing = set(target.columns)
+        new_cols = [f for f in df.schema.fields if f.name not in existing]
+        if new_cols and not allow_new_columns:
+            raise ValueError(
+                f"columns {[f.name for f in new_cols]} not in {name!r}; "
+                f"pass allow_new_columns=True to evolve the schema"
+            )
+        for f in new_cols:
+            from duckdb_distributed_execution_spark.typemap import (
+                spark_to_duckdb,
+            )
+
+            self.add_column(name, f.name, spark_to_duckdb(f.dataType))
+        target = self.table(name)
+        aligned_cols = []
+        for f in target.schema.fields:
+            if f.name in df.columns:
+                aligned_cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                dflt = self._defaults.get((name, f.name))
+                dcol = F.expr(dflt) if isinstance(dflt, SqlDefault) else F.lit(dflt)
+                aligned_cols.append(dcol.cast(f.dataType).alias(f.name))
+        self.insert_into(name, df.select(*aligned_cols))
+
+    # ------------------------------------------------------------------
+    # Data-quality expectations (dbt-test / Delta-constraint analog)
+    # ------------------------------------------------------------------
+    def expect(self, name: str, rules: list[dict],
+               raise_on_violation: bool = False) -> DataFrame:
+        """Evaluate declarative data-quality rules against a table in
+        ONE pass per rule class and return a violations summary
+        (rule, column, n_violations, sample). Rules:
+
+        - ``{"not_null": "col"}``
+        - ``{"unique": ["col", ...]}`` (NULL components exempt,
+          SQL UNIQUE semantics)
+        - ``{"accepted_values": ("col", [v, ...])}``
+        - ``{"in_range": ("col", lo, hi)}`` (inclusive)
+        - ``{"check": "<sql predicate>"}`` (violates when FALSE;
+          NULL passes, CHECK semantics)
+
+        Each rule is a filtered aggregate over the table scan —
+        embarrassingly parallel, no driver-side row iteration; unique
+        is one grouped count on the key columns only. With
+        ``raise_on_violation`` the first violated rule raises, making
+        this a write-gate (the ingest-side twin of the enforced
+        CREATE TABLE constraints).
+        """
+        t = self.table(name)
+        rows = []
+        for rule in rules:
+            if "not_null" in rule:
+                col = rule["not_null"]
+                bad = t.filter(F.col(col).isNull())
+                label, target_col = "not_null", col
+            elif "unique" in rule:
+                cols = list(rule["unique"])
+                nonnull = functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in cols],
+                )
+                bad = (
+                    t.select(*cols).filter(nonnull)
+                    .groupBy(*cols)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                )
+                label, target_col = "unique", ",".join(cols)
+            elif "accepted_values" in rule:
+                col, vals = rule["accepted_values"]
+                bad = t.filter(
+                    F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
+                )
+                label, target_col = "accepted_values", col
+            elif "in_range" in rule:
+                col, lo, hi = rule["in_range"]
+                bad = t.filter(
+                    F.col(col).isNotNull()
+                    & ((F.col(col) < lo) | (F.col(col) > hi))
+                )
+                label, target_col = "in_range", col
+            elif "check" in rule:
+                pred = rule["check"]
+                bad = t.filter(~F.expr(pred))
+                label, target_col = "check", pred
+            else:
+                raise ValueError(f"unknown rule {rule!r}")
+            n = bad.count()
+            sample = ""
+            if n:
+                sample = str(tuple(bad.limit(1).collect()[0]))
+                if raise_on_violation:
+                    raise ValueError(
+                        f"expectation {label}({target_col}) violated on "
+                        f"{name!r}: {n} rows, e.g. {sample}"
+                    )
+            rows.append((label, target_col, n, sample))
+        return self.spark.createDataFrame(
+            rows,
+            "rule STRING, target STRING, n_violations LONG, sample STRING",
+        )
+
     # ALTER COLUMN SET/DROP DEFAULT and NOT NULL — parity with
     # GenerateAlterTableSQL (catalog_utils.cpp:23-84), enforced for
     # real: NOT NULL validates existing rows on SET and every insert.

@@ -769,3 +769,60 @@ def test_time_travel_survives_reattach(engine):
     assert len(engine.history("tt2")) == 2
     assert engine.table_at_version("tt2", 1).count() == 1
     engine.drop_table("tt2")
+
+
+def test_insert_by_name_schema_evolution(engine, spark):
+    """Name-aligned append + schema evolution: reordered input
+    columns align by name; missing columns take DEFAULT; new columns
+    evolve the table (typed, NULL backfill for history) only when
+    allowed."""
+    import pytest
+
+    engine.create_table("ev_t", "id BIGINT, v VARCHAR DEFAULT 'dflt'")
+    engine.insert_values("ev_t", [(1, "a")])
+    # Reordered columns align by name; omitted 'v' takes the DEFAULT.
+    engine.insert_by_name("ev_t", spark.createDataFrame([(2,)], "id LONG"))
+    got = dict(engine.execute("SELECT id, v FROM ev_t ORDER BY id"))
+    assert got == {1: "a", 2: "dflt"}
+    # New column rejected unless evolution is opted into.
+    df_new = spark.createDataFrame([(3, "c", 9.5)], "id LONG, v STRING, score DOUBLE")
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        engine.insert_by_name("ev_t", df_new)
+    engine.insert_by_name("ev_t", df_new, allow_new_columns=True)
+    rows = engine.execute("SELECT id, v, score FROM ev_t ORDER BY id")
+    assert [tuple(r) for r in rows] == [
+        (1, "a", None), (2, "dflt", None), (3, "c", 9.5)]
+    engine.drop_table("ev_t")
+
+
+def test_expect_data_quality_rules(engine, spark):
+    """Declarative expectations: every rule class evaluated in one
+    distributed pass, violations summarized; raise_on_violation gates."""
+    import pytest
+
+    engine.create_table("dq_t", "id BIGINT, seg VARCHAR, bal DOUBLE")
+    engine.insert_values(
+        "dq_t",
+        [(1, "A", 10.0), (2, "B", -5.0), (2, "C", 50.0), (4, None, 2000.0)],
+    )
+    rep = {
+        (r.rule, r.target): r.n_violations
+        for r in engine.expect(
+            "dq_t",
+            [
+                {"not_null": "seg"},
+                {"unique": ["id"]},
+                {"accepted_values": ("seg", ["A", "B"])},
+                {"in_range": ("bal", 0.0, 1000.0)},
+                {"check": "bal >= 0 OR seg = 'B'"},
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "seg")] == 1
+    assert rep[("unique", "id")] == 1          # one duplicated key group
+    assert rep[("accepted_values", "seg")] == 1  # 'C' (NULL exempt)
+    assert rep[("in_range", "bal")] == 2       # -5.0 and 2000.0
+    assert rep[("check", "bal >= 0 OR seg = 'B'")] == 0
+    with pytest.raises(ValueError, match="expectation unique"):
+        engine.expect("dq_t", [{"unique": ["id"]}], raise_on_violation=True)
+    engine.drop_table("dq_t")
