@@ -25,7 +25,7 @@ detector is deterministic and cross-engine checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -581,4 +581,93 @@ def simhash_pairs(
         pairs.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (AllPairs/PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.12,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold via prefix filtering
+    (Bayardo et al. "Scaling Up All Pairs Similarity Search";
+    Chaudhuri et al. SSJoin) — the deterministic complement to
+    MinHash-LSH: no false negatives by construction, no bands to
+    tune.
+
+    Every document's shingles are ordered by GLOBAL rarity (corpus
+    frequency ascending, token tiebreak); a doc of size s only emits
+    its first s - ceil(t*s) + 1 tokens (its "prefix"). Lemma: two
+    sets with Jaccard >= t must overlap in >= ceil(t*max(|a|,|b|))
+    elements, and two sorted sets overlapping that much must collide
+    within these prefixes — so the equi-join on prefix tokens loses
+    nothing. Because the global order puts RARE tokens first, prefix
+    buckets are the rarest tokens of each doc and stay small — the
+    candidate join is bounded by rare-token co-occurrence, not by
+    vocabulary heavy hitters (a stop-word shingle never lands in a
+    prefix unless a doc is almost all stop-words). Candidates then
+    pay one exact verify.
+
+    Shuffles: token-frequency aggregate, the per-doc ranking window
+    (keyed by doc), the prefix equi-join (keyed by token), and the
+    verify joins (keyed by id) — all bounded-key exchanges; nothing
+    all-pairs. At extreme scale the standard extensions (positional
+    filtering, suffix filtering) drop candidates further without
+    changing the exactness contract.
+    """
+    t = threshold
+    # sh feeds the tokenization AND both verify joins; pre is both
+    # sides of the candidate self-join — lazy persist so the shingle
+    # regexes and the freq+window subtree are computed once (same
+    # rationale as minhash_lsh_pairs' persist).
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    sized = sh.withColumn("sz", F.size("sh"))
+    tok = sized.select("doc", "sz", F.explode("sh").alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("f"))
+    rw = Window.partitionBy("doc").orderBy("f", "tk")
+    pre = (
+        tok.join(freq, "tk")
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        )
+        .select("tk", "doc", "sz")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pre_b = pre.select(
+        F.col("tk"),
+        F.col("doc").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = (
+        pre.join(pre_b, "tk")
+        .filter(
+            (F.col("doc") < F.col("doc_b"))
+            # length filter: J >= t forces size ratio >= t
+            & (F.col("sz_b").cast("double") >= F.lit(t) * F.col("sz"))
+            & (F.col("sz").cast("double") >= F.lit(t) * F.col("sz_b"))
+        )
+        .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
     )

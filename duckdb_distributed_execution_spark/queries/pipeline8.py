@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.operators import dedup as D
 from duckdb_distributed_execution_spark.operators.asof import asof_join
 from duckdb_distributed_execution_spark.operators.quantiles import (
     disc_percentiles_by_group,
@@ -169,3 +170,51 @@ def winsorize_clamp(spark, sf_dir):
             F.sum(clamped).alias("winsorized_sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+_SETSIM_T = 0.5
+_SETSIM_SH = D.oracle_word_shingles("text", 2)
+_SETSIM_J = (
+    "(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+    " / (CAST(len(a.s) + len(b.s) AS DOUBLE)"
+    " - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)))"
+)
+
+
+@register(
+    "setsim_prefix_join",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SETSIM_SH} AS s
+      FROM documents WHERE doc_id % 2 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND({_SETSIM_J}, 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE {_SETSIM_J} >= {_SETSIM_T}
+    """,
+)
+def setsim_prefix_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= {t} near-dup join via AllPairs/
+    PPJoin prefix filtering (operators/dedup.setsim_prefix_join) —
+    the no-false-negative complement to MinHash-LSH, for pipelines
+    whose dedup must be provably complete. The engine never compares
+    all pairs (rare-token prefix equi-join + length filter bound the
+    candidates); the ORACLE is the definitional brute-force O(n^2)
+    join, so the driver hash-checks that the pruned plan loses
+    nothing. Corpus halved (doc_id %% 2) purely to keep the
+    quadratic oracle tractable at sf0.1 — the engine side would run
+    unfiltered.
+    """.format(t=_SETSIM_T)
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        setsim_prefix_join as _op,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") % 2 == 0
+    )
+    out = _op(d, "doc_id", "text", shingle_n=2, threshold=_SETSIM_T)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

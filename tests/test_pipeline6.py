@@ -187,3 +187,46 @@ def test_bm25_topk_is_query_scoped(spark):
         assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == [1, 2, 3, 4, 5]
         scores = [r.score for r in sorted(rows, key=lambda r: r.rk)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_setsim_prefix_join_matches_bruteforce(spark):
+    """Prefix filtering must lose NOTHING: exact equality with the
+    brute-force all-pairs Jaccard on a corpus with knowable overlaps
+    (and on a threshold low enough that prefixes barely prune)."""
+    from itertools import combinations
+
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        setsim_prefix_join, word_shingles, jaccard,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence with other words"),
+        (4, "the quick brown fox leaps over the lazy dog"),
+        (5, "a completely different sentence with other phrasing"),
+        (6, "quick brown fox jumps over lazy dog"),
+        (7, "unrelated text entirely about spark and shuffles"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    for t in (0.2, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 4)
+            for r in setsim_prefix_join(
+                df, "doc_id", "text", shingle_n=2, threshold=t
+            ).collect()
+        }
+        sh = {
+            r.doc_id: set(r.s)
+            for r in df.select(
+                "doc_id", word_shingles(F.col("text"), 2).alias("s")
+            ).collect()
+        }
+        want = {}
+        for a, b in combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= t:
+                want[(a, b)] = round(j, 4)
+        assert got == want, f"threshold {t}: {got} != {want}"
