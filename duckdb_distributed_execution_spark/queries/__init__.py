@@ -127,6 +127,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         textstats,
         tpch,
         vectors,

@@ -168,6 +168,42 @@ def _query(rng: random.Random) -> str:
             f"SELECT l_orderkey, l_linenumber, {part}, {fn} AS w "
             f"FROM lineitem{_where(rng)}"
         )
+    if form < 0.84:
+        # QUALIFY top-k per group through the dialect shim (rewritten
+        # to an outer helper-column filter; DuckDB runs it natively)
+        part = rng.choice(STR_COLS)
+        k = rng.randrange(1, 5)
+        return (
+            f"SELECT {part}, l_orderkey, l_linenumber FROM lineitem"
+            f"{_where(rng)} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {part} "
+            f"ORDER BY l_orderkey, l_linenumber) <= {k}"
+        )
+    if form < 0.88:
+        # ORDER BY + LIMIT over the unique composite — a well-defined
+        # subset, so the order-insensitive hash still pins it exactly
+        cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
+        sel = ", ".join(dict.fromkeys(cols + ["l_orderkey", "l_linenumber"]))
+        return (
+            f"SELECT {sel} FROM lineitem{_where(rng)} "
+            f"ORDER BY l_orderkey, l_linenumber LIMIT {rng.randrange(1, 400)}"
+        )
+    if form < 0.92:
+        # INTERSECT / EXCEPT of two filtered slices (set semantics)
+        cols = rng.sample(ALL_COLS, rng.randrange(1, 3))
+        op = rng.choice(["INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT {', '.join(cols)} FROM lineitem{_where(rng)} "
+            f"{op} SELECT {', '.join(cols)} FROM lineitem{_where(rng)}"
+        )
+    if form < 0.96:
+        # CTE feeding a grouped aggregate
+        key = rng.choice(STR_COLS + ["l_linenumber"])
+        agg = _agg(rng, 0)
+        return (
+            f"WITH t AS (SELECT * FROM lineitem{_where(rng)}) "
+            f"SELECT {key}, {agg} FROM t GROUP BY {key}"
+        )
     # plain projection with portable scalar expressions (CAST through
     # the :: shim syntax, CASE WHEN, string functions, || concat)
     cols = rng.sample(ALL_COLS, rng.randrange(1, 3))

@@ -74,6 +74,7 @@ def main() -> None:
             "bm25_retrieval_topk",                # 1-row n_docs/avgdl broadcast
             "graph_triangle_count",               # 1-row count combines
             "minhash_candidate_recall",           # 1-row count combines
+            "pmi_cooccurrence_topk",              # 1-row corpus-total broadcasts
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []

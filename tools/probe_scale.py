@@ -55,6 +55,14 @@ def build_datasets() -> None:
                                   x -> x + (r.range * 0.013)) AS embedding,
                    label
             FROM '{sf}/embeddings.parquet' CROSS JOIN range(10) r""",
+        "orders.parquet": """
+            SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
+                   o_custkey + r.range * 15000 AS o_custkey,
+                   o_orderstatus, o_totalprice,
+                   o_orderdate + to_microseconds((r.range * 41)::BIGINT)
+                     AS o_orderdate,
+                   o_orderpriority
+            FROM '{sf}/orders.parquet' CROSS JOIN range(10) r""",
     }
     for fname, sql in jobs.items():
         dst = os.path.join(OUT, fname)
@@ -78,7 +86,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--families",
-        default="dedup,events,facts,embeddings,multimodal,pq,bloom",
+        default="dedup,events,facts,embeddings,multimodal,pq,bloom,"
+        "setsim,retrieval,sketch,triangle,quantile",
     )
     args = ap.parse_args()
     fams = set(args.families.split(","))
@@ -213,6 +222,29 @@ def main() -> None:
                     REGISTRY["contamination_bloom"].fn(spark, b)
                 ),
             )
+        if "setsim" in fams:
+            d = read_parquet_table(spark, f"{base}/documents.parquet")
+            timed(
+                f"setsim_prefix_join @{tag}",
+                lambda d=d: noop(
+                    D.setsim_prefix_join(d, "doc_id", "text", threshold=0.5)
+                ),
+            )
+        if {"retrieval", "sketch", "triangle", "quantile"} & fams:
+            from duckdb_distributed_execution_spark.queries import all_queries
+
+            reg = all_queries()
+            for fam, qname in (
+                ("retrieval", "bm25_retrieval_topk"),
+                ("sketch", "cms_heavy_hitters"),
+                ("triangle", "graph_triangle_count"),
+                ("quantile", "winsorize_clamp"),
+            ):
+                if fam in fams:
+                    timed(
+                        f"{qname} @{tag}",
+                        lambda q=reg[qname], b=base: noop(q.fn(spark, b)),
+                    )
         if "multimodal" in fams:
             m = read_parquet_table(spark, f"{base}/documents.parquet").select(
                 F.col("doc_id").alias("media_id"),
