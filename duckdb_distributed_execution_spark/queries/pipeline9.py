@@ -253,3 +253,36 @@ def pmi_cooccurrence_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi"), "pr").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+from duckdb_distributed_execution_spark.operators.bpe import (  # noqa: E402
+    bpe_train_merges,
+    oracle_bpe_sql,
+)
+
+_BPE_K = 4
+_BPE_TOP = 60
+
+
+@register(
+    "bpe_train_merges",
+    oracle=oracle_bpe_sql("text", iterations=_BPE_K, top_words=_BPE_TOP),
+)
+def bpe_train_merges_q(spark, sf_dir):
+    """The first {k} byte-pair-encoding merges learned from the
+    corpus (Sennrich-style tokenizer induction) — run as a fully
+    relational iterative program (operators/bpe.py): pair counting is
+    a keyed window + grouped sum, the left-to-right non-overlapping
+    merge is gaps-and-islands + parity, and the DuckDB oracle unrolls
+    the SAME K iterations as CTEs, so the whole training trajectory
+    (which pair wins each round, at what weighted count) is
+    hash-checked cross-engine — not just one step.
+    """.format(k=_BPE_K)
+    d = load(spark, sf_dir, "documents")["documents"]
+    return bpe_train_merges(
+        d, "text", iterations=_BPE_K, top_words=_BPE_TOP
+    )

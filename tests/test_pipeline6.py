@@ -230,3 +230,34 @@ def test_setsim_prefix_join_matches_bruteforce(spark):
             if j >= t:
                 want[(a, b)] = round(j, 4)
         assert got == want, f"threshold {t}: {got} != {want}"
+
+
+def test_bpe_merges_classic_corpus(spark):
+    """BPE on the classic toy distribution: with words weighted by
+    frequency the merge sequence is fully determined; also pins the
+    left-to-right non-overlap rule on runs ('aaaa' merges twice, not
+    three times)."""
+    from duckdb_distributed_execution_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    # corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3  (the
+    # Sennrich example distribution, expressed as repeated text)
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(" ".join(words),)], "text STRING")
+    out = {r.it: (r.a, r.b, r.c) for r in
+           bpe_train_merges(df, "text", iterations=4, top_words=10).collect()}
+    # es(9) -> est(9) -> lo(7) -> low(7)  (classic trajectory; ties
+    # broken lexicographically)
+    assert out[1] == ("e", "s", 9)
+    assert out[2] == ("es", "t", 9)
+    assert out[3] == ("l", "o", 7)
+    assert out[4] == ("lo", "w", 7)
+
+    # run-merge parity: 'aaaa' x3 -> ('a','a') counted 3x per word;
+    # first merge produces 'aa','aa' (two merges, not three)
+    df2 = spark.createDataFrame([("aaaa aaaa aaaa",)], "text STRING")
+    out2 = {r.it: (r.a, r.b, r.c) for r in
+            bpe_train_merges(df2, "text", iterations=2, top_words=5).collect()}
+    assert out2[1] == ("a", "a", 9)      # 3 adjacencies x 3 words
+    assert out2[2] == ("aa", "aa", 3)    # after the non-overlap merge

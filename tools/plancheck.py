@@ -75,6 +75,7 @@ def main() -> None:
             "graph_triangle_count",               # 1-row count combines
             "minhash_candidate_recall",           # 1-row count combines
             "pmi_cooccurrence_topk",              # 1-row corpus-total broadcasts
+            "bpe_train_merges",                   # 1-row best-pair broadcast/iter
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []

@@ -55,6 +55,24 @@ def build_datasets() -> None:
                                   x -> x + (r.range * 0.013)) AS embedding,
                    label
             FROM '{sf}/embeddings.parquet' CROSS JOIN range(10) r""",
+        # Per-doc-unique interleave salt for the set-similarity
+        # probe. Exact all-pairs similarity is OUTPUT-bound: any 10x
+        # replication of a small-vocabulary corpus (replica salt,
+        # tail salt, plain copy) multiplies the TRUE pair set
+        # quadratically — 10 near-copies of every doc is C(10,2)
+        # genuine pairs each — so wall time there measures the answer
+        # size, not the algorithm. A salt unique per doc makes every
+        # bigram doc-private (zero true pairs), which isolates the
+        # PIPELINE cost (tokenize, global ranking, prefix join,
+        # candidate machinery) whose scaling is the thing the probe
+        # can meaningfully check.
+        "documents_distinct.parquet": """
+            SELECT (r.range * 5000 + doc_id)::BIGINT AS doc_id,
+                   replace(text, ' ',
+                           ' u' || CAST(r.range * 5000 + doc_id AS VARCHAR)
+                                || ' ') AS text,
+                   lang, source, n_chars
+            FROM '{sf}/documents.parquet' CROSS JOIN range(10) r""",
         "orders.parquet": """
             SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
                    o_custkey + r.range * 15000 AS o_custkey,
@@ -223,7 +241,12 @@ def main() -> None:
                 ),
             )
         if "setsim" in fams:
-            d = read_parquet_table(spark, f"{base}/documents.parquet")
+            fname = (
+                "documents.parquet"
+                if base == SF
+                else "documents_distinct.parquet"
+            )
+            d = read_parquet_table(spark, f"{base}/{fname}")
             timed(
                 f"setsim_prefix_join @{tag}",
                 lambda d=d: noop(
