@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline7,
         pipeline8,
         pipeline9,
+        pipeline10,
         textstats,
         tpch,
         vectors,
