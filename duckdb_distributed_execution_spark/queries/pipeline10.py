@@ -273,3 +273,87 @@ def string_jaro_winkler_pairs(spark, sf_dir):
 
     out = jaro_winkler_pairs(c, "c_custkey", "c_name", "blk", threshold=0.9)
     return out.select("id_a", "id_b", F.round("jw", 4).alias("jw"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming LEFT OUTER stream-stream join (watermark null emission)
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+
+@register(
+    "streaming_join_left_outer",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS p_user
+    FROM events p
+    CROSS JOIN mx
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    WHERE p.event_type = 'purchase'
+      AND p.ts <= mx.m - INTERVAL '40 minutes'
+    """,
+)
+def streaming_join_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join — the semantics inner joins
+    can't give: purchases with NO qualifying click must still emit
+    (with NULL click columns), which in streaming only happens once
+    the watermark proves no match can arrive. Run as a real
+    availableNow stream with a 1-minute watermark; on drain the
+    watermark lands just below max event time, so null emission is
+    guaranteed only for purchases older than join-window + delay —
+    both engines therefore restrict to purchases at least 40 minutes
+    before the stream's end (margin over 30m window + 1m delay),
+    making the batch LEFT JOIN oracle exact. State stays bounded by
+    the same watermark in production.
+    """
+    from duckdb_distributed_execution_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    loaded = load(spark, sf_dir, "events")
+    ev = loaded["events"]
+    stream = read_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts "
+            "AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user", "p_ts")
+    run_to_memory(j, "streaming_join_left_outer_sink", mode="append")
+    cutoff = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(40 * 60 * 1000000)).alias("cut")
+    )
+    return (
+        spark.table("streaming_join_left_outer_sink")
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.unix_micros("p_ts") <= F.col("cut"))
+        .select("purchase_id", "click_id", "p_user")
+    )

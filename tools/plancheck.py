@@ -76,6 +76,7 @@ def main() -> None:
             "minhash_candidate_recall",           # 1-row count combines
             "pmi_cooccurrence_topk",              # 1-row corpus-total broadcasts
             "bpe_train_merges",                   # 1-row best-pair broadcast/iter
+            "streaming_join_left_outer",          # 1-row watermark-cutoff bcast
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
