@@ -285,7 +285,10 @@ import os  # noqa: E402
 @register(
     "streaming_join_left_outer",
     oracle="""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')) AS m)
     SELECT p.event_id AS purchase_id,
            c.event_id AS click_id,
            p.user_id AS p_user
@@ -297,7 +300,7 @@ import os  # noqa: E402
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL '30 minutes'
     WHERE p.event_type = 'purchase'
-      AND p.ts <= mx.m - INTERVAL '40 minutes'
+      AND p.ts <= mx.m - INTERVAL '35 minutes'
     """,
 )
 def streaming_join_left_outer(spark, sf_dir):
@@ -305,13 +308,14 @@ def streaming_join_left_outer(spark, sf_dir):
     can't give: purchases with NO qualifying click must still emit
     (with NULL click columns), which in streaming only happens once
     the watermark proves no match can arrive. Run as a real
-    availableNow stream with a 1-minute watermark; on drain the
-    watermark lands just below max event time, so null emission is
-    guaranteed only for purchases older than join-window + delay —
-    both engines therefore restrict to purchases at least 40 minutes
-    before the stream's end (margin over 30m window + 1m delay),
-    making the batch LEFT JOIN oracle exact. State stays bounded by
-    the same watermark in production.
+    availableNow stream with a 1-minute watermark. Spark's GLOBAL
+    watermark is the MIN over both inputs' (max event time − delay),
+    so null emission on drain is guaranteed only for purchases older
+    than join-window + delay relative to the EARLIER of the two
+    streams' maxima — both engines therefore restrict to purchases
+    ≥35 minutes before min(max click ts, max purchase ts), making
+    the batch LEFT JOIN oracle exact rather than approximately
+    right. State stays bounded by the same watermark in production.
     """
     from duckdb_distributed_execution_spark.streaming import (
         read_events_stream,
@@ -349,7 +353,22 @@ def streaming_join_left_outer(spark, sf_dir):
     ).select("purchase_id", "click_id", "p_user", "p_ts")
     run_to_memory(j, "streaming_join_left_outer_sink", mode="append")
     cutoff = ev.agg(
-        (F.max(F.unix_micros("ts")) - F.lit(40 * 60 * 1000000)).alias("cut")
+        (
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click", F.unix_micros("ts")
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros("ts"),
+                    )
+                ),
+            )
+            - F.lit(35 * 60 * 1000000)
+        ).alias("cut")
     )
     return (
         spark.table("streaming_join_left_outer_sink")
