@@ -129,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline8,
         pipeline9,
         pipeline10,
+        pipeline11,
         textstats,
         tpch,
         vectors,
