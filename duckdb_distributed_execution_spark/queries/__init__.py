@@ -130,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline9,
         pipeline10,
         pipeline11,
+        pipeline12,
         textstats,
         tpch,
         vectors,

@@ -77,6 +77,7 @@ def main() -> None:
             "pmi_cooccurrence_topk",              # 1-row corpus-total broadcasts
             "bpe_train_merges",                   # 1-row best-pair broadcast/iter
             "streaming_join_left_outer",          # 1-row watermark-cutoff bcast
+            "basket_lift_topk",                   # 1-row basket-count broadcast
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
