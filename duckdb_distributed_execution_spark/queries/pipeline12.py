@@ -171,3 +171,166 @@ def basket_lift_topk(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("lift"), "ia", "ib").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# A/B test two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abtest_proportion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5('exp:' || CAST(user_id AS VARCHAR)),
+                                 1, 7) AS BIGINT) % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(ROUND(value * 100, 0) AS BIGINT) % 97 < 3
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arm AS (
+      SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+      FROM assign GROUP BY variant),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM arm)
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 4) AS p0,
+           ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS p1,
+           ROUND((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))), 4) AS z
+    FROM wide
+    """,
+)
+def abtest_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment — the
+    decision-making statistic every experimentation platform
+    computes: users hash-assigned to variants (deterministic md5
+    split, the same assignment function a real platform uses so
+    both engines see identical arms), per-user conversion =
+    any-purchase, pooled-variance z on the conversion-rate delta.
+    Per-user reduction then a 2-row arm aggregate — the fact table
+    is scanned once; identical float op order both engines, all
+    statistics rounded to 4.
+    """
+    e = load(spark, sf_dir, "events")["events"]
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    # "converted" = made a qualifying purchase (value-hash slice keeps
+    # the rate mid-range; every user purchases SOMETHING in this data,
+    # so any-purchase would be the degenerate p=1 → zero variance).
+    assign = e.groupBy("user_id", variant.alias("variant")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.round(F.col("value") * 100, 0).cast("bigint") % 97 < 3
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arm = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arm.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("p0"),
+        F.round(p1, 4).alias("p1"),
+        F.round(
+            (p0 - p1)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (
+                    F.lit(1.0) / F.col("n0").cast("double")
+                    + F.lit(1.0) / F.col("n1").cast("double")
+                )
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    path AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS journey
+      FROM seq WHERE rn <= 3 GROUP BY user_id)
+    SELECT journey, COUNT(*) AS n_users
+    FROM path GROUP BY journey
+    ORDER BY n_users DESC, journey LIMIT 15
+    """,
+)
+def session_path_topk(spark, sf_dir):
+    """Top user journeys — the first-3-events path distribution
+    behind product-analytics flow views: rank each user's events,
+    keep the opening triple, concatenate in order, count identical
+    journeys. One keyed window + one |paths|-bounded aggregate; the
+    ordered concat is deterministic because the rank is
+    (ts, event_id)-total-ordered on both engines.
+    """
+    e = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    path = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).getField("event_type"),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        path.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(15)
+    )
