@@ -115,10 +115,21 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold. ``block_col``
     bounds the self-join (same-block pairs only) — at scale, blocking
-    is mandatory; pass e.g. a language or LSH-band column."""
+    is mandatory; pass e.g. a language or LSH-band column. Without a
+    block column the plan is an all-pairs cartesian, so it RAISES
+    unless the caller opts in with ``allow_unblocked=True`` (for
+    small exact/oracle runs); use minhash_lsh_pairs or
+    setsim_prefix_join for the sub-quadratic corpus-scale path."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an all-pairs "
+            "cartesian; pass block_col=... or allow_unblocked=True "
+            "(small/exact runs only)"
+        )
     sh = df.select(
         F.col(id_col).alias("id_a"),
         *([F.col(block_col)] if block_col else []),

@@ -131,6 +131,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline10,
         pipeline11,
         pipeline12,
+        pipeline13,
         textstats,
         tpch,
         vectors,

@@ -242,10 +242,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked. The *contract*
     here is exact: every same-label pair with cosine ≥ 0.3 — which is
     inherently quadratic within a label group, so this query is the
-    small-block/exact tool. At corpus scale use the sub-quadratic
-    candidate generators instead: ann_lsh_candidates (hyperplane-LSH
-    buckets) or semantic_dedup_seeded (IVF-cluster blocking), both of
-    which bound the per-bucket pair count."""
+    small-block/exact tool and the ground truth for the family's
+    recall gate. The corpus-scale headline form is
+    dedup_embedding_cosine_banded (queries/pipeline13.py): LSH
+    candidates + exact verify, recall measured by
+    embedding_banded_recall; see also ann_lsh_candidates and
+    semantic_dedup_seeded (IVF-cluster blocking)."""
     from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]

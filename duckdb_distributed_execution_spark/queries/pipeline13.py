@@ -1,0 +1,140 @@
+"""Thirteenth-wave operators — banded exact-verify embedding dedup.
+
+Closes the last all-pairs plan in the registered inventory (VERDICT r2
+item 1): ``dedup_embedding_cosine_banded`` is the sub-quadratic
+headline form of embedding-cosine near-dup detection — multi-table
+random-hyperplane LSH candidates, then an exact cosine verify — and
+``embedding_banded_recall`` is its measured-recall gate against the
+exact all-pairs ground truth (the same gate pattern as
+``minhash_candidate_recall``).
+
+Reference has no ANN/embedding-dedup surface (north-star greenfield,
+BASELINE.json); the exact contract approximated here is
+``dedup_embedding_cosine`` (queries/llm.py), which stays registered as
+the small-block exact tool and doubles as this family's ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+from duckdb_distributed_execution_spark.operators.similarity import (
+    cosine_banded_pairs,
+    oracle_cosine_banded_candidates_sql,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+_BANDED_BODY = oracle_cosine_banded_candidates_sql(
+    vec_sql="CAST(embedding AS DOUBLE[])", block_sql="label",
+    n_tables=16, band_bits=2, dim=64,
+)
+
+_COS = (
+    "list_dot_product(ea, eb)"
+    " / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine_banded",
+    oracle=f"""
+    WITH {_BANDED_BODY}
+    SELECT id_a, id_b, ROUND({_COS}, 4) AS sim
+    FROM cand
+    WHERE {_COS} >= 0.3
+    """,
+    headline=True,
+)
+def dedup_embedding_cosine_banded(spark, sf_dir):
+    """Sub-quadratic embedding-cosine near-dup pairs: 16-table
+    2-bit random-hyperplane LSH generates candidates (a pair survives
+    iff it collides in ANY table within its label block), then an
+    exact cosine verify keeps pairs with sim >= 0.3. Precision is 1.0
+    by construction (the verify is exact); recall is measured by
+    ``embedding_banded_recall``. Work is bucket-local — at 100 TB you
+    add band bits per corpus doubling to hold bucket occupancy
+    constant and add tables to buy recall back (the standard AND/OR
+    LSH trade), where the all-pairs form (dedup_embedding_cosine)
+    would be O(n^2) per label."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_banded_pairs(
+        e, "vec_id", "embedding", "label",
+        threshold=0.3, n_tables=16, band_bits=2, dim=64,
+    )
+
+
+@register(
+    "embedding_banded_recall",
+    oracle=f"""
+    WITH {_BANDED_BODY},
+    banded AS (
+      SELECT id_a, id_b FROM cand WHERE {_COS} >= 0.3),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) >= 0.3),
+    hits AS (
+      SELECT COUNT(*) AS n_hit
+      FROM truth t JOIN banded b ON t.id_a = b.id_a AND t.id_b = b.id_b)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM banded) AS n_banded,
+           n_hit,
+           ROUND(CAST(n_hit AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    FROM hits
+    """,
+)
+def embedding_banded_recall(spark, sf_dir):
+    """Recall gate for the banded dedup: computes the exact all-pairs
+    truth (every same-label pair with cosine >= 0.3) and the banded
+    result in one plan, and reports n_truth / n_banded / n_hit /
+    recall. Deterministic on both engines (shared literal
+    hyperplanes), so the driver's hash compare covers the measured
+    recall itself — the pytest gate asserts recall >= 0.95."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    withn = e.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("n")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("n").alias("na"), "label",
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("n").alias("nb"), "label",
+    )
+    truth = (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (dot_product(F.col("ea"), F.col("eb"))
+             / (F.col("na") * F.col("nb"))) >= 0.3
+        )
+        .select("id_a", "id_b")
+    )
+    banded = cosine_banded_pairs(
+        e, "vec_id", "embedding", "label",
+        threshold=0.3, n_tables=16, band_bits=2, dim=64,
+    ).select("id_a", "id_b")
+    # One full-outer join covers all three counts in a single plan —
+    # no scalar crossJoin attach, and a banded false positive (a pair
+    # not in truth) would surface as n_banded > n_hit.
+    joined = truth.withColumn("__t", F.lit(1)).join(
+        banded.withColumn("__b", F.lit(1)), on=["id_a", "id_b"], how="full_outer"
+    )
+    return joined.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("__b"), F.lit(0)).alias("n_banded"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__b")), F.lit(0)).alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_banded",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 4).alias(
+            "recall"
+        ),
+    )

@@ -506,3 +506,29 @@ def test_connected_components_chain_converges(spark):
     assert cc.select("comp").distinct().count() == 1
     assert cc.count() == 1000
     assert cc.agg(F.min("comp")).first()[0] == 0
+
+
+def test_ngram_jaccard_unblocked_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="all-pairs cartesian"):
+        D.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.1)
+    # Explicit opt-in still works for small exact/oracle runs.
+    out = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.1, allow_unblocked=True
+    )
+    assert out.count() == 1
+
+
+def test_embedding_banded_recall_gate(spark):
+    """The banded (LSH-candidates + exact-verify) embedding dedup must
+    hold recall >= 0.95 against the all-pairs truth, with precision
+    1.0 by construction (every emitted pair passes the exact verify)."""
+    from duckdb_distributed_execution_spark.queries.pipeline13 import (
+        embedding_banded_recall,
+    )
+
+    row = embedding_banded_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.recall >= 0.95
+    assert row.n_hit == row.n_banded  # precision 1.0: no false positives
