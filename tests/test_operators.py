@@ -264,10 +264,13 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_multimodal_decode_stub_gate(spark):
+    """decode_stub=False is the REAL header-parse path now: a payload
+    that is not media bytes quarantines to format code 0.0 (unknown)
+    with zeroed metadata features instead of raising."""
     df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     media = M.attach_binary_payload(df, "text", "doc_id")
-    with pytest.raises(Exception):  # NotImplementedError inside task
-        M.extract_features(media, dim=4, decode_stub=False).collect()
+    feat = M.extract_features(media, dim=4, decode_stub=False).collect()[0]
+    assert feat.feature == [0.0, 0.0, 0.0, 0.0][:3] + [0.0]
 
 
 def test_hash_sampling_properties(spark):
@@ -532,3 +535,58 @@ def test_embedding_banded_recall_gate(spark):
     row = embedding_banded_recall(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.recall >= 0.95
     assert row.n_hit == row.n_banded  # precision 1.0: no false positives
+
+
+def test_media_header_roundtrip():
+    """Builders emit format-conformant bytes; the parser recovers the
+    exact parameters — pure Python, no Spark."""
+    assert M.parse_media_header(M.png_bytes(640, 480)) == {
+        "format": "png", "width": 640, "height": 480, "channels": 3,
+        "bit_depth": 8, "sample_rate": None, "n_samples": None,
+    }
+    j = M.parse_media_header(M.jpeg_bytes(123, 45, n_components=1))
+    assert (j["format"], j["width"], j["height"], j["channels"]) == (
+        "jpeg", 123, 45, 1)
+    g = M.parse_media_header(M.gif_bytes(2, 65535))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 2, 65535)
+    b = M.parse_media_header(M.bmp_bytes(31, 17))
+    assert (b["format"], b["width"], b["height"], b["channels"]) == (
+        "bmp", 31, 17, 3)
+    w = M.parse_media_header(M.wav_bytes(44100, 441, channels=2))
+    assert (w["format"], w["sample_rate"], w["n_samples"], w["channels"],
+            w["bit_depth"]) == ("wav", 44100, 441, 2, 16)
+
+
+def test_media_header_corrupt_quarantines():
+    """Garbage, truncated, and empty payloads must decode to
+    format='unknown' (or a format with NULL fields), never raise —
+    a media lake always contains bad rows."""
+    assert M.parse_media_header(b"")["format"] == "unknown"
+    assert M.parse_media_header(b"not media at all")["format"] == "unknown"
+    t = M.parse_media_header(b"\xff\xd8tr")  # JPEG SOI then garbage
+    assert t["format"] == "jpeg" and t["width"] is None
+    # PNG signature but truncated before IHDR: unknown, not a crash.
+    assert M.parse_media_header(b"\x89PNG\r\n\x1a\n\x00")["format"] == "unknown"
+
+
+def test_decode_media_info_distributed(spark):
+    """The mapInPandas decode path over synthesized real bytes."""
+    base = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    media = M.synth_media(base, "doc_id")
+    info = {r.media_id: r for r in M.decode_media_info(media).collect()}
+    assert len(info) == 50
+    assert info[0].format == "png" and info[0].width == 1
+    assert info[9].format == "wav" and info[9].sample_rate == 9000
+    assert info[9].n_samples == 17  # 8 + 9 % 32
+    assert info[13].format == "bmp" and info[13].height == 14
+
+
+def test_extract_features_real_decode(spark):
+    """decode_stub=False now runs the real header parser — feature
+    vector = typed metadata, integer-valued floats."""
+    base = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    media = M.synth_media(base, "doc_id")
+    feats = {r.media_id: r.feature
+             for r in M.extract_features(media, dim=8, decode_stub=False).collect()}
+    assert feats[0][0] == 1.0 and feats[0][1] == 1.0   # png, width 1
+    assert feats[4][0] == 5.0 and feats[4][5] == 12000.0  # wav, rate
