@@ -78,13 +78,14 @@ aggregate); Spark's Expand-based implementation emits no rows at
 all. Plain global aggregates agree (both emit one row). Queries whose
 grouping-set input can be empty should not rely on the () row.
 
-Known limitation (shared with the reference — ``SanitizeQuery``,
-src/utils/catalog_utils.cpp:12-21, which is blinder still and strips
-``dh.`` even inside string literals): the catalog-prefix strip
-rewrites *any* ``dh.`` qualifier in code spans, so a user-defined
-table alias named ``dh`` collides — ``SELECT dh.x FROM tbl dh``
-becomes ``SELECT x FROM tbl dh``. Don't alias tables as the catalog
-name.
+Catalog-prefix stripping is alias-aware (stricter than the
+reference's ``SanitizeQuery``, src/utils/catalog_utils.cpp:12-21,
+which strips ``dh.`` even inside string literals): normally any
+``dh.`` qualifier in code spans is stripped, but when the query
+itself declares a table alias named ``dh`` (``FROM tbl dh``), the
+strip restricts itself to table positions (after FROM/JOIN/INTO/
+UPDATE/TABLE or a FROM-list comma) so ``SELECT dh.x FROM tbl dh``
+keeps its alias references intact.
 """
 
 from __future__ import annotations
@@ -194,8 +195,20 @@ def _split_tokens(sql: str) -> list[tuple[str, str]]:
     return spans
 
 
-def _rewrite_code(code: str, catalog: str | None) -> str:
-    if catalog:
+def _rewrite_code(code: str, catalog: str | None,
+                  table_pos_only: bool = False) -> str:
+    if catalog and table_pos_only:
+        # The query declares a table alias with the catalog's name, so
+        # a blanket strip would corrupt `alias.col` references. Strip
+        # only where the qualifier follows a table-introducing keyword
+        # (or a comma inside a FROM list) — the positions a catalog
+        # prefix can legally occupy.
+        code = re.sub(
+            rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+|,\s*)"
+            rf"{re.escape(catalog)}\.(?=[A-Za-z_])",
+            r"\1", code, flags=re.IGNORECASE,
+        )
+    elif catalog:
         code = re.sub(
             rf"\b{re.escape(catalog)}\.(?=[A-Za-z_])", "", code
         )
@@ -853,8 +866,21 @@ def transpile(sql: str, catalog: str | None = "dh") -> str:
     sql = _rewrite_power_ops(sql)
     sql = _rewrite_regex_ops(sql)
     spans = _split_tokens(sql)
+    # If the query itself declares a table alias named like the
+    # catalog (`FROM tbl dh`), fall back to table-position-only
+    # stripping so `dh.col` alias references survive.
+    code_mask = "".join(t for k, t in spans if k == "code")
+    alias_collision = bool(catalog) and bool(
+        re.search(
+            rf"\b(?:FROM|JOIN)\s+[A-Za-z_][\w]*(?:\.[\w]+)*"
+            rf"\s+(?:AS\s+)?{re.escape(catalog)}\b(?!\s*\.)",
+            code_mask, re.IGNORECASE,
+        )
+    )
     spans = [
-        (kind, _rewrite_code(text, catalog) if kind == "code" else text)
+        (kind,
+         _rewrite_code(text, catalog, table_pos_only=alias_collision)
+         if kind == "code" else text)
         for kind, text in spans
     ]
     out = "".join(text for _, text in spans)

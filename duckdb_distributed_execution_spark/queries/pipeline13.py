@@ -261,3 +261,39 @@ def multimodal_features_real(spark, sf_dir):
         F.element_at("feature", 2).cast("double").alias("width_f"),
         F.element_at("feature", 6).cast("double").alias("sample_rate_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE through the dialect shim (VERDICT r2 item 5c)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(custkey, k, steps) AS (
+      SELECT c_custkey, c_custkey, 0
+      FROM dh.customer WHERE c_custkey BETWEEN 1 AND 12
+      UNION ALL
+      SELECT custkey, k * 2, steps + 1 FROM walk WHERE k * 2 <= 3000
+    )
+    SELECT custkey, COUNT(*) AS n_nodes, MAX(k) AS max_k,
+           MAX(steps) AS depth
+    FROM walk GROUP BY custkey
+"""
+
+
+@register(
+    "recursive_cte_native",
+    oracle=_RECURSIVE_SQL.replace("dh.customer", "customer"),
+)
+def recursive_cte_native(spark, sf_dir):
+    """The same DuckDB-dialect WITH RECURSIVE text the reference's
+    clients would ship (catalog-qualified), routed end-to-end through
+    the dialect shim onto Spark 4's NATIVE recursive CTE — no
+    driver-side fixpoint loop (contrast recursive_cte_walk, which
+    proves the operator-level fixpoint). The oracle runs the identical
+    query on DuckDB's native recursion, so UNION ALL accumulation
+    semantics and per-seed depths are compared engine-native to
+    engine-native."""
+    from duckdb_distributed_execution_spark.dialect import transpile
+
+    load(spark, sf_dir, "customer")
+    return spark.sql(transpile(_RECURSIVE_SQL, catalog="dh"))

@@ -120,13 +120,17 @@ def _inner(s: str) -> str:
     return s[i + 1 : s.rstrip().rindex(")")]
 
 
-def duckdb_to_spark(type_str: str) -> T.DataType:
+def duckdb_to_spark(type_str: str, union_as_struct: bool = False) -> T.DataType:
     """Map a DuckDB type string to the Spark type per SURVEY §1.2.
 
     STRUCT(...)/MAP(...) map to native StructType/MapType (superset of
     the reference, which flattens both to VARCHAR on the wire —
-    arrow_utils.cpp:499-502). UNION keeps the reference's VARCHAR
-    fallback: Spark has no union type either."""
+    arrow_utils.cpp:499-502). UNION defaults to the reference's own
+    VARCHAR fallback; ``union_as_struct=True`` opts into the tagged-
+    struct superset encoding STRUCT(tag TINYINT, <member> <T>, ...) —
+    tag is the 0-based declared member index, exactly one member field
+    is non-null per value (DuckDB's own storage layout for unions is
+    the same tag + per-member-vector shape)."""
     s = type_str.strip()
     u = s.upper()
     if u in _SCALARS:
@@ -160,8 +164,20 @@ def duckdb_to_spark(type_str: str) -> T.DataType:
             raise ValueError(f"MAP needs exactly 2 type args: {type_str!r}")
         return T.MapType(duckdb_to_spark(kv[0]), duckdb_to_spark(kv[1]), True)
     if u.startswith("UNION"):
+        if union_as_struct and "(" in s:
+            fields = [T.StructField("tag", T.ByteType(), True)]
+            for part in _split_top_level(_inner(s)):
+                fname, _, ftyp = part.partition(" ")
+                fields.append(
+                    T.StructField(
+                        fname.strip().strip('"'),
+                        duckdb_to_spark(ftyp, union_as_struct=True),
+                        True,
+                    )
+                )
+            return T.StructType(fields)
         # Reference falls back to VARCHAR (arrow_utils.cpp:499-502);
-        # Spark has no union type — same fallback.
+        # Spark has no union type — same default.
         return T.StringType()
     raise ValueError(f"unsupported DuckDB type: {type_str!r}")
 

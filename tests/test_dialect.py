@@ -289,3 +289,19 @@ def test_epoch_fractional_seconds(spark, duck):
         "SELECT event_id, epoch(ts) AS es FROM events "
         "WHERE event_id < 50",
     )
+
+
+def test_catalog_strip_alias_collision():
+    """A user alias named like the catalog must survive: the strip
+    restricts itself to table positions when `dh` is declared as an
+    alias in the query."""
+    out = transpile("SELECT dh.x FROM tbl dh", catalog="dh")
+    assert "dh.x" in out and "FROM tbl dh" in out
+    out = transpile("SELECT dh.x FROM dh.tbl dh", catalog="dh")
+    assert "dh.x" in out and "FROM tbl dh" in out  # table position stripped
+    out = transpile("SELECT dh.x, y FROM other o JOIN tbl AS dh ON dh.k = o.k",
+                    catalog="dh")
+    assert out.count("dh.") == 2  # both alias refs intact
+    # Without the alias declaration the blanket strip still applies.
+    out = transpile("SELECT dh.tbl.col FROM dh.tbl", catalog="dh")
+    assert "dh." not in out

@@ -143,3 +143,42 @@ def test_parse_enum_values():
         "id INTEGER, mood ENUM('happy', 'sad'), note VARCHAR"
     )
     assert doms == {"mood": ["happy", "sad"]}
+
+
+def test_union_tagged_struct_optin():
+    """UNION defaults to the reference's VARCHAR fallback; the opt-in
+    maps to the tagged-struct superset with declared member names and
+    recursive member types."""
+    from pyspark.sql import types as T
+
+    from duckdb_distributed_execution_spark.typemap import duckdb_to_spark
+
+    assert duckdb_to_spark("UNION(num INTEGER, str VARCHAR)") == T.StringType()
+    got = duckdb_to_spark(
+        "UNION(num INTEGER, str VARCHAR, xs INTEGER[])", union_as_struct=True
+    )
+    assert got == T.StructType([
+        T.StructField("tag", T.ByteType(), True),
+        T.StructField("num", T.IntegerType(), True),
+        T.StructField("str", T.StringType(), True),
+        T.StructField("xs", T.ArrayType(T.IntegerType()), True),
+    ])
+
+
+def test_union_tagged_struct_roundtrip(spark):
+    """Values encoded as tagged structs round-trip through a Spark
+    DataFrame with exactly one non-null member per row."""
+    from duckdb_distributed_execution_spark.typemap import duckdb_to_spark
+
+    st = duckdb_to_spark("UNION(num INTEGER, str VARCHAR)",
+                         union_as_struct=True)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("u", st, True)])
+    rows = [((0, 42, None),), ((1, None, "hi"),)]
+    df = spark.createDataFrame(rows, schema)
+    got = [r.u.asDict() for r in df.orderBy("u.tag").collect()]
+    assert got == [
+        {"tag": 0, "num": 42, "str": None},
+        {"tag": 1, "num": None, "str": "hi"},
+    ]

@@ -100,6 +100,43 @@ def timed(label: str, fn, runs: int = 2) -> None:
     print(f"{label}: {best:.2f}s", flush=True)
 
 
+# Queries whose inputs all exist in the 10x replica set AND whose
+# DuckDB oracle stays tractable at that size (no all-pairs oracles:
+# dedup_simhash_pairs* is definitionally quadratic on the oracle side,
+# so it is verified at oracle scale by selfcheck instead).
+VERIFY_QUERIES = [
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "pipeline_dedup_quality_filter",
+    # ANN / embeddings family
+    "ann_lsh_buckets", "ann_bruteforce_topk", "rag_retrieval_topk",
+    "semantic_dedup_seeded", "dedup_embedding_cosine_banded",
+    "embedding_banded_recall",
+    # asof / events family
+    "join_asof", "join_asof_forward", "sessionize_window_sql",
+    "events_tumbling_window",
+    # text / retrieval / facts
+    "bm25_retrieval_topk", "contamination_bloom", "text_quality",
+    "tokens_per_lang_topk", "agg_pricing_summary", "window_rownum_latest",
+    "multimodal_decode_info",
+]
+
+
+def verify() -> None:
+    """10x-scale CORRECTNESS, not just timing: run the driver-style
+    Spark-vs-DuckDB hash compare (tools/selfcheck.py) over the 10x
+    replica tables for the dedup/ANN/asof families. Green hashes here
+    mean the sub-quadratic plans return the same answers when the
+    candidate structures (LSH bands, IVF cells, buckets) are 10x
+    denser — the regime where a recall or cap bug would surface."""
+    import subprocess
+
+    rc = subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "selfcheck.py"),
+         "--sf", OUT, "--cores", "32", *VERIFY_QUERIES]
+    )
+    sys.exit(rc)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -107,10 +144,18 @@ def main() -> None:
         default="dedup,events,facts,embeddings,multimodal,pq,bloom,"
         "setsim,retrieval,sketch,triangle,quantile",
     )
+    ap.add_argument(
+        "--verify", action="store_true",
+        help="hash-check Spark vs DuckDB at 10x instead of timing",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
 
     build_datasets()
+
+    if args.verify:
+        verify()
+        return
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
