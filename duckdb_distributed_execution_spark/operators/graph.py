@@ -207,3 +207,46 @@ def oracle_pagerank_sql(
         f"WITH {body}\n"
         f"SELECT u AS node, pr FROM pr{iterations}"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "n",
+    max_hops: int = 15,
+) -> DataFrame:
+    """Single-source (or multi-source) BFS hop distances: returns
+    (n, dist) for every node reachable from ``seeds`` within
+    ``max_hops`` following directed edges (pass both directions for an
+    undirected graph). The Pregel-style frontier loop: each hop is ONE
+    distributed join (frontier ⋈ edges) plus an anti-join against the
+    settled set — no paths are enumerated, so cyclic graphs cost
+    O(V + E) per hop, not O(walks). O(diameter) rounds is inherent to
+    BFS; localCheckpoint keeps lineage flat so round N does not replan
+    rounds 1..N-1. At 100 TB the state is (long, int) pairs — tiny
+    next to the corpus the graph describes. Oracle parity: DuckDB
+    WITH RECURSIVE ... UNION (distinct) walk enumeration + MIN(d)
+    (see queries/pipeline13.graph_bfs_distances)."""
+    dist = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["n"] == edges[src])
+            .select(F.col(dst).alias("n"))
+            .distinct()
+            .join(dist, on="n", how="left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.union(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

@@ -297,3 +297,66 @@ def recursive_cte_native(spark, sf_dir):
 
     load(spark, sf_dir, "customer")
     return spark.sql(transpile(_RECURSIVE_SQL, catalog="dh"))
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hop distances (iterative frontier ≡ recursive CTE)
+# ---------------------------------------------------------------------------
+
+_BFS_N = 400  # node domain for the synthetic graph
+
+
+def _bfs_oh(expr: str, salt: str, mod: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}:' || "
+        f"CAST({expr} AS VARCHAR)), 1, 7) AS BIGINT) % {mod}"
+    )
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE raw AS (
+      SELECT o_orderkey % {_BFS_N} AS x,
+             {_bfs_oh('o_orderkey', 'bfs', _BFS_N)} AS y
+      FROM orders),
+    eu AS (
+      SELECT x AS s, y AS t FROM raw WHERE x <> y
+      UNION
+      SELECT y, x FROM raw WHERE x <> y),
+    walk(n, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.t, w.d + 1 FROM walk w JOIN eu e ON e.s = w.n
+      WHERE w.d < 12
+    )
+    SELECT n, MIN(d) AS dist FROM walk GROUP BY n
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """BFS hop distances from node 0 over a deterministic synthetic
+    graph (orders-derived, md5 second endpoint — same generator as
+    graph_triangle_count). The Spark side is the Pregel-style frontier
+    loop (operators/graph.bfs_distances): one join per hop, anti-join
+    against settled nodes, NO walk enumeration — cycles cost nothing.
+    The oracle is DuckDB's native recursive CTE with UNION-distinct
+    walk semantics and MIN(d) per node, which provably yields the same
+    shortest distances; comparing the two proves the frontier loop
+    against an engine-native recursion."""
+    from duckdb_distributed_execution_spark.operators.graph import bfs_distances
+    from duckdb_distributed_execution_spark.queries.pipeline6 import _h
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    raw = o.select(
+        (F.col("o_orderkey") % _BFS_N).alias("x"),
+        _h(F.col("o_orderkey"), "bfs", _BFS_N).alias("y"),
+    ).filter(F.col("x") != F.col("y"))
+    edges = (
+        raw.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .union(raw.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        .distinct()
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("n"))
+    return bfs_distances(edges, seeds, max_hops=12).select(
+        "n", F.col("dist").cast("int").alias("dist")
+    )

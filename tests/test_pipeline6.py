@@ -261,3 +261,30 @@ def test_bpe_merges_classic_corpus(spark):
             bpe_train_merges(df2, "text", iterations=2, top_words=5).collect()}
     assert out2[1] == ("a", "a", 9)      # 3 adjacencies x 3 words
     assert out2[2] == ("aa", "aa", 3)    # after the non-overlap merge
+
+
+def test_bfs_distances_handcrafted(spark):
+    """Chain with a shortcut and a cycle: 0-1-2-3 plus 0-3 edge and an
+    unreachable node pair 8-9. Distances must take the shortcut and
+    ignore the cycle; unreachable nodes are absent."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators.graph import bfs_distances
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0), (8, 9)]
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([(0,)], "n LONG")
+    got = {r.n: r.dist for r in bfs_distances(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distances_max_hops_truncates(spark):
+    from duckdb_distributed_execution_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(0,)], "n LONG")
+    got = bfs_distances(chain, seeds, max_hops=3)
+    assert {r.n: r.dist for r in got.collect()} == {0: 0, 1: 1, 2: 2, 3: 3}
