@@ -93,9 +93,15 @@ def oracle_word_shingles(expr: str, n: int) -> str:
     toks = f"regexp_split_to_array({oracle_normalize(expr)}, '\\s+')"
     if n == 1:
         return f"list_distinct({toks})"
+    # Bind the token array ONCE via a 1-element outer list_transform:
+    # inlining {toks} into both len() and the slice lambda would
+    # re-run the regexp split per shingle index — O(tokens^2) regex
+    # work per doc, which made the 10x-scale oracle 20x slower.
+    # Same value, one split per row.
     return (
-        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+        f"list_distinct(flatten(list_transform([{toks}], "
+        f"w -> list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')))))"
     )
 
 
