@@ -34,8 +34,17 @@ def sessionize_window(
     """Window-based sessionization: a new session starts where the gap
     from the previous event exceeds ``gap_seconds``."""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # Exact microsecond arithmetic: cast-to-long floors each row's
+    # timestamp to whole seconds BEFORE differencing, which shifts the
+    # gap by up to ±1 s against the true elapsed time — found by the
+    # 10x-scale verify (tools/probe_scale.py --verify) where 39
+    # session boundaries sat inside that error band. unix_micros /
+    # epoch_us (oracle) compare the true gap on both engines.
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
     with_sess = events.withColumn("__new", new_session).withColumn(
         "__sess", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -57,9 +66,9 @@ def sessionize_pandas(
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, "event_id"])
-        secs = pdf[ts_col].astype("int64") // 1_000_000_000
-        gaps = secs.diff()
-        new_session = (gaps.isna()) | (gaps > gap_seconds)
+        micros = pdf[ts_col].astype("int64") // 1_000  # ns -> us, exact
+        gaps = micros.diff()
+        new_session = (gaps.isna()) | (gaps > gap_seconds * 1_000_000)
         sess_id = new_session.cumsum()
         sizes = sess_id.value_counts()
         return pd.DataFrame(

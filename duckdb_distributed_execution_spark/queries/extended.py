@@ -241,7 +241,7 @@ def string_funcs_extended(spark, sf_dir):
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS qtr,
            CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INTEGER) AS dow,
            CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
     FROM orders WHERE o_orderkey % 53 = 0
     """,
@@ -563,10 +563,10 @@ def salted_hot_key_agg(spark, sf_dir):
 _SESSION_ORACLE = """
     WITH g AS (
       SELECT user_id, ts,
-             CASE WHEN CAST(epoch(ts) AS BIGINT)
-                       - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id)) AS BIGINT)
-                       > 1800
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       > 1800 * 1000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
