@@ -23,10 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.1"
-OUT = "/tmp/dde_probe10"
+OUT = "/tmp/dde_probe10"  # set by --factor (dde_probe<N>)
 
 
-def build_datasets() -> None:
+def build_datasets(factor: int = 10) -> None:
     import duckdb
 
     os.makedirs(OUT, exist_ok=True)
@@ -37,24 +37,24 @@ def build_datasets() -> None:
                    replace(text, ' ', ' r' || CAST(r.range AS VARCHAR) || ' ')
                      AS text,
                    lang, source, n_chars
-            FROM '{sf}/documents.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/documents.parquet' CROSS JOIN range({factor}) r""",
         "events.parquet": """
             SELECT (r.range * 100000 + event_id)::BIGINT AS event_id,
                    ts + to_microseconds((r.range * 37)::BIGINT) AS ts,
                    user_id + r.range * 150 AS user_id,
                    event_type, value, props
-            FROM '{sf}/events.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/events.parquet' CROSS JOIN range({factor}) r""",
         "lineitem.parquet": """
             SELECT l_orderkey + r.range * 10000000 AS l_orderkey, l_partkey,
                    l_suppkey, l_linenumber, l_quantity, l_extendedprice,
                    l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM '{sf}/lineitem.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/lineitem.parquet' CROSS JOIN range({factor}) r""",
         "embeddings.parquet": """
             SELECT (r.range * 2000 + vec_id)::BIGINT AS vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> x + (r.range * 0.013)) AS embedding,
                    label
-            FROM '{sf}/embeddings.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/embeddings.parquet' CROSS JOIN range({factor}) r""",
         # Per-doc-unique interleave salt for the set-similarity
         # probe. Exact all-pairs similarity is OUTPUT-bound: any 10x
         # replication of a small-vocabulary corpus (replica salt,
@@ -72,7 +72,7 @@ def build_datasets() -> None:
                            ' u' || CAST(r.range * 5000 + doc_id AS VARCHAR)
                                 || ' ') AS text,
                    lang, source, n_chars
-            FROM '{sf}/documents.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/documents.parquet' CROSS JOIN range({factor}) r""",
         "orders.parquet": """
             SELECT o_orderkey + r.range * 10000000 AS o_orderkey,
                    o_custkey + r.range * 15000 AS o_custkey,
@@ -80,13 +80,13 @@ def build_datasets() -> None:
                    o_orderdate + to_microseconds((r.range * 41)::BIGINT)
                      AS o_orderdate,
                    o_orderpriority
-            FROM '{sf}/orders.parquet' CROSS JOIN range(10) r""",
+            FROM '{sf}/orders.parquet' CROSS JOIN range({factor}) r""",
     }
     for fname, sql in jobs.items():
         dst = os.path.join(OUT, fname)
         if not os.path.exists(dst):
             con.execute(
-                f"COPY ({sql.format(sf=SF)}) TO '{dst}' (FORMAT PARQUET)"
+                f"COPY ({sql.format(sf=SF, factor=factor)}) TO '{dst}' (FORMAT PARQUET)"
             )
     con.close()
 
@@ -148,10 +148,16 @@ def main() -> None:
         "--verify", action="store_true",
         help="hash-check Spark vs DuckDB at 10x instead of timing",
     )
+    ap.add_argument(
+        "--factor", type=int, default=10,
+        help="replication factor for the probe datasets (default 10)",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
 
-    build_datasets()
+    global OUT
+    OUT = f"/tmp/dde_probe{args.factor}"
+    build_datasets(args.factor)
 
     if args.verify:
         verify()
@@ -186,7 +192,7 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    for base, tag in ((SF, "1x"), (OUT, "10x")):
+    for base, tag in ((SF, "1x"), (OUT, f"{args.factor}x")):
         if "dedup" in fams:
             d = read_parquet_table(spark, f"{base}/documents.parquet")
             timed(
