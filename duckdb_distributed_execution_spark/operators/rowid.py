@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def assign_stable_row_ids(
@@ -69,5 +70,57 @@ def assign_stable_row_ids(
         .withColumn(
             id_col, F.col("__off") + F.row_number().over(w) - F.lit(1)
         )
+        .drop("__pid", "__off")
+    )
+
+
+def keyed_row_number(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    id_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) for
+    LOW-CARDINALITY keys without the single-task-per-key window: a
+    plain window on a 3-value key funnels a third of the table through
+    one task (measured: 63x degradation at the 100x probe,
+    README "100x probe"). Here the table range-partitions on
+    (key, order) — so one key spans many partitions, each bounded by
+    data/parts — and per-(partition, key) counts (driver state:
+    one long per partition-key pair, bounded by parts x keys, which is
+    what makes this the LOW-cardinality tool; high-cardinality keys
+    should use the plain window, which already parallelizes) turn into
+    broadcast prefix offsets. id = offset + within-partition
+    row_number, 1-based, exactly ROW_NUMBER() semantics given a total
+    (key, order) order."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *key_cols, *order_cols)
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+    counts = with_pid.groupBy("__pid", *key_cols).count().collect()
+    per_key: dict = {}
+    for r in counts:
+        per_key.setdefault(
+            tuple(r[k] for k in key_cols), []
+        ).append((r["__pid"], r["count"]))
+    rows = []
+    for key, lst in sorted(per_key.items()):
+        acc = 0
+        for pid, c in sorted(lst):
+            rows.append((int(pid), *key, acc))
+            acc += c
+    key_fields = [df.schema[k] for k in key_cols]
+    schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType())]
+        + key_fields
+        + [T.StructField("__off", T.LongType())]
+    )
+    offset_df = df.sparkSession.createDataFrame(rows, schema)
+    w = Window.partitionBy("__pid", *key_cols).orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offset_df), on=["__pid", *key_cols])
+        .withColumn(id_col, F.col("__off") + F.row_number().over(w))
         .drop("__pid", "__off")
     )

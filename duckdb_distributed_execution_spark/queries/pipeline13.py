@@ -360,3 +360,51 @@ def graph_bfs_distances(spark, sf_dir):
     return bfs_distances(edges, seeds, max_hops=12).select(
         "n", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalable low-cardinality keyed row numbers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rownum_lowcard_scalable",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(MAX(rn) AS BIGINT) AS max_rn,
+           CAST(SUM(rn) AS BIGINT) AS sum_rn,
+           CAST(SUM(rn * (l_orderkey % 97)) AS BIGINT) AS weighted_sum
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def window_rownum_lowcard_scalable(spark, sf_dir):
+    """Per-key row numbers over a 3-value key (l_returnflag) WITHOUT
+    the single-task-per-key window: range partition on (key, order) +
+    per-(partition, key) broadcast offsets (operators/rowid.py
+    keyed_row_number — the remedy for the 63x low-cardinality window
+    degradation measured by the 100x probe). The oracle is DuckDB's
+    plain ROW_NUMBER window; the weighted checksum SUM(rn * (orderkey
+    % 97)) binds every assigned number to its row, so any
+    misassignment — not just a wrong count — breaks the hash."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    rn = keyed_row_number(
+        li, ["l_returnflag"], ["l_orderkey", "l_linenumber"], id_col="rn"
+    )
+    return rn.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("rn").cast("long").alias("max_rn"),
+        F.sum("rn").cast("long").alias("sum_rn"),
+        F.sum(F.col("rn") * (F.col("l_orderkey") % 97)).cast("long").alias(
+            "weighted_sum"
+        ),
+    )
