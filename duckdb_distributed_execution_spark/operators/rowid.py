@@ -74,53 +74,136 @@ def assign_stable_row_ids(
     )
 
 
+def _order_struct(df: DataFrame, order_cols: list[str]):
+    """The row's order tuple as a struct with stable field names, so
+    it compares positionally against boundary literals."""
+    return F.struct(
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)]
+    )
+
+
+def _boundary_literal(df: DataFrame, order_cols: list[str], values):
+    """One sampled boundary as a struct literal cast to the exact
+    column types (lit() would widen Python ints to LONG and break the
+    positional struct comparison against INT columns)."""
+    return F.struct(
+        *[
+            F.lit(v).cast(df.schema[c].dataType).alias(f"_o{i}")
+            for i, (c, v) in enumerate(zip(order_cols, values))
+        ]
+    )
+
+
 def keyed_row_number(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
     id_col: str = "rn",
     num_partitions: int | None = None,
+    sample_rows: int = 100_000,
 ) -> DataFrame:
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) for
     LOW-CARDINALITY keys without the single-task-per-key window: a
     plain window on a 3-value key funnels a third of the table through
     one task (measured: 63x degradation at the 100x probe,
-    README "100x probe"). Here the table range-partitions on
-    (key, order) — so one key spans many partitions, each bounded by
-    data/parts — and per-(partition, key) counts (driver state:
-    one long per partition-key pair, bounded by parts x keys, which is
-    what makes this the LOW-cardinality tool; high-cardinality keys
-    should use the plain window, which already parallelizes) turn into
-    broadcast prefix offsets. id = offset + within-partition
-    row_number, 1-based, exactly ROW_NUMBER() semantics given a total
-    (key, order) order."""
+    README "100x probe").
+
+    Design (no materialization — an earlier localCheckpoint-based
+    variant was 2x SLOWER than the naive window at the 100x probe
+    because it wrote 60M full-width rows to block storage):
+
+    1. sample ``order_cols`` tuples (top-k by rand, parallel) and cut
+       them into ~2x-parallelism even quantile boundaries on the
+       driver;
+    2. bucket = count of boundaries <= the row's order tuple — a pure
+       column expression (struct comparison against broadcast
+       literals), so BOTH passes compute identical buckets with no
+       checkpoint and no shuffle replay hazard;
+    3. narrow pass: groupBy(bucket, key).count() — partial-agg, reads
+       only key+order columns off the scan — prefix-summed per key
+       into broadcast offsets (driver state: buckets x keys longs,
+       which is what makes this the LOW-cardinality tool;
+       high-cardinality keys should use the plain window, which
+       already parallelizes);
+    4. full-width pass: ONE hash shuffle on (bucket, key) — the
+       window's own exchange, now 2x-parallelism-way instead of
+       key-cardinality-way — then rn = offset + within-bucket
+       row_number. Exactly ROW_NUMBER() semantics given a total
+       (key, order) order and a deterministic input (e.g. a file
+       scan), 1-based.
+
+    Rows equal to a boundary all land in one bucket, so giant
+    tie-groups skew a bucket — same contract as any range scheme."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *key_cols, *order_cols)
-    with_pid = ranged.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint()
-    counts = with_pid.groupBy("__pid", *key_cols).count().collect()
+    n_buckets = 2 * parts
+    narrow = df.select(*key_cols, *order_cols)
+    sample = (
+        narrow.select(*order_cols)
+        .withColumn("__r", F.rand(42))
+        .orderBy("__r")
+        .limit(sample_rows)
+        .drop("__r")
+        .collect()
+    )
+    tuples = sorted(tuple(r) for r in sample)
+    boundaries = []
+    seen = set()
+    for i in range(1, n_buckets):
+        t = tuples[i * len(tuples) // n_buckets] if tuples else None
+        if t is not None and t not in seen:
+            seen.add(t)
+            boundaries.append(t)
+    if boundaries:
+        cur = _order_struct(df, order_cols)
+        blits = [
+            _boundary_literal(df, order_cols, b) for b in boundaries
+        ]
+
+        def search(lo: int, hi: int):
+            # bucket = count of boundaries <= cur, found by a balanced
+            # nested-CASE binary search: log2(buckets) codegen'd struct
+            # comparisons per row (a filter() over a 63-element literal
+            # array was ~60% of the 100x probe's wall — higher-order
+            # functions are interpreted, CaseWhen is whole-stage
+            # codegen).
+            if lo >= hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(cur < blits[mid], search(lo, mid)).otherwise(
+                search(mid + 1, hi)
+            )
+
+        bucket_expr = search(0, len(blits)).cast("int")
+    else:
+        bucket_expr = F.lit(0)
+    counts = (
+        narrow.withColumn("__b", bucket_expr)
+        .groupBy("__b", *key_cols)
+        .count()
+        .collect()
+    )
     per_key: dict = {}
     for r in counts:
         per_key.setdefault(
             tuple(r[k] for k in key_cols), []
-        ).append((r["__pid"], r["count"]))
+        ).append((r["__b"], r["count"]))
     rows = []
     for key, lst in sorted(per_key.items()):
         acc = 0
-        for pid, c in sorted(lst):
-            rows.append((int(pid), *key, acc))
+        for b, c in sorted(lst):
+            rows.append((int(b), *key, acc))
             acc += c
     key_fields = [df.schema[k] for k in key_cols]
     schema = T.StructType(
-        [T.StructField("__pid", T.IntegerType())]
+        [T.StructField("__b", T.IntegerType())]
         + key_fields
         + [T.StructField("__off", T.LongType())]
     )
     offset_df = df.sparkSession.createDataFrame(rows, schema)
-    w = Window.partitionBy("__pid", *key_cols).orderBy(*order_cols)
+    w = Window.partitionBy("__b", *key_cols).orderBy(*order_cols)
     return (
-        with_pid.join(F.broadcast(offset_df), on=["__pid", *key_cols])
+        df.withColumn("__b", bucket_expr)
+        .join(F.broadcast(offset_df), on=["__b", *key_cols])
         .withColumn(id_col, F.col("__off") + F.row_number().over(w))
-        .drop("__pid", "__off")
+        .drop("__b", "__off")
     )

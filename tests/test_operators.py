@@ -398,6 +398,41 @@ def test_stable_row_ids_multi_partition(spark):
     assert all(rows[k] == k for k in (0, 1, 499, 998, 999))
 
 
+def test_keyed_row_number_matches_plain_window(spark):
+    """keyed_row_number must equal ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ...) exactly, at any input layout and bucket count —
+    including boundary tie-groups (duplicate order tuples across the
+    sampled cut points)."""
+    from pyspark.sql import Window
+
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    df = (
+        spark.range(0, 3000)
+        .withColumn("k", (F.col("id") % 3).cast("int"))
+        .withColumn("o1", (F.col("id") % 50).cast("int"))  # heavy ties
+        .withColumn("o2", F.col("id"))  # tiebreak -> total order
+        .repartition(11)
+    )
+    w = Window.partitionBy("k").orderBy("o1", "o2")
+    expected = {
+        (r.k, r.o2): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    for parts, sample in ((4, 200), (9, 3000)):
+        out = keyed_row_number(
+            df,
+            ["k"],
+            ["o1", "o2"],
+            num_partitions=parts,
+            sample_rows=sample,
+        )
+        got = {(r.k, r.o2): r.rn for r in out.collect()}
+        assert got == expected
+
+
 def test_minhash_lsh_partition_independent(spark):
     """The full LSH pipeline (shingle -> sig -> band -> bucket join ->
     verify) must produce identical pairs at any input partitioning —
