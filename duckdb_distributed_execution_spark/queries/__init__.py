@@ -132,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline11,
         pipeline12,
         pipeline13,
+        pipeline14,
         textstats,
         tpch,
         vectors,
