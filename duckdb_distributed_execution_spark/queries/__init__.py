@@ -133,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline12,
         pipeline13,
         pipeline14,
+        pipeline15,
         textstats,
         tpch,
         vectors,
