@@ -195,19 +195,52 @@ def _split_tokens(sql: str) -> list[tuple[str, str]]:
     return spans
 
 
+_CLAUSE_KW_RE = re.compile(
+    r"\b(FROM|JOIN|INTO|UPDATE|TABLE|SELECT|WHERE|GROUP|HAVING|ORDER|"
+    r"LIMIT|OFFSET|ON|USING|SET|WINDOW|QUALIFY|WHEN|THEN|ELSE|RETURNING)\b",
+    re.IGNORECASE,
+)
+_TABLE_KW_TAIL_RE = re.compile(
+    r"\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s*$", re.IGNORECASE
+)
+
+
+def _strip_catalog_table_positions(code: str, catalog: str) -> str:
+    """Strip ``catalog.`` prefixes only at table positions: directly
+    after a table-introducing keyword, or after a comma whose most
+    recent clause keyword is FROM (a comma-separated FROM list).
+    Commas in SELECT/GROUP BY/ORDER BY lists never trigger, so
+    `alias.col` references to a same-named table alias survive."""
+    pat = re.compile(
+        rf"\b{re.escape(catalog)}\.(?=[A-Za-z_])", re.IGNORECASE
+    )
+    out, last = [], 0
+    for m in pat.finditer(code):
+        prefix = code[: m.start()]
+        if _TABLE_KW_TAIL_RE.search(prefix):
+            strip = True
+        elif prefix.rstrip().endswith(","):
+            kws = list(_CLAUSE_KW_RE.finditer(prefix))
+            strip = bool(kws) and kws[-1].group(1).upper() == "FROM"
+        else:
+            strip = False
+        if strip:
+            out.append(code[last : m.start()])
+            last = m.end()
+    out.append(code[last:])
+    return "".join(out)
+
+
 def _rewrite_code(code: str, catalog: str | None,
                   table_pos_only: bool = False) -> str:
     if catalog and table_pos_only:
         # The query declares a table alias with the catalog's name, so
         # a blanket strip would corrupt `alias.col` references. Strip
-        # only where the qualifier follows a table-introducing keyword
-        # (or a comma inside a FROM list) — the positions a catalog
-        # prefix can legally occupy.
-        code = re.sub(
-            rf"(\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+|,\s*)"
-            rf"{re.escape(catalog)}\.(?=[A-Za-z_])",
-            r"\1", code, flags=re.IGNORECASE,
-        )
+        # only where the qualifier follows a table-introducing keyword,
+        # or a comma whose enclosing clause is FROM (a comma in a
+        # SELECT/GROUP BY/ORDER BY list must NOT trigger — `SELECT o.k,
+        # dh.v FROM ...` keeps the alias reference intact).
+        code = _strip_catalog_table_positions(code, catalog)
     elif catalog:
         code = re.sub(
             rf"\b{re.escape(catalog)}\.(?=[A-Za-z_])", "", code
@@ -872,7 +905,7 @@ def transpile(sql: str, catalog: str | None = "dh") -> str:
     code_mask = "".join(t for k, t in spans if k == "code")
     alias_collision = bool(catalog) and bool(
         re.search(
-            rf"\b(?:FROM|JOIN)\s+[A-Za-z_][\w]*(?:\.[\w]+)*"
+            rf"(?:\b(?:FROM|JOIN)\s+|,\s*)[A-Za-z_][\w]*(?:\.[\w]+)*"
             rf"\s+(?:AS\s+)?{re.escape(catalog)}\b(?!\s*\.)",
             code_mask, re.IGNORECASE,
         )

@@ -295,8 +295,14 @@ def decode_media_info(media: DataFrame, payload_col: str = "payload",
     engine has no multimodal surface."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        unknown = parse_media_header(b"")
         for pdf in batches:
-            rows = [parse_media_header(bytes(p)) for p in pdf[payload_col]]
+            # NULL/NaN payloads quarantine to 'unknown' like corrupt
+            # bytes do — bytes(None) would raise and fail the task.
+            rows = [
+                parse_media_header(bytes(p)) if isinstance(p, (bytes, bytearray, memoryview)) else dict(unknown)
+                for p in pdf[payload_col]
+            ]
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf[id_col].values)
             yield out.astype(object).where(out.notna(), None)

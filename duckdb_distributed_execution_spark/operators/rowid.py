@@ -133,7 +133,13 @@ def keyed_row_number(
        scan), 1-based.
 
     Rows equal to a boundary all land in one bucket, so giant
-    tie-groups skew a bucket — same contract as any range scheme."""
+    tie-groups skew a bucket — same contract as any range scheme.
+
+    Contract: ``key_cols`` must be non-null (enforced — a NULL key
+    raises ValueError), and ``order_cols`` should be non-null: NULL
+    order tuples compare AFTER non-nulls in the struct-comparison
+    bucketing while ROW_NUMBER's default ordering puts nulls FIRST,
+    so rn can disagree with the plain window for null order values."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     n_buckets = 2 * parts
     narrow = df.select(*key_cols, *order_cols)
@@ -184,13 +190,20 @@ def keyed_row_number(
     )
     per_key: dict = {}
     for r in counts:
-        per_key.setdefault(
-            tuple(r[k] for k in key_cols), []
-        ).append((r["__b"], r["count"]))
+        key = tuple(r[k] for k in key_cols)
+        if any(v is None for v in key):
+            raise ValueError(
+                "keyed_row_number requires non-null key columns; "
+                f"found NULL in key {dict(zip(key_cols, key))!r}"
+            )
+        per_key.setdefault(key, []).append((r["__b"], r["count"]))
     rows = []
-    for key, lst in sorted(per_key.items()):
+    # Only the per-key bucket order matters for the prefix sum; the
+    # outer key order is irrelevant (and Python can't sort mixed
+    # None/non-None tuples anyway).
+    for key, lst in per_key.items():
         acc = 0
-        for b, c in sorted(lst):
+        for b, c in sorted(lst, key=lambda t: t[0]):
             rows.append((int(b), *key, acc))
             acc += c
     key_fields = [df.schema[k] for k in key_cols]

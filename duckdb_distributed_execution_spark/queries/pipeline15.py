@@ -20,9 +20,17 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.queries import load, register
 
-_W_ALL = Window.partitionBy().rowsBetween(
-    Window.unboundedPreceding, Window.unboundedFollowing
-)
+def _w_all():
+    """Full-frame window spec, built lazily.
+
+    Constructing a Window spec touches the active SparkSession, so a
+    module-scope constant would make importing this module (and thus
+    ``all_queries()`` / ``oracle_sql()``) require a running JVM — which
+    breaks SparkSession-less consumers such as ``tools/bench_duckdb.py``.
+    """
+    return Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +74,7 @@ def benford_leading_digit(spark, sf_dir):
         "digit",
         "n_obs",
         F.round(
-            F.col("n_obs").cast("double") / F.sum("n_obs").over(_W_ALL), 6
+            F.col("n_obs").cast("double") / F.sum("n_obs").over(_w_all()), 6
         ).alias("obs_share"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
             "benford_share"
@@ -123,7 +131,7 @@ def cramers_v_association(spark, sf_dir):
     m = (
         cells.withColumn("rt", F.sum("o").over(Window.partitionBy("rf")))
         .withColumn("ct", F.sum("o").over(Window.partitionBy("ls")))
-        .withColumn("n", F.sum("o").over(_W_ALL))
+        .withColumn("n", F.sum("o").over(_w_all()))
     )
     t = m.select(
         "rf",
@@ -239,8 +247,8 @@ def gini_best_split(spark, sf_dir):
         "q",
         F.sum("p").over(wcum).alias("pl"),
         F.sum("g").over(wcum).alias("gl"),
-        F.sum("p").over(_W_ALL).alias("tp"),
-        F.sum("g").over(_W_ALL).alias("tg"),
+        F.sum("p").over(_w_all()).alias("tp"),
+        F.sum("g").over(_w_all()).alias("tg"),
     )
     pr = F.col("tp") - F.col("pl")
     gr = F.col("tg") - F.col("gl")
@@ -341,8 +349,8 @@ def ks_two_sample(spark, sf_dir):
         "v",
         F.sum("na").over(wcum).alias("ca"),
         F.sum("nb").over(wcum).alias("cb"),
-        F.sum("na").over(_W_ALL).alias("ta"),
-        F.sum("nb").over(_W_ALL).alias("tb"),
+        F.sum("na").over(_w_all()).alias("ta"),
+        F.sum("nb").over(_w_all()).alias("tb"),
     )
     d = c.select(
         "v",
@@ -352,7 +360,7 @@ def ks_two_sample(spark, sf_dir):
             F.col("ca").cast("double") / F.col("ta")
             - F.col("cb").cast("double") / F.col("tb")
         ).alias("gap"),
-    ).withColumn("ks", F.max("gap").over(_W_ALL))
+    ).withColumn("ks", F.max("gap").over(_w_all()))
     return d.agg(
         F.max("ta").cast("long").alias("n_a"),
         F.max("tb").cast("long").alias("n_b"),
@@ -524,8 +532,8 @@ def psi_priority_drift(spark, sf_dir):
             "cb"
         ),
     )
-    t = c.withColumn("ta", F.sum("ca").over(_W_ALL)).withColumn(
-        "tb", F.sum("cb").over(_W_ALL)
+    t = c.withColumn("ta", F.sum("ca").over(_w_all())).withColumn(
+        "tb", F.sum("cb").over(_w_all())
     )
     pa = F.col("ca").cast("double") / F.col("ta")
     pb = F.col("cb").cast("double") / F.col("tb")

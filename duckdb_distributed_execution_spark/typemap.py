@@ -167,10 +167,33 @@ def duckdb_to_spark(type_str: str, union_as_struct: bool = False) -> T.DataType:
         if union_as_struct and "(" in s:
             fields = [T.StructField("tag", T.ByteType(), True)]
             for part in _split_top_level(_inner(s)):
-                fname, _, ftyp = part.partition(" ")
+                part = part.strip()
+                if part.startswith('"'):
+                    # Quoted member name — may contain spaces; split at
+                    # the closing quote instead of the first space.
+                    close = part.find('"', 1)
+                    fname = part[1:close] if close > 0 else ""
+                    ftyp = part[close + 1:] if close > 0 else ""
+                else:
+                    fname, _, ftyp = part.partition(" ")
+                fname = fname.strip().strip('"')
+                if not fname or not ftyp.strip():
+                    raise ValueError(
+                        f"UNION member needs '<name> <type>': {part!r}"
+                    )
+                if fname.lower() == "tag":
+                    # The synthetic discriminator field is named 'tag';
+                    # a member with the same name would produce an
+                    # ambiguous struct and break the documented
+                    # tagged-struct contract.
+                    raise ValueError(
+                        "UNION member name 'tag' collides with the "
+                        "synthetic discriminator field; rename the "
+                        f"member in {type_str!r}"
+                    )
                 fields.append(
                     T.StructField(
-                        fname.strip().strip('"'),
+                        fname,
                         duckdb_to_spark(ftyp, union_as_struct=True),
                         True,
                     )

@@ -305,3 +305,26 @@ def test_catalog_strip_alias_collision():
     # Without the alias declaration the blanket strip still applies.
     out = transpile("SELECT dh.tbl.col FROM dh.tbl", catalog="dh")
     assert "dh." not in out
+
+
+def test_catalog_strip_comma_positions():
+    """The comma rule applies only inside FROM lists: a comma in a
+    SELECT/GROUP BY/ORDER BY list must not strip a same-named alias
+    reference right after it (round-3 advisor finding)."""
+    # Alias ref preceded by a SELECT-list comma survives.
+    out = transpile("SELECT o.k, dh.v FROM other o JOIN tbl AS dh "
+                    "ON dh.k = o.k", catalog="dh")
+    assert out.count("dh.") == 2  # dh.v + dh.k alias refs intact
+    assert "dh.v" in out and "dh.k" in out
+    # GROUP BY / ORDER BY list commas also survive.
+    out = transpile("SELECT o.k, dh.v FROM other o JOIN tbl AS dh "
+                    "ON dh.k = o.k GROUP BY o.k, dh.v ORDER BY o.k, dh.v",
+                    catalog="dh")
+    assert "GROUP BY o.k, dh.v" in out and "ORDER BY o.k, dh.v" in out
+    # Comma inside an actual FROM list still strips the catalog.
+    out = transpile("SELECT dh.x FROM a, dh.tbl AS dh", catalog="dh")
+    assert "FROM a, tbl AS dh" in out and "SELECT dh.x" in out
+    # Subquery SELECT-list comma: last clause keyword is SELECT → keep.
+    out = transpile("SELECT 1 FROM t AS dh WHERE EXISTS "
+                    "(SELECT a, dh.b FROM u)", catalog="dh")
+    assert "a, dh.b" in out

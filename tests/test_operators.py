@@ -433,6 +433,23 @@ def test_keyed_row_number_matches_plain_window(spark):
         assert got == expected
 
 
+def test_keyed_row_number_null_key_raises(spark):
+    """A NULL key must raise a clear ValueError, not a TypeError from
+    sorting None against ints (round-3 advisor finding)."""
+    import pytest as _pytest
+
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    df = spark.range(0, 100).withColumn(
+        "k",
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3).cast("int"),
+    )
+    with _pytest.raises(ValueError, match="non-null key"):
+        keyed_row_number(df, ["k"], ["id"], num_partitions=4).collect()
+
+
 def test_minhash_lsh_partition_independent(spark):
     """The full LSH pipeline (shingle -> sig -> band -> bucket join ->
     verify) must produce identical pairs at any input partitioning —
@@ -614,6 +631,23 @@ def test_decode_media_info_distributed(spark):
     assert info[9].format == "wav" and info[9].sample_rate == 9000
     assert info[9].n_samples == 17  # 8 + 9 % 32
     assert info[13].format == "bmp" and info[13].height == 14
+
+
+def test_decode_media_info_null_payload(spark):
+    """NULL payloads quarantine to 'unknown' like corrupt bytes do —
+    the task must not die on bytes(None) (round-3 advisor finding)."""
+    from pyspark.sql import types as T
+
+    rows = [(1, M.png_bytes(4, 3)), (2, None), (3, b"\x00garbage")]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    info = {r.media_id: r for r in M.decode_media_info(media).collect()}
+    assert info[1].format == "png" and info[1].width == 4
+    assert info[2].format == "unknown" and info[2].width is None
+    assert info[3].format == "unknown"
 
 
 def test_extract_features_real_decode(spark):

@@ -165,6 +165,31 @@ def test_union_tagged_struct_optin():
     ])
 
 
+def test_union_tagged_struct_guards():
+    """The synthetic 'tag' discriminator must stay unambiguous: a
+    member named 'tag' is rejected, malformed members raise, and
+    quoted member names (even with spaces) parse correctly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from duckdb_distributed_execution_spark.typemap import duckdb_to_spark
+
+    with _pytest.raises(ValueError, match="tag"):
+        duckdb_to_spark("UNION(tag INTEGER, str VARCHAR)",
+                        union_as_struct=True)
+    with _pytest.raises(ValueError, match="tag"):
+        duckdb_to_spark('UNION("Tag" INTEGER)', union_as_struct=True)
+    with _pytest.raises(ValueError):
+        duckdb_to_spark("UNION(lonely)", union_as_struct=True)
+    got = duckdb_to_spark('UNION("my member" INTEGER, str VARCHAR)',
+                          union_as_struct=True)
+    assert got == T.StructType([
+        T.StructField("tag", T.ByteType(), True),
+        T.StructField("my member", T.IntegerType(), True),
+        T.StructField("str", T.StringType(), True),
+    ])
+
+
 def test_union_tagged_struct_roundtrip(spark):
     """Values encoded as tagged structs round-trip through a Spark
     DataFrame with exactly one non-null member per row."""
