@@ -131,8 +131,16 @@ def oracle_exact_avg_rounded(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def dot_product(a: Column, b: Column) -> Column:
-    """Sequential left-to-right double fold of elementwise products —
-    whole-stage-codegen'd, no Python."""
+    """Sequential left-to-right double fold of elementwise products.
+
+    JVM-side (no Python round-trip) but NOT whole-stage-codegen'd:
+    Spark evaluates higher-order functions (aggregate/zip_with)
+    interpreted (see operators/rowid.py keyed_row_number notes).
+    Fine for bucket/signature passes over the corpus; for a hot
+    verify stage over >~100k candidate PAIRS prefer the Arrow-batched
+    numpy path (operators/similarity.py::cosine_verify_numpy) — at
+    187k 64-dim pairs numpy SIMD beats the interpreted fold (measured
+    round 4, see commit message)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

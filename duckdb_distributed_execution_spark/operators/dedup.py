@@ -326,6 +326,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     verify_threshold: float = 0.4,
     max_bucket: int = 256,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection:
     shingle → k min-hashes → bands of ``band_size`` → same-band-bucket
@@ -415,6 +416,11 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidates_only:
+        # Pruning-power measurement hook: the raw candidate set before
+        # Jaccard verification (tests gate candidates / possible pairs
+        # so a vacuous banding config can never pass CI).
+        return cand
     # Jaccard verification joins the 28-bit hashed shingle sets back,
     # only for surviving candidates — reusing the checkpointed
     # signature table (collect_set = distinct base hashes; jaccard()

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
-from duckdb_distributed_execution_spark.queries.vectors import _hyperplanes, lsh_bucket
+from duckdb_distributed_execution_spark.queries.vectors import (
+    _hyperplanes,
+    _rademacher_planes,
+    lsh_bucket,
+)
 
 
 def brute_force_topk(
@@ -215,43 +219,77 @@ def cosine_banded_candidates(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     n_tables: int = 16,
-    band_bits: int = 2,
+    band_bits: int = 12,
     dim: int = 64,
 ) -> DataFrame:
     """Sub-quadratic candidate generation for embedding-cosine dedup:
-    multi-table random-hyperplane LSH (OR-construction). Each of the
-    ``n_tables`` tables hashes a vector to a ``band_bits``-bit bucket
-    from the sign bits of deterministic hyperplane projections; a pair
-    is a candidate iff it collides in ANY table (within its block).
+    multi-table random-hyperplane LSH (AND within a table over
+    ``band_bits`` sign bits, OR across ``n_tables`` tables). A pair is
+    a candidate iff it collides in ANY table (within its block).
 
-    Plan shape: one projection pass computes all n_tables bucket ids,
-    posexplode to (id, table, bucket) — n_tables narrow rows per
-    vector — then a bucket-equi self-join and a DISTINCT on the pair
-    id. Work is Σ occupancy² per (block, table, bucket), never
-    all-pairs; at 100 TB you add band bits per corpus doubling to
-    hold occupancy constant and add tables to buy the recall back
-    (the standard AND/OR LSH trade, Indyk-Motwani). Measured recall
-    vs the exact all-pairs truth at threshold 0.3: 0.99/0.98/0.98 at
-    sf 0.001/0.01/0.1 with the default 16x2 config (gated by
-    ``embedding_banded_recall``).
+    Plan shape: ONE Arrow-batched numpy pass computes every table's
+    bucket id (a single (n x dim) @ (dim x n_tables*band_bits) matmul
+    + bit packing — the round-3 form built n_tables*band_bits
+    interpreted higher-order-function folds per row and recomputed
+    them on both join sides; the matmul pass cut the sf0.1 headline
+    from ~12.7 s to well under 1 s), emitting n_tables narrow
+    (id, block, table, bucket) rows per vector; then a bucket-equi
+    self-join and a DISTINCT on the pair id. Work is Σ occupancy² per
+    (block, table, bucket), never all-pairs; at 100 TB you add band
+    bits per corpus doubling to hold occupancy constant and add
+    tables to buy the recall back (the standard AND/OR LSH trade,
+    Indyk-Motwani). Planes are seeded iid Rademacher signs
+    (queries/vectors.py::_rademacher_planes — the structured integer
+    planes measured recall 0.909 where iid theory predicts 0.96+).
+
+    Bucket membership never appears in output VALUES (it only selects
+    candidates), so the numpy matmul cannot drift a cross-engine
+    hash; the exact-verify stage keeps the sequential-fold form that
+    matches the oracle bit-for-bit.
+
+    Parameter regime (see queries/pipeline13.py header for the full
+    algebra): this is a HIGH-threshold (>= ~0.7) near-dup tool. At
+    low thresholds the output itself is Theta(n^2) and no candidate
+    filter helps — use the exact blocked form instead.
 
     Reference has no ANN/dedup surface (north star, BASELINE.json);
     the exact contract this approximates is dedup_embedding_cosine
     (queries/llm.py)."""
-    planes = _hyperplanes(n_tables * band_bits, dim)
-    buckets = F.array(
-        *[
-            lsh_bucket(
-                F.col(vec_col), planes[t * band_bits : (t + 1) * band_bits]
-            )
-            for t in range(n_tables)
-        ]
-    )
+    import numpy as np
+    import pandas as pd
+
+    planes = _rademacher_planes(n_tables * band_bits, dim)
+    P = np.asarray(planes, dtype=np.float64).T  # dim x (T*b)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
     block = F.col(block_col) if block_col else F.lit(0)
-    sig = df.select(
+    prepared = df.select(
         F.col(id_col).alias("__id"),
         block.alias("__blk"),
-        F.posexplode(buckets).alias("__t", "__bk"),
+        F.col(vec_col).alias("__vec"),
+    )
+    id_t, blk_t = dict(prepared.dtypes)["__id"], dict(prepared.dtypes)["__blk"]
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.asarray(list(pdf["__vec"]), dtype=np.float64)
+            S = (V @ P) >= 0.0  # n x (T*b) sign bits
+            B = S.reshape(n, n_tables, band_bits) @ weights  # n x T
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].values, n_tables),
+                    "__blk": np.repeat(pdf["__blk"].values, n_tables),
+                    "__t": np.tile(
+                        np.arange(n_tables, dtype=np.int32), n
+                    ),
+                    "__bk": B.reshape(-1),
+                }
+            )
+
+    sig = prepared.mapInPandas(
+        run, schema=f"__id {id_t}, __blk {blk_t}, __t int, __bk long"
     )
     a = sig.select(
         F.col("__id").alias("id_a"), "__blk", "__t", "__bk"
@@ -272,15 +310,19 @@ def cosine_banded_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
-    threshold: float = 0.3,
+    threshold: float = 0.8,
     n_tables: int = 16,
-    band_bits: int = 2,
+    band_bits: int = 12,
     dim: int = 64,
 ) -> DataFrame:
     """LSH candidates → exact cosine verify ≥ threshold. The verify
     step is exact, so precision is 1.0 by construction; recall is the
     candidate-generation recall (see cosine_banded_candidates).
-    Returns (id_a, id_b, sim) with sim rounded to 4 decimals."""
+    Returns (id_a, id_b, sim) with sim rounded to 4 decimals. The
+    verify keeps the sequential-fold cosine (bit-for-bit oracle
+    parity); with a selective candidate set it touches ~0.5% of
+    pairs, so the interpreted fold is off the hot path — for large
+    candidate sets see cosine_verify_numpy."""
     cand = cosine_banded_candidates(
         df, id_col, vec_col, block_col, n_tables, band_bits, dim
     )
@@ -320,23 +362,149 @@ def cosine_banded_pairs(
     )
 
 
+def plant_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 7,
+    shift_scale: float = 0.4,
+    id_offset: int = 10_000_000,
+    dim: int = 64,
+) -> DataFrame:
+    """Derived near-dup corpus: the input UNION ALL a deterministic
+    perturbed clone of every ``every``-th vector (id % every == 0).
+
+    clone[i] = double(v[i]) + shift_scale * double(v[(i % dim) + 1])
+    — i.e. v plus a scaled cyclic shift of itself. For isotropic
+    vectors the clone's cosine to its source is ~1/sqrt(1+c^2) with a
+    small spread (measured 0.917..0.955 at c=0.4 on the sf0.1
+    embeddings), far above the random-pair background (~N(0, 1/8)) —
+    a planted ground truth both engines can recompute exactly (the
+    expression is two double ops per element in a fixed order), which
+    makes recall/selectivity gates for the banded LSH dedup
+    meaningful. Clone ids are source id + ``id_offset``; every other
+    column (label, ...) is carried over unchanged."""
+    other = [c for c in df.columns if c not in (id_col, vec_col)]
+    v = F.col(vec_col)
+    shifted = F.concat(F.slice(v, 2, dim - 1), F.slice(v, 1, 1))
+    clone_vec = F.zip_with(
+        v,
+        shifted,
+        lambda x, y: x.cast("double")
+        + F.lit(float(shift_scale)) * y.cast("double"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x.cast("double")).alias(vec_col),
+        *other,
+    )
+    clones = df.filter((F.col(id_col) % every) == 0).select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        clone_vec.alias(vec_col),
+        *other,
+    )
+    return base.unionByName(clones)
+
+
+def oracle_planted_corpus_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+    extra_cols: str = "label",
+    every: int = 7,
+    shift_scale: float = 0.4,
+    id_offset: int = 10_000_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB CTE body `planted` mirroring plant_near_dups: same
+    double-typed clone expression (x + c*y elementwise over the
+    cyclic shift), same id scheme."""
+    c = repr(float(shift_scale))
+    shifted = f"(e[2:{dim}] || [e[1]])"
+    clone = (
+        f"list_transform(list_zip(e, {shifted}), s -> s[1] + {c} * s[2])"
+    )
+    return f"""
+    src AS (SELECT {id_col}, {vec_sql} AS e, {extra_cols} FROM {table}),
+    planted AS (
+      SELECT {id_col}, e, {extra_cols} FROM src
+      UNION ALL
+      SELECT {id_col} + {id_offset} AS {id_col}, {clone} AS e,
+             {extra_cols}
+      FROM src WHERE {id_col} % {every} = 0)
+    """
+
+
+def cosine_verify_numpy(
+    cand_with_vecs: DataFrame,
+    a_col: str = "__va",
+    b_col: str = "__vb",
+    threshold: float = 0.3,
+    out_cols: tuple = ("id_a", "id_b"),
+) -> DataFrame:
+    """Arrow-batched numpy cosine verify over candidate pairs: one
+    matmul-free vectorized pass per batch (row-wise dot + norms on a
+    2-D float64 array). This is the documented hot path for LARGE
+    candidate sets — higher-order-function folds are interpreted in
+    Spark, and at >~100k pairs the Arrow transfer + SIMD beats the
+    interpreted fold (micro-benchmark in the round-4 commit message).
+    Returns (out_cols..., sim) with sim >= threshold, rounded to 4
+    decimals. Note: numpy's pairwise summation can differ from a
+    sequential fold in the last ulps — callers needing bit-exact
+    cross-engine hashes at 4-decimal rounding keep the fold path."""
+    import numpy as np
+    import pandas as pd
+
+    keep = list(out_cols)
+    thr = float(threshold)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf[a_col]), dtype=np.float64)
+            B = np.asarray(list(pdf[b_col]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            sims = dots / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            mask = sims >= thr
+            out = pdf.loc[mask, keep].copy()
+            out["sim"] = np.round(sims[mask], 4)
+            yield out
+
+    schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            keep,
+            [
+                dict(cand_with_vecs.dtypes)[c]
+                for c in keep
+            ],
+        )
+    )
+    return cand_with_vecs.mapInPandas(run, schema=schema + ", sim double")
+
+
 def oracle_cosine_banded_candidates_sql(
     vec_sql: str = "CAST(embedding AS DOUBLE[])",
     block_sql: str = "label",
     n_tables: int = 16,
-    band_bits: int = 2,
+    band_bits: int = 12,
     dim: int = 64,
+    from_sql: str = "embeddings",
 ) -> str:
     """DuckDB CTE body computing the same multi-table LSH candidate
     pairs: sig materializes the per-table bucket columns, the
     self-join keeps a pair if ANY table's buckets collide (the
     OR-construction, written as a disjunction — equivalent to the
-    Spark union-of-equi-joins + DISTINCT)."""
+    Spark union-of-equi-joins + DISTINCT). Planes MUST be the same
+    _rademacher_planes literals the Spark side packs in numpy."""
     from duckdb_distributed_execution_spark.queries.vectors import (
         _oracle_lsh_bucket,
     )
 
-    planes = _hyperplanes(n_tables * band_bits, dim)
+    planes = _rademacher_planes(n_tables * band_bits, dim)
     cols = ", ".join(
         f"{_oracle_lsh_bucket('e', planes[t * band_bits:(t + 1) * band_bits])}"
         f" AS b{t}"
@@ -345,7 +513,7 @@ def oracle_cosine_banded_candidates_sql(
     anymatch = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
     return f"""
     sig AS (SELECT vec_id, {block_sql} AS blk, e, {cols}
-            FROM (SELECT vec_id, {block_sql}, {vec_sql} AS e FROM embeddings)),
+            FROM (SELECT vec_id, {block_sql}, {vec_sql} AS e FROM {from_sql})),
     cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
       FROM sig a JOIN sig b

@@ -578,15 +578,66 @@ def test_ngram_jaccard_unblocked_raises(spark):
 
 def test_embedding_banded_recall_gate(spark):
     """The banded (LSH-candidates + exact-verify) embedding dedup must
-    hold recall >= 0.95 against the all-pairs truth, with precision
-    1.0 by construction (every emitted pair passes the exact verify)."""
+    hold recall >= 0.95 against the planted-pair truth, with precision
+    1.0 by construction (every emitted pair passes the exact verify).
+    Deterministic: fixed planes, fixed corpus — not flaky."""
     from duckdb_distributed_execution_spark.queries.pipeline13 import (
         embedding_banded_recall,
     )
 
-    row = embedding_banded_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    row = embedding_banded_recall(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.n_truth >= 50  # planted truth is real, not an empty set
     assert row.recall >= 0.95
     assert row.n_hit == row.n_banded  # precision 1.0: no false positives
+
+
+def test_embedding_banded_selectivity_gate(spark):
+    """Pruning-power gate (round-3 'What's missing' #2): the candidate
+    set must stay a small fraction of all within-label pairs — a
+    vacuous filter (round 3's 2-bit config admitted 94%) can never
+    pass CI again. Measured: 0.92% at sf0.01, 0.67% at sf0.1."""
+    from duckdb_distributed_execution_spark.queries.pipeline13 import (
+        embedding_banded_selectivity,
+    )
+
+    row = embedding_banded_selectivity(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row.candidate_fraction <= 0.02
+    assert row.n_possible > 10_000  # the denominator is the real pair count
+
+
+def test_lsh_family_selectivity_gates(spark):
+    """Pruning-power gates for the remaining LSH families (round-3
+    'What's missing' #2): candidates / possible pairs must stay small,
+    so a config whose filter is vacuous (passes ~all pairs) fails CI.
+    Measured at sf0.01: minhash 0.55%, ann_lsh same-bucket 1.03%;
+    gates at 3% leave margin without admitting a vacuous filter."""
+    from duckdb_distributed_execution_spark.queries import load
+    from duckdb_distributed_execution_spark.queries.vectors import (
+        _hyperplanes,
+        lsh_bucket,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load(spark, sf, "documents")["documents"]
+    n = docs.count()
+    cand = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
+        candidates_only=True,
+    ).count()
+    assert cand <= 0.03 * n * (n - 1) / 2, (cand, n)
+
+    e = load(spark, sf, "embeddings")["embeddings"]
+    ne = e.count()
+    occ = (
+        e.select(lsh_bucket(F.col("embedding"), _hyperplanes()).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    bucket_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+    assert bucket_pairs <= 0.03 * ne * (ne - 1) / 2, (bucket_pairs, ne)
 
 
 def test_media_header_roundtrip():
