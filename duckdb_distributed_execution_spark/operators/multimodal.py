@@ -151,10 +151,26 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 def png_bytes(width: int, height: int, bit_depth: int = 8,
               color_type: int = 2) -> bytes:
-    """Structurally valid PNG: signature, IHDR (real CRC), a 1-scanline
-    zlib IDAT, IEND. color_type 2 = truecolor (3 channels)."""
+    """Structurally valid PNG: signature, IHDR (real CRC), a real zlib
+    IDAT raster, IEND. color_type 2 = truecolor (3 channels).
+
+    The raster is a deterministic gradient over a capped
+    min(width,8) x min(height,8) grid (capping keeps synthetic
+    payloads tiny at any declared dimensions): pixel channel value =
+    7*x + 13*y + 31*c, filter type 0 per scanline. Every value stays
+    < 256 at the 8x8 cap, so content stats (sum/min/max over the
+    decompressed stream) have an exact closed form the DuckDB oracle
+    recomputes from (width, height) alone — which is what lets
+    decode_media_content be hash-checked end-to-end through a REAL
+    zlib inflate."""
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
-    idat = zlib.compress(b"\x00" + b"\x00" * 3)  # one filtered RGB pixel row
+    rw, rh = min(width, 8), min(height, 8)
+    raster = b"".join(
+        b"\x00"  # filter type 0
+        + bytes(7 * x + 13 * y + 31 * c for x in range(rw) for c in range(3))
+        for y in range(rh)
+    )
+    idat = zlib.compress(raster)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -308,6 +324,102 @@ def decode_media_info(media: DataFrame, payload_col: str = "payload",
             yield out.astype(object).where(out.notna(), None)
 
     return media.mapInPandas(run, schema=MEDIA_INFO_SCHEMA)
+
+
+MEDIA_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_min", T.LongType()),
+        T.StructField("value_max", T.LongType()),
+    ]
+)
+
+
+def parse_media_content(b: bytes) -> dict:
+    """CONTENT-level decode (round-3 'What's missing' #3) — beyond the
+    header fields, actually decode the payload data:
+
+    - PNG: concatenate IDAT chunk bodies, zlib-INFLATE them (real
+      decompression, stdlib zlib — no image libs needed), and report
+      byte stats over the decompressed scanline stream (filter bytes
+      included; they are part of the raw raster stream).
+    - WAV: walk RIFF chunks to the data chunk and decode the PCM
+      payload as little-endian int16 samples; report sample stats.
+    - BMP: byte stats over the pixel array after the declared data
+      offset.
+    - JPEG/GIF (no payload data in the synthetic corpus) and anything
+      unparseable: n_values = 0, null stats — quarantine, not die.
+
+    Returned stats are integers (exact cross-engine compare)."""
+    none = {"n_values": 0, "value_sum": None, "value_min": None,
+            "value_max": None}
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            i, idat = 8, []
+            while i + 8 <= len(b):
+                (size,) = struct.unpack(">I", b[i:i + 4])
+                tag = b[i + 4:i + 8]
+                if tag == b"IDAT":
+                    idat.append(b[i + 8:i + 8 + size])
+                if tag == b"IEND":
+                    break
+                i += 12 + size
+            raw = zlib.decompress(b"".join(idat))
+            vals = list(raw)
+            return {"format": "png", "n_values": len(vals),
+                    "value_sum": sum(vals), "value_min": min(vals),
+                    "value_max": max(vals)}
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            while i + 8 <= len(b):
+                tag = b[i:i + 4]
+                (size,) = struct.unpack("<I", b[i + 4:i + 8])
+                if tag == b"data":
+                    n = size // 2
+                    vals = struct.unpack(f"<{n}h", b[i + 8:i + 8 + n * 2])
+                    return {"format": "wav", "n_values": n,
+                            "value_sum": sum(vals), "value_min": min(vals),
+                            "value_max": max(vals)}
+                i += 8 + size + (size & 1)
+        if b[:2] == b"BM" and len(b) >= 14:
+            (off,) = struct.unpack("<I", b[10:14])
+            vals = list(b[off:])
+            if vals:
+                return {"format": "bmp", "n_values": len(vals),
+                        "value_sum": sum(vals), "value_min": min(vals),
+                        "value_max": max(vals)}
+            return {"format": "bmp", **none}
+        if b[:2] == b"\xff\xd8":
+            return {"format": "jpeg", **none}
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return {"format": "gif", **none}
+    except (struct.error, IndexError, ValueError, zlib.error):
+        pass
+    return {"format": "unknown", **none}
+
+
+def decode_media_content(media: DataFrame, payload_col: str = "payload",
+                         id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched content decode: real zlib inflate for PNG rasters,
+    int16 PCM decode for WAV — see parse_media_content."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        unknown = parse_media_content(b"")
+        for pdf in batches:
+            rows = [
+                parse_media_content(bytes(p))
+                if isinstance(p, (bytes, bytearray, memoryview))
+                else dict(unknown)
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out.astype(object).where(out.notna(), None)
+
+    return media.mapInPandas(run, schema=MEDIA_CONTENT_SCHEMA)
 
 
 _SYNTH_KINDS = ("png", "jpeg", "gif", "bmp", "wav")

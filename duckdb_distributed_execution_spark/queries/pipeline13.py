@@ -290,6 +290,55 @@ def multimodal_decode_info(spark, sf_dir):
 
 
 @register(
+    "multimodal_content_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 AS k,
+             LEAST(1 + doc_id % 640, 8) AS rw,
+             LEAST(1 + doc_id % 480, 8) AS rh,
+             ((1 + doc_id % 640) * 3 + 3) // 4 * 4 AS bmprow,
+             8 + doc_id % 32 AS ns
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                  WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE k WHEN 0 THEN rh * (1 + 3 * rw)
+                       WHEN 3 THEN bmprow
+                       WHEN 4 THEN ns ELSE 0 END AS BIGINT) AS n_values,
+           CAST(CASE k WHEN 0 THEN 21 * (rw * (rw - 1) // 2) * rh
+                                 + 39 * rw * (rh * (rh - 1) // 2)
+                                 + 93 * rw * rh
+                       WHEN 3 THEN 0
+                       WHEN 4 THEN 257 * (ns * (ns - 1) // 2) - 16384 * ns
+                  END AS BIGINT) AS value_sum,
+           CAST(CASE k WHEN 0 THEN 0 WHEN 3 THEN 0
+                       WHEN 4 THEN -16384 END AS BIGINT) AS value_min,
+           CAST(CASE k WHEN 0 THEN 7 * (rw - 1) + 13 * (rh - 1) + 62
+                       WHEN 3 THEN 0
+                       WHEN 4 THEN 257 * (ns - 1) - 16384
+                  END AS BIGINT) AS value_max
+    FROM p
+    """,
+)
+def multimodal_content_stats(spark, sf_dir):
+    """CONTENT-level media decode (round-3 'What's missing' #3, the
+    last multimodal honesty gap): synthesize real media bytes, then
+    actually decode the payload DATA — zlib-INFLATE the PNG IDAT
+    raster (stdlib zlib, a real decompression of real scanlines the
+    builder compresses), int16-decode the WAV PCM sawtooth, scan the
+    BMP pixel array — and report integer value stats. The oracle
+    recomputes every stat in closed form from doc_id arithmetic (the
+    gradient/sawtooth generators admit exact sums), so a builder,
+    inflate, or stats bug breaks the hash. JPEG/GIF synthetics carry
+    no payload data: n_values = 0 with null stats, same contract as
+    corrupt payloads."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    from duckdb_distributed_execution_spark.operators import multimodal as M
+
+    return M.decode_media_content(M.synth_media(d, "doc_id"))
+
+
+@register(
     "multimodal_audio_rollup",
     oracle="""
     WITH w AS (

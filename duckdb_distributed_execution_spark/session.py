@@ -1024,6 +1024,140 @@ class Engine:
         self._attach_managed(registry, t.path)
         return survivors.drop("__fp")
 
+    # ------------------------------------------------------------------
+    # LLM-pipeline product surface: dedup / ANN facades (VERDICT r3 #8)
+    # ------------------------------------------------------------------
+    def dedup_pairs(self, table: str, method: str = "minhash",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    vec_col: str = "embedding",
+                    block_col: str | None = "label",
+                    **kwargs) -> DataFrame:
+        """Duplicate-PAIR detection over a registered table — the
+        query-registry dedup operators as one Engine method. Methods:
+        'minhash' (MinHash-LSH banded candidates + exact Jaccard),
+        'simhash' (pigeonhole bit-chunk banding, zero recall loss),
+        'setsim' (AllPairs/PPJoin prefix filter, exact), 'embedding'
+        (multi-table hyperplane LSH + exact cosine verify; pass
+        threshold= for the sim cutoff). Extra kwargs flow to the
+        underlying operator (operators/dedup.py, similarity.py).
+        Eager: materializes the pairs (localCheckpoint) and records a
+        stats row, like the reference driver's execute path."""
+        from duckdb_distributed_execution_spark.operators import dedup as D
+        from duckdb_distributed_execution_spark.operators.similarity import (
+            cosine_banded_pairs,
+        )
+
+        df = self.spark.table(table)
+        if method == "minhash":
+            pairs = D.minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+        elif method == "simhash":
+            pairs = D.simhash_pairs(df, id_col, text_col, **kwargs)
+        elif method == "setsim":
+            pairs = D.setsim_prefix_join(df, id_col, text_col, **kwargs)
+        elif method == "embedding":
+            pairs = cosine_banded_pairs(
+                df, id_col, vec_col, block_col, **kwargs
+            )
+        else:
+            raise ValueError(
+                f"unknown dedup method {method!r}; expected minhash, "
+                "simhash, setsim, or embedding"
+            )
+        with Timer() as t:
+            out = pairs.localCheckpoint(eager=True)
+        self.recorder.record(
+            f"DEDUP_PAIRS(method={method}, table={table})", out, t.ms
+        )
+        return out
+
+    def dedup(self, table: str, method: str = "exact",
+              id_col: str = "doc_id", text_col: str = "text",
+              **kwargs) -> DataFrame:
+        """Deduplicated SURVIVOR rows of a registered table. 'exact'
+        keeps one row per normalized-content fingerprint (hash-grouped
+        keep-first — no self-join, the 100 TB shape). Near-dup methods
+        ('minhash'/'simhash'/'setsim'/'embedding') compute dup pairs
+        via dedup_pairs() and drop every row that appears as the
+        LARGER id of a pair — each duplicate cluster keeps its minimum
+        id (pairs always satisfy id_a < id_b, so a clique keeps
+        exactly its min; chains collapse to their head). Eager +
+        stats-recorded."""
+        df = self.spark.table(table)
+        if method == "exact":
+            from duckdb_distributed_execution_spark.operators.dedup import (
+                drop_exact_dups,
+            )
+            from duckdb_distributed_execution_spark.operators.text import (
+                fingerprint,
+            )
+
+            with Timer() as t:
+                out = drop_exact_dups(
+                    df, fingerprint(F.col(text_col)), id_col
+                ).localCheckpoint(eager=True)
+            self.recorder.record(
+                f"DEDUP(method=exact, table={table})", out, t.ms
+            )
+            return out
+        pairs = self.dedup_pairs(
+            table, method=method, id_col=id_col, text_col=text_col, **kwargs
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        with Timer() as t:
+            out = df.join(losers, on=id_col, how="left_anti").localCheckpoint(
+                eager=True
+            )
+        self.recorder.record(
+            f"DEDUP(method={method}, table={table})", out, t.ms
+        )
+        return out
+
+    def ann_topk(self, corpus_table: str, queries: DataFrame | str,
+                 k: int = 10, method: str = "brute",
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 **kwargs) -> DataFrame:
+        """Top-k cosine neighbors for each query vector against a
+        registered corpus table. Methods: 'brute' (exact — broadcast
+        queries, corpus never shuffles), 'lsh' (hyperplane-bucketed
+        candidates, exact re-rank), 'ivf' (k-means-cell-routed; pass
+        centroids= or nprobe=). ``queries`` is a DataFrame or the name
+        of a registered table. Eager + stats-recorded."""
+        from duckdb_distributed_execution_spark.operators import (
+            similarity as S,
+        )
+
+        corpus = self.spark.table(corpus_table)
+        q = (
+            self.spark.table(queries)
+            if isinstance(queries, str)
+            else queries
+        )
+        if method == "brute":
+            topk = S.brute_force_topk(corpus, q, id_col, vec_col, k=k)
+        elif method == "lsh":
+            topk = S.lsh_topk(corpus, q, id_col, vec_col, k=k, **kwargs)
+        elif method == "ivf":
+            centroids = kwargs.pop("centroids", None)
+            if centroids is None:
+                centroids = S.kmeans_train(
+                    corpus, kwargs.pop("n_cells", 8), id_col, vec_col
+                )
+            topk = S.ivf_topk(
+                corpus, q, centroids, id_col=id_col, vec_col=vec_col,
+                k=k, **kwargs
+            )
+        else:
+            raise ValueError(
+                f"unknown ann method {method!r}; expected brute, lsh, ivf"
+            )
+        with Timer() as t:
+            out = topk.localCheckpoint(eager=True)
+        self.recorder.record(
+            f"ANN_TOPK(method={method}, corpus={corpus_table}, k={k})",
+            out, t.ms,
+        )
+        return out
+
     def copy_from(self, name: str, path: str, fmt: str = "parquet",
                   **options) -> int:
         """COPY name FROM path (FORMAT fmt) — DuckDB's import surface

@@ -684,6 +684,39 @@ def test_decode_media_info_distributed(spark):
     assert info[13].format == "bmp" and info[13].height == 14
 
 
+def test_media_content_roundtrip():
+    """Content-level decode (pure Python): the PNG raster must survive
+    a REAL zlib inflate and match the generator's closed form; WAV PCM
+    decodes to the exact sawtooth; corrupt zlib streams quarantine."""
+    p = M.png_bytes(5, 3)
+    c = M.parse_media_content(p)
+    rw, rh = 5, 3
+    assert c["format"] == "png" and c["n_values"] == rh * (1 + 3 * rw)
+    assert c["value_sum"] == (
+        21 * (rw * (rw - 1) // 2) * rh
+        + 39 * rw * (rh * (rh - 1) // 2)
+        + 93 * rw * rh
+    )
+    assert c["value_min"] == 0
+    assert c["value_max"] == 7 * (rw - 1) + 13 * (rh - 1) + 62
+
+    w = M.parse_media_content(M.wav_bytes(8000, 4))
+    assert w["format"] == "wav" and w["n_values"] == 4
+    assert w["value_sum"] == 257 * (4 * 3 // 2) - 16384 * 4
+    assert w["value_min"] == -16384 and w["value_max"] == 257 * 3 - 16384
+
+    # Corrupt the IDAT zlib stream: quarantine, not die.
+    bad = bytearray(M.png_bytes(4, 4))
+    bad[40] ^= 0xFF
+    assert M.parse_media_content(bytes(bad))["format"] in (
+        "png", "unknown",
+    )  # either the chunk walk bails or inflate raises -> unknown
+    assert M.parse_media_content(b"")["format"] == "unknown"
+    # JPEG/GIF synthetics carry no payload data
+    assert M.parse_media_content(M.jpeg_bytes(9, 9))["n_values"] == 0
+    assert M.parse_media_content(M.gif_bytes(9, 9))["n_values"] == 0
+
+
 def test_decode_media_info_null_payload(spark):
     """NULL payloads quarantine to 'unknown' like corrupt bytes do —
     the task must not die on bytes(None) (round-3 advisor finding)."""

@@ -137,16 +137,79 @@ def verify() -> None:
     sys.exit(rc)
 
 
+def verify_banded_subset(factor: int) -> None:
+    """Hash-verified subset at ANY factor (the full banded oracle is a
+    within-label self-join — ~2e9 pair evaluations at 100x, so DuckDB
+    can't replay the whole thing): LSH bucket membership is
+    per-vector-deterministic (literal planes), so collisions are
+    pairwise — the banded pairs computed ON the factor-N corpus,
+    restricted to replica-0 ids, must EXACTLY equal the 1x oracle's
+    pairs. A recall/candidate bug that appears only under 100x bucket
+    density would break this equality."""
+    import duckdb
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.queries import all_queries
+    from duckdb_distributed_execution_spark.queries.pipeline13 import (
+        dedup_embedding_cosine_banded,
+    )
+
+    reg = all_queries()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    big = dedup_embedding_cosine_banded(spark, OUT)
+    base_id = (
+        lambda c: F.when(c >= 10_000_000, c - 10_000_000).otherwise(c)
+    )
+    sub = big.filter(
+        (base_id(F.col("id_a")) < 2000) & (base_id(F.col("id_b")) < 2000)
+    )
+    got = sorted((r.id_a, r.id_b, r.sim) for r in sub.collect())
+    wall = time.perf_counter() - t0
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            reg["dedup_embedding_cosine_banded"].oracle
+        ).fetchall()
+    )
+    ok = got == exp
+    print(
+        f"banded_subset_verify @{os.path.basename(OUT)}: "
+        f"{len(got)} pairs vs oracle {len(exp)} — "
+        f"{'IDENTICAL' if ok else 'MISMATCH'} (spark wall {wall:.1f}s)"
+    )
+    sys.exit(0 if ok else 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--families",
         default="dedup,events,facts,embeddings,multimodal,pq,bloom,"
-        "setsim,retrieval,sketch,triangle,quantile",
+        "setsim,retrieval,sketch,triangle,quantile,banded",
     )
     ap.add_argument(
         "--verify", action="store_true",
         help="hash-check Spark vs DuckDB at 10x instead of timing",
+    )
+    ap.add_argument(
+        "--verify-banded", action="store_true",
+        help="replica-0 subset hash-verify of the banded cosine dedup "
+        "at --factor (oracle runs at 1x; see verify_banded_subset)",
     )
     ap.add_argument(
         "--factor", type=int, default=10,
@@ -159,6 +222,9 @@ def main() -> None:
     OUT = f"/tmp/dde_probe{args.factor}"
     build_datasets(args.factor)
 
+    if args.verify_banded:
+        verify_banded_subset(args.factor)
+        return
     if args.verify:
         verify()
         return
@@ -319,6 +385,15 @@ def main() -> None:
                         f"{qname} @{tag}",
                         lambda q=reg[qname], b=base: noop(q.fn(spark, b)),
                     )
+        if "banded" in fams:
+            from duckdb_distributed_execution_spark.queries.pipeline13 import (
+                dedup_embedding_cosine_banded,
+            )
+
+            timed(
+                f"banded_cosine_dedup @{tag}",
+                lambda b=base: noop(dedup_embedding_cosine_banded(spark, b)),
+            )
         if "multimodal" in fams:
             m = read_parquet_table(spark, f"{base}/documents.parquet").select(
                 F.col("doc_id").alias("media_id"),
