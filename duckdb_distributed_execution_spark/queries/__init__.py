@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline13,
         pipeline14,
         pipeline15,
+        pipeline16,
         textstats,
         tpch,
         vectors,

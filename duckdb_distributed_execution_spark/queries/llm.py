@@ -240,13 +240,16 @@ def dedup_simhash_pairs_wide(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked. The *contract*
-    here is exact: every same-label pair with cosine ≥ 0.3 — which is
-    inherently quadratic within a label group, so this query is the
-    small-block/exact tool and the ground truth for the family's
-    recall gate. The corpus-scale headline form is
-    dedup_embedding_cosine_banded (queries/pipeline13.py): LSH
-    candidates + exact verify, recall measured by
-    embedding_banded_recall; see also ann_lsh_candidates and
+    here is exact: every same-label pair with cosine ≥ 0.3 — and at a
+    threshold this low on isotropic embeddings the OUTPUT itself is
+    Θ(n²) (~2% of all pairs), so no candidate filter can be
+    sub-quadratic and this exact blocked form IS the right tool (the
+    round-4 infeasibility algebra lives in the pipeline13 module
+    header). The corpus-scale headline form for real near-dup
+    thresholds (≥ ~0.7) is dedup_embedding_cosine_banded
+    (queries/pipeline13.py): LSH candidates + exact verify, recall
+    measured by embedding_banded_recall and pruning power by
+    embedding_banded_selectivity; see also ann_lsh_candidates and
     semantic_dedup_seeded (IVF-cluster blocking)."""
     from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
 

@@ -1,0 +1,345 @@
+"""Sixteenth-wave operators — LLM pretraining data-prep analytics:
+sequence packing (concat-and-chunk window accounting), Gopher-style
+quality rules, DoReMi-lite domain mixing weights, tokenizer fertility,
+and n-gram repetition screening. North-star greenfield (the reference
+has no text surface — BASELINE.json); these are the jobs a training
+corpus actually runs between dedup and tokenization.
+
+Cross-engine conventions: whitespace tokenization matches the repo's
+`tokens()`/`string_split(text, ' ')` pair (the corpus is
+single-spaced); every cross-row reduction is an exact integer
+(token/char/ngram counts); doubles appear only as one final
+division/round per group with the identical expression tree on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.operators.text import (
+    STOPWORDS,
+    token_count,
+    tokens,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+_CAP = 128  # context-window size in tokens for the packing queries
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk window accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "packing_token_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS tk
+      FROM documents),
+    c AS (
+      SELECT source, tk,
+             COALESCE(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           CAST((SUM(tk) + {_CAP - 1}) // {_CAP} AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN (cb + tk - 1) // {_CAP} > cb // {_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs
+    FROM c GROUP BY source
+    """,
+)
+def packing_token_windows(spark, sf_dir):
+    """Pretraining sequence packing, accounted: concatenate each
+    source's documents in doc_id order into a token stream and chunk
+    it into fixed {cap}-token context windows (the standard
+    concat-and-chunk packing LLM pretraining uses — no padding waste,
+    documents may straddle window boundaries). Reports, per source:
+    docs, total tokens, windows produced, and how many documents cross
+    a window boundary (the attention-masking cost of packing). The
+    running offset is a per-source cumulative sum — partitioned by
+    source, so at 100 TB each shard packs independently (exactly how
+    packing jobs shard in practice); a single global stream would be
+    the low-cardinality window hazard, and the two-pass sampled-range
+    scheme (operators/rowid.py::keyed_row_number) is the documented
+    escape hatch if one global stream is truly required. All window
+    ids come from integer floor-division on exact token prefix sums —
+    no float drift."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select("doc_id", "source", token_count("text").alias("tk"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "source",
+        "tk",
+        F.coalesce(F.sum("tk").over(w), F.lit(0)).alias("cb"),
+    )
+    crossing = (
+        F.floor((F.col("cb") + F.col("tk") - 1) / _CAP)
+        > F.floor(F.col("cb") / _CAP)
+    ).cast("int")
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").cast("long").alias("total_tokens"),
+        F.floor((F.sum("tk") + (_CAP - 1)) / _CAP)
+        .cast("long")
+        .alias("n_windows"),
+        F.sum(crossing).cast("long").alias("n_crossing_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    pw AS (
+      SELECT doc_id, lang, w, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+    pd AS (
+      SELECT doc_id, lang,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(CASE WHEN w IN ({_STOP_SQL}) THEN c ELSE 0 END)
+                  AS BIGINT) AS stop_cnt,
+             CAST(SUM(len(w) * c) AS BIGINT) AS n_chars
+      FROM pw GROUP BY 1, 2)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars BETWEEN 3 * n_words AND 10 * n_words
+                          AND stop_cnt * 50 >= n_words
+                          AND top_cnt * 5 <= n_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN top_cnt * 5 > n_words THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN stop_cnt * 50 < n_words THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_stopwords
+    FROM pd GROUP BY lang
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality screening, per language: a doc
+    passes iff its mean word length is in [3, 10] chars, stopwords are
+    >= 2% of tokens, and the single most frequent word is <= 20% of
+    tokens (the repetition screen). Every rule is evaluated as an
+    integer cross-multiplication (n_chars BETWEEN 3*n_words AND
+    10*n_words, stop_cnt*50 >= n_words, top_cnt*5 <= n_words) — no
+    ratio floats anywhere, so both engines agree exactly. Plan: one
+    token explode -> (doc, word) partial-agg -> per-doc agg -> per-lang
+    agg; three shuffles, all key-partitioned, no windows."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    w = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    pw = w.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = pw.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.max("c").cast("long").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("w").isin(*STOPWORDS), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("stop_cnt"),
+        F.sum(F.length("w") * F.col("c")).cast("long").alias("n_chars"),
+    )
+    ok = (
+        F.col("n_chars").between(3 * F.col("n_words"), 10 * F.col("n_words"))
+        & (F.col("stop_cnt") * 50 >= F.col("n_words"))
+        & (F.col("top_cnt") * 5 <= F.col("n_words"))
+    )
+    return pd_.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ok.cast("int")).cast("long").alias("n_pass"),
+        F.sum((F.col("top_cnt") * 5 > F.col("n_words")).cast("int"))
+        .cast("long")
+        .alias("n_fail_repetition"),
+        F.sum((F.col("stop_cnt") * 50 < F.col("n_words")).cast("int"))
+        .cast("long")
+        .alias("n_fail_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain mixing weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mixing_weights",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_tokens) AS total,
+                   COUNT(*) AS n_domains FROM t)
+    SELECT lang, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+           ROUND((CAST(total AS DOUBLE) / n_domains) / n_tokens, 6)
+             AS mix_weight
+    FROM t, tot
+    """,
+)
+def domain_mixing_weights(spark, sf_dir):
+    """Domain-mixture reweighting (DoReMi-lite with a uniform target):
+    per language, the corpus token share and the sampling weight that
+    would equalize effective tokens across domains (target_share /
+    actual_share with target = 1/n_domains). Weights > 1 mean the
+    domain must be upsampled (epochs over its data). The shares divide
+    exact integer token counts; each group does the same two double
+    ops in the same order on both engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    return t.select(
+        "lang",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+        F.round(
+            (F.sum("n_tokens").over(w).cast("double")
+             / F.count(F.lit(1)).over(w))
+            / F.col("n_tokens"),
+            6,
+        ).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS ch
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS n_tokens,
+           CAST(SUM(ch) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(ch) AS DOUBLE) / SUM(tk), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: characters per (whitespace)
+    token — the number that predicts how a byte-budgeted corpus
+    converts to a token budget per domain, and the first thing to
+    compare when swapping tokenizers. Exact integer char/token sums;
+    one division per group."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select(
+        "lang",
+        token_count("text").alias("tk"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("ch"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tk").cast("long").alias("n_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("ch").cast("double") / F.sum("tk"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram repetition screening
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_ngram_dup",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, unnest(ngrams) AS g
+      FROM (
+        -- bind the split ONCE via the 1-element list_transform trick
+        -- (oracle_word_shingles convention) so the oracle stays
+        -- O(tokens), then emit ALL 3-grams (no distinct: repetition
+        -- mass needs duplicates)
+        SELECT doc_id, source,
+               flatten(list_transform([string_split(text, ' ')],
+                 w -> list_transform(
+                        range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(w, i, i + 2), ' '))
+               )) AS ngrams
+        FROM documents)),
+    pd AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS total_g,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_g
+      FROM g GROUP BY 1, 2)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(total_g) AS BIGINT) AS total_ngrams,
+           CAST(SUM(total_g - distinct_g) AS BIGINT) AS dup_ngrams,
+           ROUND(CAST(SUM(total_g - distinct_g) AS DOUBLE)
+                 / SUM(total_g), 6) AS dup_fraction
+    FROM pd GROUP BY source
+    """,
+)
+def repetition_ngram_dup(spark, sf_dir):
+    """Word-3-gram repetition screen per source (the Gopher/C4
+    duplicate-n-gram signal at corpus granularity): duplicated 3-gram
+    mass = total - distinct 3-grams per doc, aggregated per source. A
+    boilerplate-heavy source shows a high dup_fraction long before
+    exact dedup fires. Linear in tokens on both engines (the oracle's
+    range()-indexed shingle build is the same O(tokens) form the
+    round-3 minhash oracle fix introduced — no quadratic regex); the
+    Spark side builds ALL 3-grams (duplicates kept, unlike
+    word_shingles' distinct sets) with two zip_with shifts."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    s1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    s2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.filter(
+        F.zip_with(
+            F.zip_with(
+                toks, s1, lambda a, b: F.concat(a, F.lit(" "), b)
+            ),
+            s2,
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    g = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    pd_ = g.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_g"),
+        F.countDistinct("g").cast("long").alias("distinct_g"),
+    )
+    return pd_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total_g").cast("long").alias("total_ngrams"),
+        F.sum(F.col("total_g") - F.col("distinct_g"))
+        .cast("long")
+        .alias("dup_ngrams"),
+        F.round(
+            F.sum(F.col("total_g") - F.col("distinct_g")).cast("double")
+            / F.sum("total_g"),
+            6,
+        ).alias("dup_fraction"),
+    )

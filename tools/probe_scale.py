@@ -137,6 +137,30 @@ def verify() -> None:
     sys.exit(rc)
 
 
+def lsh_math() -> None:
+    """Reproduce the banded-cosine infeasibility table cited in
+    queries/pipeline13.py: at threshold s, hyperplane-LSH per-bit
+    collision p(s) = 1 - acos(s)/pi; recall 0.95 needs T ~ 3/p1^b
+    tables, and the background (s~0) admission is 1-(1-p0^b)^T. At
+    s=0.3 the p1/p0 gap is so thin that <=10% background admission
+    needs ~20 bits x ~91,000 tables — which is why the headline runs
+    at a real near-dup threshold instead."""
+    import math
+
+    def p(s):
+        return 1 - math.acos(s) / math.pi
+
+    for s in (0.3, 0.8, 0.92):
+        p1, p0 = p(s), p(0.0)
+        print(f"threshold {s}: p1={p1:.4f} p0={p0:.4f} "
+              f"rho={math.log(p1) / math.log(p0):.3f}")
+        for b in (2, 4, 8, 12, 16, 20):
+            T = math.ceil(3 / p1 ** b)
+            bg = 1 - (1 - p0 ** b) ** T
+            print(f"  b={b:2d} tables_for_recall95={T:6d} "
+                  f"background_admit={bg:.4f}")
+
+
 def verify_banded_subset(factor: int) -> None:
     """Hash-verified subset at ANY factor (the full banded oracle is a
     within-label self-join — ~2e9 pair evaluations at 100x, so DuckDB
@@ -215,8 +239,17 @@ def main() -> None:
         "--factor", type=int, default=10,
         help="replication factor for the probe datasets (default 10)",
     )
+    ap.add_argument(
+        "--lsh-math", action="store_true",
+        help="print the banded-cosine LSH feasibility table "
+        "(no Spark, no data)",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
+
+    if args.lsh_math:
+        lsh_math()
+        return
 
     global OUT
     OUT = f"/tmp/dde_probe{args.factor}"
