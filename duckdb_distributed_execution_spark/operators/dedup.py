@@ -265,11 +265,14 @@ def oracle_minhash_lsh_sql(
     band_size: int = 2,
     verify_threshold: float = 0.4,
     max_bucket: int = 256,
+    final_select: str | None = None,
 ) -> str:
     """Full DuckDB mirror of ``minhash_lsh_pairs`` — same base hash,
     affine family, banding, bucket-size cap, and hashed-shingle
     Jaccard verification, so the banded candidate generation itself is
-    oracle-checked (not just the signature math)."""
+    oracle-checked (not just the signature math). ``final_select``
+    overrides the trailing SELECT (the CTEs base/sig/bands/ok_buckets/
+    cand/sh/j stay available) — used by the selectivity gate query."""
     coeffs = minhash_coeffs(num_hashes)
     n_bands = num_hashes // band_size
     mh_cols = ", ".join(
@@ -312,8 +315,8 @@ def oracle_minhash_lsh_sql(
       FROM cand
       JOIN sh x ON x.doc_id = cand.id_a
       JOIN sh y ON y.doc_id = cand.id_b)
-    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
-    FROM j WHERE jaccard >= {verify_threshold}
+    {final_select or f'''SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM j WHERE jaccard >= {verify_threshold}'''}
     """
 
 

@@ -221,17 +221,24 @@ def embedding_banded_selectivity(spark, sf_dir):
         corpus, "vec_id", "embedding", "label",
         n_tables=_N_TABLES, band_bits=_BAND_BITS, dim=64,
     )
-    possible = (
+    # Two scalars from two different inputs, combined by a tagged
+    # UNION + pivot agg — no 1-row nested-loop cross join (the scalar
+    # crossJoin anti-pattern plancheck flags).
+    c_rows = cand.select(F.lit(1).alias("__c"), F.lit(0).alias("__p"))
+    p_rows = (
         corpus.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(
-            F.sum(
-                (F.col("n") * (F.col("n") - 1)).cast("long") / F.lit(2)
-            ).cast("long").alias("n_possible")
+        .select(
+            F.lit(0).alias("__c"),
+            ((F.col("n") * (F.col("n") - 1)) / 2)
+            .cast("long")
+            .alias("__p"),
         )
     )
-    counts = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    return counts.join(possible).select(
+    return c_rows.unionByName(p_rows).agg(
+        F.sum("__c").cast("long").alias("n_candidates"),
+        F.sum("__p").cast("long").alias("n_possible"),
+    ).select(
         "n_candidates",
         "n_possible",
         F.round(

@@ -267,6 +267,65 @@ def tokenizer_fertility(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# MinHash-LSH pruning power (oracle-checked twin of the pytest gate)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_selectivity_oracle() -> str:
+    from duckdb_distributed_execution_spark.operators import dedup as D
+
+    return D.oracle_minhash_lsh_sql(
+        D.oracle_word_shingles("text", 2),
+        num_hashes=8,
+        band_size=2,
+        final_select="""
+        SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+                FROM documents) AS n_possible,
+               ROUND(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)
+                     / (SELECT COUNT(*) * (COUNT(*) - 1) // 2
+                        FROM documents), 6) AS candidate_fraction""",
+    )
+
+
+@register("minhash_lsh_selectivity", oracle=_minhash_selectivity_oracle())
+def minhash_lsh_selectivity(spark, sf_dir):
+    """Pruning-power measurement for the MinHash-LSH headline (the
+    oracle-checked twin of tests' selectivity gate): banded candidate
+    pairs / all document pairs, with the full banding pipeline —
+    signatures, band hash, bucket cap, distinct — mirrored in DuckDB
+    so the measured selectivity itself is hash-compared. Measured
+    0.55% at sf0.01; a vacuous banding config (fraction near 1) would
+    break both this hash and the pytest gate."""
+    from duckdb_distributed_execution_spark.operators import dedup as D
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
+        candidates_only=True,
+    )
+    # Tagged UNION + pivot agg instead of a 1-row scalar cross join
+    # (same pattern as embedding_banded_selectivity).
+    c_rows = cand.select(F.lit(1).alias("__c"), F.lit(0).alias("__n"))
+    n_rows = d.select(F.lit(0).alias("__c"), F.lit(1).alias("__n"))
+    agg = c_rows.unionByName(n_rows).agg(
+        F.sum("__c").cast("long").alias("n_candidates"),
+        F.sum("__n").cast("long").alias("n_docs"),
+    )
+    return agg.select(
+        "n_candidates",
+        ((F.col("n_docs") * (F.col("n_docs") - 1)) / 2)
+        .cast("long")
+        .alias("n_possible"),
+        F.round(
+            F.col("n_candidates").cast("double")
+            / ((F.col("n_docs") * (F.col("n_docs") - 1)) / 2),
+            6,
+        ).alias("candidate_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # N-gram repetition screening
 # ---------------------------------------------------------------------------
 
