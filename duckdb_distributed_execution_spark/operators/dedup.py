@@ -398,10 +398,27 @@ def minhash_lsh_pairs(
             ])
         ).alias("bucket"),
     )
-    buckets = (
+    # Enforce the hot-bucket cap BEFORE collecting: counts are
+    # map-side-combinable (a mega-bucket's count partial-aggregates in
+    # every task), then a bucket-keyed semi-join drops over-cap and
+    # singleton buckets so collect_list never materializes more than
+    # max_bucket ids in one task. The round-3 form filtered AFTER
+    # collect_list, which funneled a corpus-wide hot bucket through a
+    # single straggler task just to throw it away — observed live at
+    # the 100x probe (one 850 s task while 31 cores idled; the salted
+    # replica corpus makes replica-wide buckets). Both joins are
+    # co-partitioned on the bucket key: one exchange each, no
+    # broadcast needed, no driver state.
+    ok_buckets = (
         stacked.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .select("bucket")
+    )
+    buckets = (
+        stacked.join(ok_buckets, on="bucket", how="left_semi")
+        .groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )
     pair_structs = F.filter(
         F.flatten(
