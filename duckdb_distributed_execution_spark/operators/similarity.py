@@ -326,6 +326,18 @@ def cosine_banded_pairs(
     cand = cosine_banded_candidates(
         df, id_col, vec_col, block_col, n_tables, band_bits, dim
     )
+    # BROADCAST the narrow (id -> vector, norm) side of both verify
+    # joins: candidate pairs are 2 ids wide, and a shuffle join here
+    # would ship dim*8-byte vectors through a PAIR-count-sized
+    # exchange — measured at the 100x probe (a corpus of 100-way
+    # near-identical replicas, ~1.5e8 candidates): the vector-carrying
+    # shuffle wrote >60 GB of spill and filled the disk. With the
+    # broadcast, pair rows pick their vectors map-side and no
+    # pair-sized vector exchange exists. The broadcast is the corpus
+    # id->vector map (n*dim*8 bytes; ~1 MB at sf0.1, ~120 MB at the
+    # 100x probe) — beyond broadcastable corpus sizes, shard the
+    # verify by block (IVF cell / label) or carry vectors through the
+    # bucket join itself (the oracle's sig shape) instead.
     v = df.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__v"),
@@ -333,18 +345,22 @@ def cosine_banded_pairs(
     )
     sims = (
         cand.join(
-            v.select(
-                F.col("__vid").alias("id_a"),
-                F.col("__v").alias("__va"),
-                F.col("__n").alias("__na"),
+            F.broadcast(
+                v.select(
+                    F.col("__vid").alias("id_a"),
+                    F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"),
+                )
             ),
             on="id_a",
         )
         .join(
-            v.select(
-                F.col("__vid").alias("id_b"),
-                F.col("__v").alias("__vb"),
-                F.col("__n").alias("__nb"),
+            F.broadcast(
+                v.select(
+                    F.col("__vid").alias("id_b"),
+                    F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"),
+                )
             ),
             on="id_b",
         )

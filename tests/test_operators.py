@@ -607,6 +607,52 @@ def test_embedding_banded_selectivity_gate(spark):
     assert row.n_possible > 10_000  # the denominator is the real pair count
 
 
+def test_cosine_verify_numpy_matches_fold(spark):
+    """The Arrow-batched numpy verify (the large-candidate-set hot
+    path) must agree with the sequential-fold cosine on pair identity
+    and on sims to 4 decimals."""
+    from duckdb_distributed_execution_spark.functions import (
+        dot_product,
+        l2_norm,
+    )
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        cosine_verify_numpy,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "label"
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "label"
+    )
+    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    fold = (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (
+                dot_product(F.col("__va"), F.col("__vb"))
+                / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb")))
+            ).alias("sim"),
+        )
+        # filter on the RAW sim then round — the same order
+        # cosine_banded_pairs and cosine_verify_numpy use
+        .filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+    np_out = cosine_verify_numpy(pairs, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.sim for r in np_out.collect()}
+    exp = {(r.id_a, r.id_b): r.sim for r in fold.collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_lsh_family_selectivity_gates(spark):
     """Pruning-power gates for the remaining LSH families (round-3
     'What's missing' #2): candidates / possible pairs must stay small,

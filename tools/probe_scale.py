@@ -292,12 +292,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     for base, tag in ((SF, "1x"), (OUT, f"{args.factor}x")):
-        if "dedup" in fams:
+        if {"dedup", "minhash"} & fams:
             d = read_parquet_table(spark, f"{base}/documents.parquet")
             timed(
                 f"minhash_lsh @{tag}",
                 lambda d=d: noop(D.minhash_lsh_pairs(d, "doc_id", "text")),
             )
+        if {"dedup", "simhash"} & fams:
+            # NOTE: on the salted replica corpus simhash is
+            # OUTPUT-bound at high factors (every base doc's replicas
+            # differ by one token → Θ(factor²) true pairs per doc;
+            # ~30M pairs at 100x). Probe it separately
+            # (--families simhash) when you mean to pay that.
+            d = read_parquet_table(spark, f"{base}/documents.parquet")
             timed(
                 f"simhash_pairs60 @{tag}",
                 lambda d=d: noop(
