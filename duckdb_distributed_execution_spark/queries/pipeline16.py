@@ -267,6 +267,92 @@ def tokenizer_fertility(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Contamination SPAN detection (gaps-and-islands over positional 3-grams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_span_max",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gp AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+               AS g
+      FROM ws),
+    bench AS (SELECT DISTINCT g FROM gp WHERE doc_id % 50 = 0),
+    marked AS (
+      SELECT doc_id, pos FROM gp
+      WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)),
+    runs AS (
+      SELECT doc_id,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM marked),
+    spans AS (
+      SELECT doc_id, COUNT(*) AS run_len FROM runs GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(MAX(run_len) + 2 AS BIGINT) AS max_span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM spans GROUP BY doc_id HAVING MAX(run_len) >= 4
+    """,
+)
+def contamination_span_max(spark, sf_dir):
+    """Contamination SPAN detection — the signal gram-overlap rates
+    miss: a doc that quotes a benchmark verbatim for 20 consecutive
+    tokens is contaminated even when its overall gram-hit rate is low.
+    Positional 3-grams of every corpus doc are marked against the
+    benchmark gram set (docs with doc_id % 50 = 0, the repo's eval
+    stand-in convention), and maximal runs of consecutive marked
+    positions are found with the gaps-and-islands idiom (pos -
+    ROW_NUMBER() per doc — the window partitions on doc_id, a
+    high-cardinality key). Docs whose longest run covers >= 6 tokens
+    (>= 4 consecutive trigram hits — improbable by chance even in
+    this tiny-vocabulary corpus) are reported with their span length
+    and run count. Bench grams broadcast (eval sets are small by
+    nature); everything else is one doc-keyed window."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    s1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    s2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    grams = F.filter(
+        F.zip_with(
+            F.zip_with(toks, s1, lambda a, b: F.concat(a, F.lit(" "), b)),
+            s2,
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    gp = d.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    bench = (
+        gp.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    marked = gp.filter(F.col("doc_id") % 50 != 0).join(
+        F.broadcast(bench), on="g", how="left_semi"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.select(
+        "doc_id", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    spans = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            (F.max("run_len") + 2).cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("max_span_tokens") >= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH pruning power (oracle-checked twin of the pytest gate)
 # ---------------------------------------------------------------------------
 

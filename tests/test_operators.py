@@ -607,6 +607,33 @@ def test_embedding_banded_selectivity_gate(spark):
     assert row.n_possible > 10_000  # the denominator is the real pair count
 
 
+def test_contamination_span_planted(spark, tmp_path):
+    """Plant a doc that quotes a 'benchmark' doc verbatim for 8 tokens
+    mid-text: the span detector must report exactly that span (8
+    tokens = 6 consecutive trigram hits) and ignore docs with only
+    scattered single-gram overlap."""
+    from duckdb_distributed_execution_spark.queries.pipeline16 import (
+        contamination_span_max,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),  # doc_id % 50 == 0 -> the benchmark doc
+        # verbatim 8-token quote embedded in noise
+        (1, "noise1 noise2 " + bench_text + " noise3 noise4"),
+        # scattered overlap only: single shared trigram, run < 4
+        (2, "alpha beta gamma noiseA noiseB delta epsilon noiseC"),
+        (3, "completely unrelated words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: (r.max_span_tokens, r.n_runs)
+        for r in contamination_span_max(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (8, 1)}  # 6 trigram hits -> 8-token span; doc 2/3 clean
+
+
 def test_cosine_verify_numpy_matches_fold(spark):
     """The Arrow-batched numpy verify (the large-candidate-set hot
     path) must agree with the sequential-fold cosine on pair identity
