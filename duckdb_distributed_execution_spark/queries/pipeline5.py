@@ -162,9 +162,10 @@ _BLOOM_BITS = 16384   # filter size in bit positions
 _BLOOM_WORD = 62      # usable bits per int64 word (DuckDB errors on 1<<63)
 
 
-@register(
-    "contamination_bloom",
-    oracle=f"""
+# Shared by contamination_bloom and its streaming twin
+# (pipeline16.streaming_contamination_screen) — identical semantics,
+# identical oracle.
+_BLOOM_ORACLE = f"""
     WITH grams AS (SELECT doc_id, UNNEST({oracle_word_shingles('text', 3)}) AS g
                    FROM documents),
     bpos AS (SELECT DISTINCT p FROM (
@@ -195,8 +196,10 @@ _BLOOM_WORD = 62      # usable bits per int64 word (DuckDB errors on 1<<63)
     SELECT doc_id, n_grams, n_hits,
            ROUND(CAST(n_hits AS DOUBLE) / n_grams, 4) AS hit_rate
     FROM agg WHERE n_hits * 5 >= n_grams
-    """,
-)
+    """
+
+
+@register("contamination_bloom", oracle=_BLOOM_ORACLE)
 def contamination_bloom(spark, sf_dir):
     """Bloom-filter decontamination: benchmark 3-grams (docs with
     doc_id % 50 = 0 stand in for the eval set) are folded into a

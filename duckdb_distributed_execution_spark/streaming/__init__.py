@@ -65,6 +65,32 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw
 
 
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the documents parquet (doc_id, text,
+    lang, source, n_chars) — the corpus-ingest stream for streaming
+    text-pipeline operators (contamination screen, quality filter).
+    ``path`` may be the parquet file or its directory."""
+    from duckdb_distributed_execution_spark import ensure_worker_pythonpath
+
+    ensure_worker_pythonpath(spark)
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
