@@ -385,6 +385,107 @@ def streaming_contamination_screen(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming quality filter (stateless per-row Gopher rules)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_quality_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    pw AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    pd AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(CASE WHEN w IN ({_STOP_SQL}) THEN c ELSE 0 END)
+                  AS BIGINT) AS stop_cnt,
+             CAST(SUM(len(w) * c) AS BIGINT) AS n_chars
+      FROM pw GROUP BY 1)
+    SELECT doc_id, n_words, top_cnt, stop_cnt, n_chars,
+           (n_chars BETWEEN 3 * n_words AND 10 * n_words) AS ok_wordlen,
+           (stop_cnt * 50 >= n_words) AS ok_stopwords,
+           (top_cnt * 5 <= n_words) AS ok_repetition
+    FROM pd
+    WHERE NOT (n_chars BETWEEN 3 * n_words AND 10 * n_words
+               AND stop_cnt * 50 >= n_words
+               AND top_cnt * 5 <= n_words)
+    """,
+)
+def streaming_quality_filter(spark, sf_dir):
+    """STREAMING Gopher-rule screening at ingest: every quality signal
+    of quality_gopher_rules is computed as per-ROW array algebra over
+    the streaming document (no groupBy anywhere, so the stream stays
+    stateless/append — a pure map per micro-batch): word and char
+    counts from the token array, stopword mass via a filtered-array
+    size, and the top-word count via a single left fold over the
+    SORTED token array (state = (prev, run, best); equal-adjacent runs
+    in a sorted array ARE the value frequencies). Docs failing any
+    rule are emitted with per-rule booleans — the reject stream a
+    pipeline routes to quarantine. Batch oracle computes identical
+    integers through grouped aggregation; hash-compared."""
+    import os as _os
+
+    from duckdb_distributed_execution_spark.streaming import (
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    stream = read_documents_stream(
+        spark, _os.path.join(sf_dir, "documents.parquet")
+    )
+    toks = tokens(F.col("text"))
+    srt = F.sort_array(toks)
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    sig = stream.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        top_cnt.alias("top_cnt"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("stop_cnt"),
+        F.length(F.regexp_replace("text", " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    ok_wordlen = F.col("n_chars").between(
+        3 * F.col("n_words"), 10 * F.col("n_words")
+    )
+    ok_stop = F.col("stop_cnt") * 50 >= F.col("n_words")
+    ok_rep = F.col("top_cnt") * 5 <= F.col("n_words")
+    flagged = sig.select(
+        "doc_id", "n_words", "top_cnt", "stop_cnt", "n_chars",
+        ok_wordlen.alias("ok_wordlen"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+    ).filter(~(ok_wordlen & ok_stop & ok_rep))
+    run_to_memory(flagged, "streaming_quality_filter_sink", mode="append")
+    return spark.table("streaming_quality_filter_sink")
+
+
+# ---------------------------------------------------------------------------
 # Contamination SPAN detection (gaps-and-islands over positional 3-grams)
 # ---------------------------------------------------------------------------
 

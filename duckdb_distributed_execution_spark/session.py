@@ -1112,6 +1112,59 @@ class Engine:
         )
         return out
 
+    def decontaminate(self, table: str, bench_table: str | DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, max_hit_rate: float = 0.2) -> DataFrame:
+        """Drop rows whose word-``n``-gram overlap with a benchmark
+        table reaches ``max_hit_rate`` — the exact decontamination
+        pass (the Bloom screen twin is contamination_bloom /
+        streaming_contamination_screen; at 100 TB you Bloom-screen
+        first and run this exact join only on flagged shards). Bench
+        grams broadcast (eval sets are small); the corpus side is one
+        explode + semi-join + doc-keyed aggregate. Eager +
+        stats-recorded; returns the surviving rows."""
+        from duckdb_distributed_execution_spark.operators.dedup import (
+            word_shingles,
+        )
+
+        df = self.spark.table(table)
+        bench = (
+            self.spark.table(bench_table)
+            if isinstance(bench_table, str)
+            else bench_table
+        )
+        bgrams = bench.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("__g")
+        ).distinct()
+        grams = df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        hits = (
+            grams.join(F.broadcast(bgrams), on="__g", how="left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__h"))
+        )
+        totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__t"))
+        flagged = (
+            totals.join(hits, on=id_col, how="left")
+            .filter(
+                F.coalesce(F.col("__h"), F.lit(0))
+                >= F.col("__t") * F.lit(float(max_hit_rate))
+            )
+            .select(id_col)
+        )
+        with Timer() as t:
+            out = df.join(
+                flagged, on=id_col, how="left_anti"
+            ).localCheckpoint(eager=True)
+        self.recorder.record(
+            f"DECONTAMINATE(table={table}, n={n}, "
+            f"max_hit_rate={max_hit_rate})",
+            out, t.ms,
+        )
+        return out
+
     def ann_topk(self, corpus_table: str, queries: DataFrame | str,
                  k: int = 10, method: str = "brute",
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -899,3 +899,33 @@ def test_ann_facade(engine):
 
     ops = [r.query for r in engine.get_query_history().collect()]
     assert any(s.startswith("ANN_TOPK(method=brute") for s in ops)
+
+
+def test_decontaminate_facade(engine, spark):
+    """Engine.decontaminate drops exactly the rows whose n-gram
+    overlap with the bench table reaches the threshold."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),   # 3/4 bigrams shared
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus.createOrReplaceTempView("decon_corpus")
+    bench.createOrReplaceTempView("decon_bench")
+    kept = engine.decontaminate(
+        "decon_corpus", "decon_bench", n=2, max_hit_rate=0.5
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [3]
+    # Raising the threshold above doc 2's 75% overlap keeps doc 2
+    # (doc 1 is a verbatim copy at 100% and still drops).
+    kept2 = engine.decontaminate(
+        "decon_corpus", "decon_bench", n=2, max_hit_rate=0.9
+    )
+    assert sorted(r.doc_id for r in kept2.collect()) == [2, 3]
+    ops = [r.query for r in engine.get_query_history().collect()]
+    assert any(s.startswith("DECONTAMINATE(") for s in ops)
