@@ -707,3 +707,124 @@ def repetition_ngram_dup(spark, sf_dir):
             6,
         ).alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-order operators: epoch shuffle + token-balanced sharding
+# (both are real consumers of the scalable keyed_row_number — global
+# sequence numbering is THE low-cardinality-window case)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_shuffle_ids",
+    oracle="""
+    WITH e AS (SELECT unnest([0, 1]) AS epoch),
+    h AS (
+      SELECT epoch, doc_id,
+             md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS hh
+      FROM documents, e)
+    SELECT epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY hh, doc_id) AS BIGINT) AS seq
+    FROM h
+    """,
+)
+def epoch_shuffle_ids(spark, sf_dir):
+    """Deterministic per-epoch training order: every document gets a
+    fresh pseudo-random position each epoch (seq = rank of
+    md5(epoch:doc_id)) — the global-shuffle step in front of sequence
+    packing, reproducible on any cluster. A naive ROW_NUMBER() here
+    partitions on `epoch` (2 values) and funnels half the corpus
+    through one task — exactly the hazard keyed_row_number
+    (operators/rowid.py) solves with sampled range buckets + broadcast
+    prefix offsets; this query IS that operator in its natural
+    habitat. Oracle is the plain window (same numbers, oracle-scale
+    data)."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    h = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("hh"),
+    )
+    out = keyed_row_number(
+        h, ["epoch"], ["hh", "doc_id"], id_col="seq"
+    )
+    return out.select("epoch", "doc_id", F.col("seq").cast("long"))
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "shard_snake_balance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+      FROM documents),
+    r AS (
+      SELECT doc_id, tk,
+             ROW_NUMBER() OVER (ORDER BY tk DESC, doc_id) - 1 AS rnk
+      FROM t),
+    s AS (
+      SELECT tk,
+             CASE WHEN rnk % {2 * _N_SHARDS} < {_N_SHARDS}
+                  THEN rnk % {2 * _N_SHARDS}
+                  ELSE {2 * _N_SHARDS - 1} - rnk % {2 * _N_SHARDS}
+             END AS shard
+      FROM r)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens
+    FROM s GROUP BY shard
+    """,
+)
+def shard_snake_balance(spark, sf_dir):
+    """Token-balanced shard assignment by snake ordering: docs sorted
+    by token count descending take shards 0..S-1 then S-1..0
+    alternately (the boustrophedon heuristic — each shard gets one doc
+    per 2S-run from both the heavy and light end, so shard token
+    totals stay within a fraction of a percent of each other where
+    naive modulo sharding inherits the full length skew). The global
+    descending rank is computed with keyed_row_number under a single
+    constant key — the most extreme low-cardinality window there is,
+    and the reason that operator exists. Output: per-shard doc and
+    token totals."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    t = d.select(
+        "doc_id",
+        token_count("text").alias("tk"),
+        F.lit(0).alias("__k"),
+        (-token_count("text")).alias("__neg_tk"),
+    )
+    ranked = keyed_row_number(
+        t, ["__k"], ["__neg_tk", "doc_id"], id_col="__rn"
+    )
+    pos = (F.col("__rn") - 1) % (2 * _N_SHARDS)
+    shard = F.when(pos < _N_SHARDS, pos).otherwise(
+        2 * _N_SHARDS - 1 - pos
+    )
+    return (
+        ranked.select(shard.cast("long").alias("shard"), "tk")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tk").cast("long").alias("total_tokens"),
+        )
+    )
