@@ -747,8 +747,13 @@ def epoch_shuffle_ids(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")["documents"]
-    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
-    h = d.crossJoin(F.broadcast(epochs)).select(
+    # Epoch fan-out as a literal-array explode — a pure projection
+    # (a 2-row broadcast cross join would plan as a nested-loop join
+    # for no benefit).
+    h = d.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+        "doc_id",
+    ).select(
         "epoch",
         "doc_id",
         F.md5(
