@@ -182,3 +182,47 @@ def test_salted_aggregate_equals_plain(spark, rows, salts):
         ).collect()
     }
     assert salted == plain
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # low-card key
+            st.integers(min_value=0, max_value=9),    # heavy-tie order col
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+    sample=st.integers(min_value=5, max_value=80),
+)
+def test_keyed_row_number_property(spark, rows, nparts, sample):
+    """keyed_row_number == ROW_NUMBER() for ARBITRARY low-cardinality
+    key layouts, tie densities, bucket counts, and sample sizes —
+    including single-row inputs, all-one-key inputs, and boundary
+    tie-groups the example-based test can't enumerate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    data = [(k, o, i) for i, (k, o) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k int, o int, uid long"
+    ).repartition(nparts)
+    w = Window.partitionBy("k").orderBy("o", "uid")
+    expected = {
+        (r.k, r.uid): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r.k, r.uid): r.rn
+        for r in keyed_row_number(
+            df, ["k"], ["o", "uid"], num_partitions=3, sample_rows=sample
+        ).collect()
+    }
+    assert got == expected
