@@ -97,3 +97,47 @@ def test_transpile_idempotent(lit):
 def test_line_comment_preserved(comment):
     out = transpile(f"SELECT a FROM t -- {comment}")
     assert f"-- {comment}" in out
+
+
+# Alias-collision catalog stripping (ADVICE r3: the comma rule used to
+# strip alias references after SELECT/GROUP BY/ORDER BY commas).
+_ALIAS_DECLS = [
+    "FROM tbl AS dh",
+    "FROM tbl dh",
+    "FROM a, dh.tbl AS dh",
+    "FROM other o JOIN tbl AS dh ON dh.k = o.k",
+    "FROM other o JOIN dh.tbl dh ON dh.k = o.k",
+]
+_REF_CLAUSES = [
+    "SELECT {r}",
+    "SELECT o.k, {r}",
+    "SELECT {r}, o.k",
+    "SELECT sum({r}), o.k",
+]
+_TAILS = [
+    "",
+    " GROUP BY o.k, {r}",
+    " ORDER BY o.k, {r}",
+    " WHERE {r} > 0",
+]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    decl=st.sampled_from(_ALIAS_DECLS),
+    head=st.sampled_from(_REF_CLAUSES),
+    tail=st.sampled_from(_TAILS),
+)
+def test_alias_refs_survive_catalog_strip(decl, head, tail):
+    """With an alias named like the catalog declared anywhere in the
+    FROM clause, every `dh.col` alias reference must survive — in
+    SELECT lists (incl. after commas), GROUP BY/ORDER BY lists, and
+    WHERE — while `dh.tbl` table positions strip."""
+    ref = "dh.v"
+    sql = f"{head.format(r=ref)} {decl}{tail.format(r=ref)}"
+    out = transpile(sql, catalog="dh")
+    n_refs = sql.count("dh.v") + sql.count("dh.k")
+    assert out.count("dh.v") == sql.count("dh.v"), (sql, out)
+    assert out.count("dh.k") == sql.count("dh.k"), (sql, out)
+    assert "dh.tbl" not in out, (sql, out)
+    assert out.count("dh.") == n_refs, (sql, out)
