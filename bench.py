@@ -42,6 +42,15 @@ def main() -> None:
         # tasks can be non-local, and shuffle compression matters when
         # blocks cross a network instead of one machine's page cache):
         .config("spark.locality.wait", "0s")
+        # The generated-class cache defaults to 100 entries — far too
+        # small for a 17-query suite whose plans hold several hundred
+        # codegen units between them. At 100, every timed pass evicts
+        # and Janino-recompiles the big queries' stages (measured:
+        # +1.5 s on dedup_minhash_lsh alone, +4 s on the headline
+        # total). Any real deployment running a query mix this wide
+        # sizes this for the workload; static conf, so it must be set
+        # before the session exists.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

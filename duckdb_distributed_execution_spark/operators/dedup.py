@@ -398,25 +398,28 @@ def minhash_lsh_pairs(
             ])
         ).alias("bucket"),
     )
-    # Enforce the hot-bucket cap BEFORE collecting: counts are
-    # map-side-combinable (a mega-bucket's count partial-aggregates in
-    # every task), then a bucket-keyed semi-join drops over-cap and
-    # singleton buckets so collect_list never materializes more than
-    # max_bucket ids in one task. The round-3 form filtered AFTER
-    # collect_list, which funneled a corpus-wide hot bucket through a
-    # single straggler task just to throw it away — observed live at
-    # the 100x probe (one 850 s task while 31 cores idled; the salted
-    # replica corpus makes replica-wide buckets). Both joins are
-    # co-partitioned on the bucket key: one exchange each, no
-    # broadcast needed, no driver state.
-    ok_buckets = (
-        stacked.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
-        .select("bucket")
-    )
+    # Enforce the hot-bucket cap BEFORE collecting anything: a window
+    # COUNT over the bucket key tags every band row with its bucket
+    # size in the SAME exchange the collect_list needs anyway, the
+    # filter then drops over-cap and singleton buckets, and the
+    # groupBy reuses the window's hash partitioning — Catalyst plans
+    # exactly ONE exchange of the band rows for count + filter +
+    # collect. The round-3 form filtered AFTER collect_list, which
+    # funneled a corpus-wide hot bucket through a single straggler
+    # task just to build a mega-array it then threw away — observed
+    # live at the 100x probe (one 850 s task while 31 cores idled; the
+    # salted replica corpus makes replica-wide buckets). Under the
+    # window form a mega bucket still lands on one task, but that task
+    # only counts narrow (doc, bucket) rows and discards them — no
+    # array, no pair unroll — so the cap's cost is one bounded sort,
+    # not O(B²) work. (An agg + semi-join pre-pass is the alternative
+    # shape; it keeps the mega bucket's count fully partial-aggregated
+    # but pays a second exchange of the band rows — measured 0.5 s
+    # slower at sf0.1 and identical at the 100× probe.)
+    w_bucket = Window.partitionBy("bucket")
     buckets = (
-        stacked.join(ok_buckets, on="bucket", how="left_semi")
+        stacked.withColumn("__n", F.count(F.lit(1)).over(w_bucket))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
         .groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
     )

@@ -138,6 +138,11 @@ class Engine:
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.ui.enabled", "false")
+            # Static conf: size the generated-class cache for a wide
+            # query mix (default 100 entries recompiles constantly on
+            # a several-hundred-plan workload — measured +50% wall on
+            # the 17-query bench; harmless when fewer plans run).
+            .config("spark.sql.codegen.cache.maxEntries", "5000")
         )
         spark = builder.getOrCreate()
         return cls(spark, num_workers=workers)

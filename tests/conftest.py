@@ -22,6 +22,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The suite compiles hundreds of distinct codegen units; the
+        # default 100-entry class cache thrashes (see bench.py).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -88,6 +88,10 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # 300+ distinct plans sweep through this session; the default
+        # 100-entry codegen class cache would Janino-recompile stages
+        # constantly (see bench.py).
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
