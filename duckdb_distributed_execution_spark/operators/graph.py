@@ -250,3 +250,92 @@ def bfs_distances(
         dist = dist.union(nxt).localCheckpoint()
         frontier = nxt
     return dist
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Nodes surviving ``rounds`` rounds of k-core peeling (repeatedly
+    delete nodes of degree < k), with their within-core degree.
+
+    ``edges`` must be the UNDIRECTED expansion (both (u,v) and (v,u)
+    per edge, no self-loops, distinct). Each peel round is one
+    semi-join of the edge list against the surviving node set per
+    endpoint plus one degree count — O(E) work per round, no path
+    enumeration, so the loop is O(rounds · E) like the other iterative
+    graph operators here (connected_components, pagerank,
+    bfs_distances). localCheckpoint after each round keeps lineage
+    flat. Rounds are FIXED (early exit only on stability, which is
+    equivalent): the DuckDB oracle unrolls exactly ``rounds``
+    iterations, so both engines compute the identical relation even on
+    a graph that hasn't converged yet — peeling converges in
+    ≤ diameter-ish rounds on real graphs, and the registered query's
+    corpus converges well inside the default 8.
+
+    Reference parity note: the reference engine has no graph surface
+    (SURVEY §2); this extends the greenfield family.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    alive = und.select("u").distinct().localCheckpoint()
+    for _ in range(rounds):
+        kept = (
+            und.join(alive, on="u", how="left_semi")
+            .join(alive.select(F.col("u").alias("v")), on="v", how="left_semi")
+        )
+        deg = kept.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        nxt = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
+        if nxt.count() == alive.count():
+            alive = nxt
+            break
+        alive = nxt
+    final = (
+        und.join(alive, on="u", how="left_semi")
+        .join(alive.select(F.col("u").alias("v")), on="v", how="left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final
+
+
+def oracle_kcore_sql(und_cte: str, k: int, rounds: int) -> str:
+    """DuckDB mirror of :func:`kcore`: ``rounds`` unrolled peel CTEs
+    over an undirected-edge CTE named ``und`` (columns u, v) provided
+    by ``und_cte`` (a complete WITH-clause prefix ending in the und
+    definition, without the trailing SELECT)."""
+    # Every CTE is AS MATERIALIZED: a{r} is referenced twice by
+    # a{r+1}, so DuckDB's default inlining would re-evaluate the
+    # whole chain 2^rounds times.
+    parts = [und_cte, ", a0 AS MATERIALIZED (SELECT DISTINCT u FROM und)"]
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        cur = f"a{r}"
+        parts.append(
+            f""",
+    {cur} AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT und.u, COUNT(*) AS deg
+        FROM und
+        JOIN {prev} x ON x.u = und.u
+        JOIN {prev} y ON y.u = und.v
+        GROUP BY und.u)
+      WHERE deg >= {k})"""
+        )
+        prev = cur
+    parts.append(
+        f"""
+    SELECT und.u AS user_id, COUNT(*) AS core_degree
+    FROM und
+    JOIN {prev} x ON x.u = und.u
+    JOIN {prev} y ON y.u = und.v
+    GROUP BY und.u"""
+    )
+    return "".join(parts)

@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline14,
         pipeline15,
         pipeline16,
+        pipeline17,
         textstats,
         tpch,
         vectors,
