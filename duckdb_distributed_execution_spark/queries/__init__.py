@@ -136,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline15,
         pipeline16,
         pipeline17,
+        pipeline18,
         textstats,
         tpch,
         vectors,
