@@ -137,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline16,
         pipeline17,
         pipeline18,
+        pipeline19,
         textstats,
         tpch,
         vectors,
