@@ -138,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline17,
         pipeline18,
         pipeline19,
+        pipeline20,
         textstats,
         tpch,
         vectors,
