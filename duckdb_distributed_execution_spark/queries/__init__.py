@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline18,
         pipeline19,
         pipeline20,
+        pipeline21,
         textstats,
         tpch,
         vectors,
