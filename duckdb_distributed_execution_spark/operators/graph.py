@@ -21,6 +21,7 @@ round N does not replan rounds 1..N-1.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -284,7 +285,15 @@ def kcore(
     Reference parity note: the reference engine has no graph surface
     (SURVEY §2); this extends the greenfield family.
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # The edge list is consumed 2·rounds+2 times (two semi-joins per
+    # peel round plus the final degree pass); persist materializes the
+    # (possibly expensive) upstream pipeline — e.g. a co-occurrence
+    # self-join — exactly once. Lazy MEMORY_AND_DISK, same rationale
+    # as minhash_lsh_pairs: no extra up-front job, lineage survives
+    # block loss at cluster scale.
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     alive = und.select("u").distinct().localCheckpoint()
     for _ in range(rounds):
         kept = (

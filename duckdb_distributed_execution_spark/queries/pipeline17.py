@@ -122,7 +122,23 @@ def hll_distinct_sketch(spark, sf_dir):
         ).alias("raw"),
     )
     x = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
-    return est.crossJoin(x).select(
+    # Tagged union + pivot agg instead of a 1-row × 1-row cross join
+    # (plancheck bnlj hygiene — same pattern as minhash_lsh_selectivity).
+    u = est.select(
+        "v_empty", "raw", F.lit(None).cast("long").alias("exact_distinct")
+    ).unionByName(
+        x.select(
+            F.lit(None).cast("long").alias("v_empty"),
+            F.lit(None).cast("double").alias("raw"),
+            "exact_distinct",
+        )
+    )
+    merged = u.agg(
+        F.max("v_empty").alias("v_empty"),
+        F.max("raw").alias("raw"),
+        F.max("exact_distinct").alias("exact_distinct"),
+    )
+    return merged.select(
         F.lit(_HLL_M).alias("m"),
         F.col("v_empty").cast("long").alias("v_empty"),
         F.round(

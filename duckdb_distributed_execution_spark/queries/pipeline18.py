@@ -470,20 +470,26 @@ def activity_gini_lorenz(spark, sf_dir):
     itself never passes through a single-partition window."""
     e = load(spark, sf_dir, "events")["events"]
     c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    # Ranks AND full-frame totals come from the SAME ordered window
+    # (one sort, no scalar cross joins — plancheck bnlj hygiene): the
+    # full-frame count/sum ride the partition the rank already built.
+    wo = Window.orderBy("x", "user_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     r = c.select(
-        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
-    )
-    s = r.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("tot"),
-        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("tot"),
     ).withColumn("k", F.greatest(F.lit(1), F.expr("n div 10")))
-    top = (
-        r.crossJoin(F.broadcast(s.select("n", "k")))
-        .filter(F.col("i") > F.col("n") - F.col("k"))
-        .agg(F.sum("x").alias("topx"))
+    s = r.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum(F.when(F.col("i") > F.col("n") - F.col("k"), F.col("x"))).alias(
+            "topx"
+        ),
     )
-    return s.crossJoin(top).select(
+    return s.select(
         F.col("n").cast("long").alias("n_users"),
         F.col("tot").cast("long").alias("total_events"),
         F.round(

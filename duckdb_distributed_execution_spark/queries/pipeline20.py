@@ -225,12 +225,12 @@ def token_budget_curriculum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens("text"))).alias("toks"),
     )
-    tot = s.agg(
-        F.sum("toks").alias("total"),
-        F.expr("(SUM(toks) * 3) div 5").alias("budget"),
-    )
     key = F.col("toks").cast("double") / F.col("n_docs").cast("double")
+    # Rank, prefix sum, AND the corpus-total budget all ride ONE
+    # ordered window (full frame for the total — no scalar cross
+    # join; plancheck bnlj hygiene).
     w = Window.orderBy(key.desc(), "source")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     r = s.select(
         "source",
         "n_docs",
@@ -240,8 +240,11 @@ def token_budget_curriculum(spark, sf_dir):
         F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "cum_toks"
         ),
+        F.call_function(
+            "div", F.sum("toks").over(wf) * F.lit(3), F.lit(5)
+        ).alias("budget"),
     )
-    return r.crossJoin(F.broadcast(tot)).select(
+    return r.select(
         "source",
         F.col("rank").cast("int").alias("rank"),
         F.col("toks").cast("long").alias("source_tokens"),

@@ -78,6 +78,12 @@ def main() -> None:
             "bpe_train_merges",                   # 1-row best-pair broadcast/iter
             "streaming_join_left_outer",          # 1-row watermark-cutoff bcast
             "basket_lift_topk",                   # 1-row basket-count broadcast
+            "dedup_threshold_curve",              # 1-row corpus-count broadcast
+            "embedding_cluster_quality",          # k×k centroid pairs (k=10)
+            "rag_hybrid_rrf",                     # 3-query-vector broadcast ×
+                                                  # corpus (ann_* shape)
+            "dau_wau_mau_stickiness",             # 30-row day-spine interval
+                                                  # join (non-equi by design)
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
