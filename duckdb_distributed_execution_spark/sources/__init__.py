@@ -82,7 +82,15 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for name in nanos_cols:
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
+        # Guard on the dtype Spark actually produced: pyarrow reports
+        # INT96 timestamps as timestamp[ns] too, but Spark reads INT96
+        # natively as TIMESTAMP (nanosAsLong only affects TIMESTAMP(
+        # NANOS) annotations), so only long-surfaced columns need the
+        # floor-to-micros repair.
+        if dict(df.dtypes).get(name) == "bigint":
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000"))
+            )
     return df
 
 

@@ -1,0 +1,274 @@
+"""Planted-signal tests for the round-4 wave operators — each test
+constructs data with a KNOWN property and asserts the operator
+recovers it (the oracle harness proves cross-engine equality; these
+prove the math measures what it claims)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# k-core vs brute-force peeling on a fixed graph
+# ---------------------------------------------------------------------------
+
+
+def _brute_kcore(adj: dict[int, set[int]], k: int) -> dict[int, int]:
+    """Reference k-core: peel to a fixpoint in plain Python, return
+    surviving node -> within-core degree."""
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {u: len(adj[u] & alive) for u in alive}
+
+
+def test_kcore_matches_bruteforce(spark):
+    from duckdb_distributed_execution_spark.operators.graph import kcore
+
+    # A 4-clique (core-3), a triangle hung off it (core-2), and a
+    # pendant chain (core-1).
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (4, 5), (5, 6), (6, 4),                            # triangle at 4
+        (6, 7), (7, 8),                                    # chain
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    und = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges], "u LONG, v LONG"
+    )
+    for k in (1, 2, 3):
+        got = {
+            r["u"]: r["core_degree"]
+            for r in kcore(und, k=k, rounds=8).collect()
+        }
+        assert got == _brute_kcore(adj, k), f"k={k}"
+    # k=4: K4 has within-degree 3 — everything peels.
+    assert kcore(und, k=4, rounds=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM recovers a planted level shift
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_changepoint_detects_planted_shift(spark, tmp_path):
+    import datetime
+
+    # 20 days at 100 events/day, then 10 days at 200 — the CUSUM
+    # |D_t| peak must land exactly on the last low day (day 20).
+    rows = []
+    eid = 0
+    for d in range(30):
+        n = 100 if d < 20 else 200
+        day = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(seconds=i), 1, "shift", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline19 import (
+        cusum_changepoint,
+    )
+
+    out = cusum_changepoint(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["changepoint_day"]) == "2024-03-20"  # last low day
+    # First segment runs BELOW the mean -> cumulative deficit -> D<0.
+    assert r["direction"] == -1
+    # Peak |D|/n = 20 days x (mean - 100) = 20 x (400/3) = 2666.67
+    assert r["cusum_peak"] == pytest.approx(20 * (100 * 30 + 100 * 10) / 30 - 20 * 100, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen shrugs off the spike that wrecks OLS
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_robust_to_spike(spark, tmp_path):
+    import datetime
+
+    # Flat 100/day for 14 days with ONE 1000-event spike day. The
+    # Theil–Sen slope stays ~0; an OLS fit would tilt hard.
+    rows = []
+    eid = 0
+    for d in range(14):
+        n = 1000 if d == 7 else 100
+        day = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(seconds=i), 1, "flat", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline20 import (
+        theil_sen_trend,
+    )
+
+    r = theil_sen_trend(spark, sf).collect()[0]
+    assert r["theil_sen_slope"] == 0.0
+    assert r["trend"] == "flat"
+
+
+# ---------------------------------------------------------------------------
+# Burstiness signs: metronome vs burst-train
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_sign_separates_regimes(spark, tmp_path):
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    # User 1: metronomic — identical 60s gaps => sigma=0 => B = -1.
+    for i in range(50):
+        rows.append((i, base + datetime.timedelta(seconds=60 * i), 1, "x", 0.0, "{}"))
+    # User 2: bursty — tight 1s bursts separated by hour-long silences
+    # => sigma >> mu => B -> +1.
+    t = base
+    eid = 1000
+    for burst in range(10):
+        for i in range(5):
+            t += datetime.timedelta(seconds=1)
+            rows.append((eid, t, 2, "x", 0.0, "{}"))
+            eid += 1
+        t += datetime.timedelta(hours=1)
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline18 import (
+        interarrival_burstiness,
+    )
+
+    got = {r["user_id"]: r["burstiness"] for r in interarrival_burstiness(spark, sf).collect()}
+    assert got[1] == -1.0
+    # Closed form for user 2: gaps are 40×1s + 9×3601s → μ≈662s,
+    # σ≈1394s → B = (σ−μ)/(σ+μ) ≈ 0.356 — clearly positive (bursty)
+    # where the metronome pins at exactly −1.
+    assert got[2] == pytest.approx(0.355878, abs=1e-6)
+    assert got[2] > 0.3
+
+
+# ---------------------------------------------------------------------------
+# Gini extremes: uniform -> 0, single whale -> (n-1)/n-ish
+# ---------------------------------------------------------------------------
+
+
+def _write_user_events(spark, sf, counts):
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u, n in counts.items():
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(seconds=eid), u, "x", 0.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+
+def test_gini_uniform_is_zero(spark, tmp_path):
+    from duckdb_distributed_execution_spark.queries.pipeline18 import (
+        activity_gini_lorenz,
+    )
+
+    sf = str(tmp_path)
+    _write_user_events(spark, sf, {u: 10 for u in range(1, 11)})
+    r = activity_gini_lorenz(spark, sf).collect()[0]
+    assert r["gini"] == 0.0
+    assert r["top_decile_share"] == pytest.approx(0.1)
+
+
+def test_gini_whale_dominated(spark, tmp_path):
+    from duckdb_distributed_execution_spark.queries.pipeline18 import (
+        activity_gini_lorenz,
+    )
+
+    sf = str(tmp_path)
+    # 9 users x 1 event + 1 user x 991 events: G = (2*Σi·x −(n+1)Σx)/(nΣx)
+    _write_user_events(spark, sf, {**{u: 1 for u in range(1, 10)}, 10: 991})
+    r = activity_gini_lorenz(spark, sf).collect()[0]
+    ix = sum(i * 1 for i in range(1, 10)) + 10 * 991
+    expected = (2 * ix - 11 * 1000) / (10 * 1000)
+    assert r["gini"] == pytest.approx(expected, abs=1e-6)
+    assert r["top_decile_share"] == pytest.approx(0.991)
+
+
+# ---------------------------------------------------------------------------
+# RRF: agreement wins
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_consensus_doc_outranks_single_list_winners(spark):
+    """A doc ranked #2 in BOTH lists must outrank docs ranked #1 in
+    only one list (1/62+1/62 > 1/61 + 1/80-ish tail) — the defining
+    property of reciprocal rank fusion. Checked on the real testdata
+    output shape instead of synthetic lists: for every query, any doc
+    present in BOTH source rankings with ranks (a, b) scores exactly
+    round(1/(60+a) + 1/(60+b), 6)."""
+    from duckdb_distributed_execution_spark.queries.pipeline18 import (
+        rag_hybrid_rrf,
+    )
+
+    rows = rag_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        expected = 0.0
+        if r["rank_lex"] is not None:
+            expected += 1.0 / (60 + r["rank_lex"])
+        if r["rank_vec"] is not None:
+            expected += 1.0 / (60 + r["rank_vec"])
+        assert r["rrf_score"] == pytest.approx(round(expected, 6), abs=1e-9)
+    # Fused ordering is by score then doc_id within each query.
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True), q
+
+
+# ---------------------------------------------------------------------------
+# Kappa extremes: identical screens -> 1
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_identical_screens_is_one(spark, tmp_path):
+    """If both screens agree on every doc (all docs long AND diverse,
+    or the complement), kappa is undefined (pe=1) — so instead plant
+    a corpus where the two screens agree on a clean split and check
+    kappa = 1."""
+    rows = []
+    # 10 docs that pass both (45 distinct tokens), 10 that fail both
+    # (8 tokens, all identical).
+    for i in range(10):
+        rows.append((i, " ".join(f"w{j}_{i}" for j in range(45)), "en", "s", 0))
+    for i in range(10, 20):
+        rows.append((i, " ".join(["dup"] * 8), "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline21 import (
+        quality_screen_kappa,
+    )
+
+    r = quality_screen_kappa(spark, str(tmp_path)).collect()[0]
+    assert r["both_pass"] == 10 and r["both_fail"] == 10
+    assert r["kappa"] == 1.0
