@@ -1216,6 +1216,72 @@ class Engine:
         )
         return out
 
+    def retrieve(self, docs_table: str, queries: DataFrame | str,
+                 k: int = 10, method: str = "hybrid", depth: int = 20,
+                 rrf_k: int = 60, id_col: str = "doc_id",
+                 text_col: str = "text", vec_table: str | None = None,
+                 vec_id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+        """Document retrieval facade over the RAG stack: 'lexical'
+        (postings-bounded tf-idf), 'vector' (broadcast-query cosine
+        against ``vec_table``), or 'hybrid' (reciprocal-rank fusion of
+        both, the production default). ``queries`` is a DataFrame (or
+        registered table name) with columns query_id, terms
+        (array<string>, lexical/hybrid) and qv (array<float>,
+        vector/hybrid; optional qid excludes the query's own corpus
+        vector). Eager + stats-recorded. Query-twin:
+        queries/pipeline18.py::rag_hybrid_rrf (oracle-checked;
+        equivalence pinned in tests/test_engine.py)."""
+        from duckdb_distributed_execution_spark.operators import (
+            retrieval as R,
+        )
+
+        q = (
+            self.spark.table(queries)
+            if isinstance(queries, str)
+            else queries
+        )
+        docs = self.spark.table(docs_table)
+        lex = vec = None
+        if method in ("lexical", "hybrid"):
+            terms = q.select(
+                "query_id", F.explode("terms").alias("term")
+            )
+            lex = R.tfidf_rank(
+                docs, terms, id_col=id_col, text_col=text_col, depth=depth
+            )
+        if method in ("vector", "hybrid"):
+            vecs = self.spark.table(vec_table or docs_table)
+            qcols = ["query_id", "qv"] + (
+                ["qid"] if "qid" in q.columns else []
+            )
+            vec = R.cosine_rank(
+                vecs, q.select(*qcols), id_col=vec_id_col,
+                vec_col=vec_col, depth=depth,
+            )
+        if method == "hybrid":
+            out_df = R.rrf_fuse(lex, vec, k=k, rrf_k=rrf_k)
+        elif method == "lexical":
+            out_df = lex.filter(F.col("rank_lex") <= k).withColumnRenamed(
+                "rank_lex", "rk"
+            )
+        elif method == "vector":
+            out_df = vec.filter(F.col("rank_vec") <= k).withColumnRenamed(
+                "rank_vec", "rk"
+            )
+        else:
+            raise ValueError(
+                f"unknown retrieve method {method!r}; "
+                "expected lexical, vector, hybrid"
+            )
+        with Timer() as t:
+            out = out_df.localCheckpoint(eager=True)
+        self.recorder.record(
+            f"RETRIEVE(method={method}, docs={docs_table}, k={k})",
+            out, t.ms,
+        )
+        return out
+
     def copy_from(self, name: str, path: str, fmt: str = "parquet",
                   **options) -> int:
         """COPY name FROM path (FORMAT fmt) — DuckDB's import surface

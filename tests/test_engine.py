@@ -929,3 +929,46 @@ def test_decontaminate_facade(engine, spark):
     assert sorted(r.doc_id for r in kept2.collect()) == [2, 3]
     ops = [r.query for r in engine.get_query_history().collect()]
     assert any(s.startswith("DECONTAMINATE(") for s in ops)
+
+
+def test_retrieve_facade_matches_query_twin(engine, spark):
+    """Engine.retrieve(method='hybrid') must reproduce the
+    oracle-checked rag_hybrid_rrf query exactly on identical inputs —
+    the facade and the inventory share semantics, not just intent."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.queries.pipeline18 import (
+        _RRF_QUERIES,
+        rag_hybrid_rrf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    engine.register_testdata(sf)
+    qmeta = spark.createDataFrame(
+        [(qid, [a, b], v) for qid, a, b, v in _RRF_QUERIES],
+        "query_id STRING, terms ARRAY<STRING>, qid LONG",
+    )
+    q = qmeta.join(
+        spark.table("embeddings").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        on="qid",
+    )
+    got = engine.retrieve(
+        "documents", q, k=10, method="hybrid", depth=20,
+        vec_table="embeddings",
+    )
+    want = rag_hybrid_rrf(spark, sf)
+    key = lambda r: (r["query_id"], r["rk"])
+    got_rows = {key(r): tuple(r) for r in got.collect()}
+    want_rows = {key(r): tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
+    # Single-list modes return rank-capped prefixes of their rankings.
+    lex = engine.retrieve("documents", q, k=5, method="lexical")
+    assert lex.count() > 0 and lex.agg(F.max("rk")).first()[0] <= 5
+    vec = engine.retrieve(
+        "documents", q, k=5, method="vector", vec_table="embeddings"
+    )
+    assert vec.count() > 0 and vec.agg(F.max("rk")).first()[0] <= 5
+    ops = [r.query for r in engine.get_query_history().collect()]
+    assert any(s.startswith("RETRIEVE(method=hybrid") for s in ops)
