@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline19,
         pipeline20,
         pipeline21,
+        pipeline22,
         textstats,
         tpch,
         vectors,
