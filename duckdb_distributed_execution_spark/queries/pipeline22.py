@@ -156,13 +156,18 @@ def weekday_seasonality_index(spark, sf_dir):
     )
     cnt = base.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("x"))
     dspine = base.select("day", "wd").distinct()
-    dw = dspine.groupBy("wd").agg(F.count(F.lit(1)).alias("days_w"))
+    # days_all rides a full-frame window over the 7-row weekday
+    # relation — no 1-row scalar cross join (plancheck bnlj hygiene).
+    wf = Window.orderBy("wd").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dw = dspine.groupBy("wd").agg(F.count(F.lit(1)).alias("days_w")).select(
+        "wd", "days_w", F.sum("days_w").over(wf).alias("days_all")
+    )
     tot = cnt.groupBy("event_type").agg(F.sum("x").alias("total"))
-    alld = dspine.agg(F.count(F.lit(1)).alias("days_all"))
     return (
         cnt.join(F.broadcast(dw), on="wd")
         .join(F.broadcast(tot), on="event_type")
-        .crossJoin(F.broadcast(alld))
         .select(
             "event_type",
             F.col("wd").alias("weekday"),
