@@ -225,7 +225,7 @@ def main() -> None:
     ap.add_argument(
         "--families",
         default="dedup,events,facts,embeddings,multimodal,pq,bloom,"
-        "setsim,retrieval,sketch,triangle,quantile,banded",
+        "setsim,retrieval,sketch,triangle,quantile,banded,kcore,rrf,hll",
     )
     ap.add_argument(
         "--verify", action="store_true",
@@ -412,7 +412,10 @@ def main() -> None:
                     D.setsim_prefix_join(d, "doc_id", "text", threshold=0.5)
                 ),
             )
-        if {"retrieval", "sketch", "triangle", "quantile"} & fams:
+        if {
+            "retrieval", "sketch", "triangle", "quantile",
+            "kcore", "rrf", "hll",
+        } & fams:
             from duckdb_distributed_execution_spark.queries import all_queries
 
             reg = all_queries()
@@ -421,6 +424,12 @@ def main() -> None:
                 ("sketch", "cms_heavy_hitters"),
                 ("triangle", "graph_triangle_count"),
                 ("quantile", "winsorize_clamp"),
+                # Co-presence graph construction densifies by design
+                # under time-overlapped replication (like triangle):
+                # the peel loop itself is O(rounds·E).
+                ("kcore", "graph_kcore_users"),
+                ("rrf", "rag_hybrid_rrf"),
+                ("hll", "hll_distinct_sketch"),
             ):
                 if fam in fams:
                     timed(
