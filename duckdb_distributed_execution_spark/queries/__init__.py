@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline20,
         pipeline21,
         pipeline22,
+        pipeline23,
         textstats,
         tpch,
         vectors,
