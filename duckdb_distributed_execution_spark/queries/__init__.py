@@ -142,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline21,
         pipeline22,
         pipeline23,
+        pipeline24,
         textstats,
         tpch,
         vectors,
