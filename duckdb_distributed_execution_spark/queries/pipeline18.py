@@ -373,7 +373,9 @@ def embedding_cluster_quality(spark, sf_dir):
       GROUP BY user_id
       HAVING COUNT(gap) >= 2)
     SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-           ROUND(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_us,
+           CAST((2 * CAST(s AS HUGEINT) * 10000 + n_gaps)
+                // (2 * CAST(n_gaps AS HUGEINT)) AS DOUBLE) / 10000.0
+             AS mean_gap_us,
            ROUND((sqrt(CAST(CAST(n_gaps AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
                             AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
                   - CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
@@ -421,10 +423,20 @@ def interarrival_burstiness(spark, sf_dir):
     ).cast("double")
     sigma = F.sqrt(num) / F.col("n_gaps").cast("double")
     mu = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    # mean_gap_us rounds in INTEGER space (the exact_avg_rounded
+    # idiom): at sf0.1 the quotient has 15 significant digits, where
+    # Spark's shortest-repr HALF_UP and DuckDB's binary ROUND diverge
+    # at the 4th decimal. Gaps are nonnegative (ordered lead), so no
+    # sign branch is needed; the ×10⁴ scale rides DECIMAL(38,0).
+    mean4 = F.call_function(
+        "div",
+        F.lit(2) * F.col("s").cast(dec) * F.lit(10000) + F.col("n_gaps"),
+        F.lit(2) * F.col("n_gaps").cast(dec),
+    ).cast("double") / F.lit(10000.0)
     return s.select(
         "user_id",
         F.col("n_gaps").cast("long").alias("n_gaps"),
-        F.round(mu, 4).alias("mean_gap_us"),
+        mean4.alias("mean_gap_us"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
 
