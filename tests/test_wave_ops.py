@@ -272,3 +272,115 @@ def test_kappa_identical_screens_is_one(spark, tmp_path):
     r = quality_screen_kappa(spark, str(tmp_path)).collect()[0]
     assert r["both_pass"] == 10 and r["both_fail"] == 10
     assert r["kappa"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting on a planted 4-week user storyline
+# ---------------------------------------------------------------------------
+
+
+def test_growth_accounting_exact_cells(spark, tmp_path):
+    import datetime
+
+    mon = datetime.datetime(2024, 3, 4)
+    wk = lambda i: mon + datetime.timedelta(weeks=i)
+    plan = {1: [0, 1, 2, 3], 2: [0], 3: [0, 2], 4: [3]}
+    rows = []
+    eid = 0
+    for u, weeks in plan.items():
+        for i in weeks:
+            rows.append((eid, wk(i) + datetime.timedelta(hours=u), u, "x", 0.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline24 import (
+        growth_accounting_weekly,
+    )
+
+    got = {
+        str(r["week"]): (r["new_users"], r["retained"], r["resurrected"], r["churned"])
+        for r in growth_accounting_weekly(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-03-04": (3, 0, 0, 0),
+        "2024-03-11": (0, 1, 0, 2),
+        "2024-03-18": (0, 1, 1, 0),
+        "2024-03-25": (1, 1, 0, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pareto classes on a planted revenue distribution
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_abc_planted_distribution(spark, tmp_path):
+    # 10 parts: one 80-cent whale, one 15-cent mid, eight 0.625-cent
+    # tails (scaled ×100 to stay integral in cents).
+    rows = []
+    lid = 0
+    revs = {1: 8000, 2: 1500} | {p: 62 for p in range(3, 11)}  # cents... whale 80%, mid 15%
+    # make revenue exactly rev cents: price = rev/100 dollars, qty 1, disc 0
+    import datetime
+
+    for p, cents in revs.items():
+        rows.append((lid, p, 1, 1, 1.0, cents / 100.0, 0.0, 0.0, "N", "O",
+                     datetime.datetime(2024, 1, 1)))
+        lid += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline22 import (
+        pareto_abc_classification,
+    )
+
+    got = {r["abc"]: (r["n_parts"], r["revenue_share"]) for r in
+           pareto_abc_classification(spark, str(tmp_path)).collect()}
+    total = 8000 + 1500 + 8 * 62
+    # Strict integer cutoffs: whale cum*10=80000 > total*8=79968 so it
+    # misses A by 4 cents; mid cum*20=190000 > total*19=189924 misses
+    # B by 4 cents -> whale=B, mid+tails=C. The boundary is decided in
+    # integer space, which is exactly what this pins.
+    assert "A" not in got
+    assert got["B"] == (1, pytest.approx(round(8000 / total, 6)))
+    assert got["C"][0] == 9
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality closed form on a planted weekly pattern
+# ---------------------------------------------------------------------------
+
+
+def test_weekday_seasonality_closed_form(spark, tmp_path):
+    import datetime
+
+    # 14 days (exactly 2 of each weekday): 10 events on Mondays,
+    # 1 event on every other day. Monday index must be
+    # (10/2) / (22/14) = 5 / (11/7) = 35/11.
+    rows = []
+    eid = 0
+    start = datetime.datetime(2024, 3, 4)  # a Monday
+    for d in range(14):
+        day = start + datetime.timedelta(days=d)
+        n = 10 if day.weekday() == 0 else 1
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(minutes=i), 1, "x", 0.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline22 import (
+        weekday_seasonality_index,
+    )
+
+    got = {r["weekday"]: r["seasonality"] for r in
+           weekday_seasonality_index(spark, str(tmp_path)).collect()}
+    total = 2 * 10 + 12 * 1  # 32 events over 14 days
+    # Monday cell: 2 Mondays x 10 events = 20; index = (20/2)/(32/14).
+    assert got[1] == pytest.approx(round((20 * 14) / (2 * total), 6))  # = 4.375
+    # Any other weekday: 2 days x 1 event; index = (2/2)/(32/14).
+    assert got[2] == pytest.approx(round((2 * 14) / (2 * total), 6))   # = 0.4375
