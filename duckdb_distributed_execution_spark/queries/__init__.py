@@ -143,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline22,
         pipeline23,
         pipeline24,
+        pipeline25,
         textstats,
         tpch,
         vectors,

@@ -84,6 +84,8 @@ def main() -> None:
                                                   # corpus (ann_* shape)
             "dau_wau_mau_stickiness",             # 30-row day-spine interval
                                                   # join (non-equi by design)
+            "heaps_law_fit",                      # 10-row decile-cut broadcast
+                                                  # × first-occurrence relation
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
