@@ -144,6 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline23,
         pipeline24,
         pipeline25,
+        pipeline26,
         textstats,
         tpch,
         vectors,

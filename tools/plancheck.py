@@ -86,6 +86,8 @@ def main() -> None:
                                                   # join (non-equi by design)
             "heaps_law_fit",                      # 10-row decile-cut broadcast
                                                   # × first-occurrence relation
+            "session_type_lift",                  # 1-row session-count bcast
+                                                  # × |types|² lift rows
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
