@@ -145,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline24,
         pipeline25,
         pipeline26,
+        pipeline27,
         textstats,
         tpch,
         vectors,
