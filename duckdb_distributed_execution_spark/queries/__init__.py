@@ -146,6 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline25,
         pipeline26,
         pipeline27,
+        pipeline28,
         textstats,
         tpch,
         vectors,

@@ -88,6 +88,10 @@ def main() -> None:
                                                   # × first-occurrence relation
             "session_type_lift",                  # 1-row session-count bcast
                                                   # × |types|² lift rows
+            "quantile_sketch_bound",              # 1-row min/max/width bcast
+                                                  # (histogram_bins pattern)
+            "sampled_topk_quality",               # two 5-row top-k sets +
+                                                  # 1-row overlap combine
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
