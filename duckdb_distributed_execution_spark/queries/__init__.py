@@ -147,6 +147,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline26,
         pipeline27,
         pipeline28,
+        pipeline29,
         textstats,
         tpch,
         vectors,
