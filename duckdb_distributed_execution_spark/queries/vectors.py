@@ -137,10 +137,16 @@ _ORACLE_COSINE = """
 )
 def ann_bruteforce_topk(spark, sf_dir):
     """Exact ANN baseline: broadcast the (small) query set against the
-    partitioned corpus — the corpus never shuffles, cosine runs in
-    whole-stage codegen, per-query top-k via window. At scale the
+    partitioned corpus — the corpus never shuffles, cosine is a
+    JVM-side left fold (higher-order functions are INTERPRETED, not
+    whole-stage-codegen'd — see functions/dot_product; kept here
+    because the fold's fixed order is what the oracle hash relies on,
+    and at ~10k query×candidate rows the interpreted cost is
+    stage-floor noise), per-query top-k via window. At scale the
     window shuffle is on query_id (tiny cardinality); a 100 TB corpus
-    streams through map-side."""
+    streams through map-side — or routes to the Arrow-batched numpy
+    path (operators/similarity.cosine_verify_numpy) when the pair
+    count crosses ~100k."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     # Precompute each side's norm once (per row, not per pair) — the
     # division produces bit-identical values to recomputing inside
