@@ -1,0 +1,156 @@
+"""Cross-query consistency: independent operators computed by
+different plans must agree on shared invariants. Each test runs two
+(or more) registered queries on the same corpus and checks an
+identity that holds by construction — a disagreement means one of
+the plans is wrong in a way its own oracle might not catch (both
+sides of an oracle pair can share a bug; two independent operators
+cannot share it by accident)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name):
+    from duckdb_distributed_execution_spark.queries import all_queries
+
+    return all_queries()[name].fn
+
+
+def test_session_counts_agree_across_three_operators(spark):
+    """sessionize_window_sql (per-user rollup), session_bounce_rate
+    (per-entry-type), and bounce_rate_wilson_ci must all see the SAME
+    total number of sessions — three different plans over the same
+    30-minute-gap islands."""
+    sess = _q("sessionize_window_sql")(spark, SF)
+    total_sessions = sess.agg(F.sum("n_sessions")).first()[0]
+    bounce = _q("session_bounce_rate")(spark, SF)
+    assert bounce.agg(F.sum("n_sessions")).first()[0] == total_sessions
+    wilson = _q("bounce_rate_wilson_ci")(spark, SF)
+    assert wilson.agg(F.sum("n_sessions")).first()[0] == total_sessions
+    # And the bounce counts of the two bounce queries are identical
+    # per entry type.
+    b1 = {r["entry_type"]: r["bounces"] for r in bounce.collect()}
+    b2 = {r["entry_type"]: r["bounces"] for r in wilson.collect()}
+    assert b1 == b2
+
+
+def test_growth_ledger_conserves_active_users(spark):
+    """Per week: new + retained + resurrected must equal that week's
+    distinct active users (dau_wau_mau's weekly twin computed
+    independently), and the ledger's own columns must balance."""
+    ga = {
+        str(r["week"]): r
+        for r in _q("growth_accounting_weekly")(spark, SF).collect()
+    }
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, SF, "events")["events"]
+    actives = {
+        str(r["week"]): r["n"]
+        for r in e.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week"),
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(ga) == set(actives)
+    for wk, r in ga.items():
+        assert (
+            r["new_users"] + r["retained"] + r["resurrected"] == actives[wk]
+        ), wk
+
+
+def test_upset_lattice_masses_match_userday_count(spark):
+    """The lattice's user-day masses must sum to the distinct
+    (user, day) count, and every mask's n_types must equal its
+    popcount."""
+    rows = _q("upset_type_lattice")(spark, SF).collect()
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, SF, "events")["events"]
+    userdays = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_user_days"] for r in rows) == userdays
+    for r in rows:
+        assert r["n_types"] == bin(r["mask"]).count("1")
+
+
+def test_gini_and_activity_totals_match_corpus(spark):
+    """activity_gini_lorenz's totals must equal raw corpus counts,
+    and user_event_entropy's per-user totals must sum to the same."""
+    g = _q("activity_gini_lorenz")(spark, SF).collect()[0]
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, SF, "events")["events"]
+    assert g["total_events"] == e.count()
+    assert g["n_users"] == e.select("user_id").distinct().count()
+    ent = _q("user_event_entropy")(spark, SF)
+    assert ent.agg(F.sum("n_events")).first()[0] == g["total_events"]
+    assert ent.count() == g["n_users"]
+
+
+def test_threshold_curve_monotone_and_anchored_to_minhash(spark):
+    """dedup_threshold_curve at its loosest theta must reproduce
+    dedup_minhash_lsh's pair count exactly (same machinery), and both
+    pair and removal counts must be monotone non-increasing in
+    theta."""
+    curve = sorted(
+        _q("dedup_threshold_curve")(spark, SF).collect(),
+        key=lambda r: r["theta"],
+    )
+    pairs = _q("dedup_minhash_lsh")(spark, SF).count()
+    assert curve[0]["n_pairs"] == pairs
+    for a, b in zip(curve, curve[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["docs_removed"] >= b["docs_removed"]
+        assert a["retention"] <= b["retention"]
+
+
+def test_dau_wau_mau_ordering_and_first_day_identity(spark):
+    """DAU ≤ WAU ≤ MAU everywhere; on the corpus's first day all
+    three coincide (no trailing history yet)."""
+    rows = sorted(
+        _q("dau_wau_mau_stickiness")(spark, SF).collect(),
+        key=lambda r: str(r["day"]),
+    )
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"], str(r["day"])
+    first = rows[0]
+    assert first["dau"] == first["wau"] == first["mau"]
+
+
+def test_pareto_classes_partition_revenue(spark):
+    """ABC classes must partition the part set and their revenue
+    shares must sum to 1 (within rounding)."""
+    rows = _q("pareto_abc_classification")(spark, SF).collect()
+    from duckdb_distributed_execution_spark.queries import load
+
+    li = load(spark, SF, "lineitem")["lineitem"]
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["revenue_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_sketch_quantiles_certified_and_exact_matches_percentile_disc(spark):
+    """quantile_sketch_bound must certify every row (within_bound),
+    and its exact column must be internally consistent: p50 ≤ p90 ≤
+    p99."""
+    rows = {r["p_name"]: r for r in _q("quantile_sketch_bound")(spark, SF).collect()}
+    assert all(r["within_bound"] for r in rows.values())
+    assert (
+        rows["p50"]["exact_value"]
+        <= rows["p90"]["exact_value"]
+        <= rows["p99"]["exact_value"]
+    )
+    for r in rows.values():
+        assert r["sketch_estimate"] >= r["exact_value"]
