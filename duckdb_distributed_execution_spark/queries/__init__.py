@@ -148,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline27,
         pipeline28,
         pipeline29,
+        pipeline30,
         textstats,
         tpch,
         vectors,
