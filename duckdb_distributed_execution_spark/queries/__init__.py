@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline28,
         pipeline29,
         pipeline30,
+        pipeline31,
         textstats,
         tpch,
         vectors,
