@@ -150,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline29,
         pipeline30,
         pipeline31,
+        pipeline32,
         textstats,
         tpch,
         vectors,
