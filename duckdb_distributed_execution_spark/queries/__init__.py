@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline30,
         pipeline31,
         pipeline32,
+        pipeline33,
         textstats,
         tpch,
         vectors,
