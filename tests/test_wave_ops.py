@@ -384,3 +384,124 @@ def test_weekday_seasonality_closed_form(spark, tmp_path):
     assert got[1] == pytest.approx(round((20 * 14) / (2 * total), 6))  # = 4.375
     # Any other weekday: 2 days x 1 event; index = (2/2)/(32/14).
     assert got[2] == pytest.approx(round((2 * 14) / (2 * total), 6))   # = 0.4375
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge on planted price/volume changes
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_bridge_planted_effects(spark, tmp_path):
+    """Three parts with KNOWN moves: part 1 doubles volume at constant
+    price (pure volume effect), part 2 raises price 50% at constant
+    volume (pure price effect), part 3 is dropped after year 0, part 4
+    is new in year 1 — each effect lands in exactly its own bucket and
+    the residual is 0."""
+    import datetime
+
+    rows = []
+    lid = 0
+
+    def add(year, part, qty, unit_price):
+        nonlocal lid
+        rows.append((lid, part, 1, 1, float(qty), unit_price * qty, 0.0, 0.0,
+                     "N", "O", datetime.datetime(year, 6, 1)))
+        lid += 1
+
+    add(1995, 1, 10, 2.0); add(1996, 1, 20, 2.0)       # volume: +10*2 = +20
+    add(1995, 2, 10, 4.0); add(1996, 2, 10, 6.0)       # price: 10*(6-4) = +20
+    add(1995, 3, 5, 3.0)                               # dropped: -15
+    add(1996, 4, 5, 8.0)                               # new: +40
+    spark.createDataFrame(
+        rows,
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline31 import (
+        revenue_bridge_pvm,
+    )
+
+    r = revenue_bridge_pvm(spark, str(tmp_path)).collect()[0]
+    assert r["rev_y0"] == pytest.approx(20 + 40 + 15)
+    assert r["rev_y1"] == pytest.approx(40 + 60 + 40)
+    assert r["volume_effect"] == pytest.approx(20.0)
+    assert r["price_effect"] == pytest.approx(20.0)
+    assert r["new_parts_effect"] == pytest.approx(40.0)
+    assert r["dropped_parts_effect"] == pytest.approx(-15.0)
+    assert r["residual"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Lead–lag correlation peaks at the planted shift
+# ---------------------------------------------------------------------------
+
+
+def test_leadlag_peak_at_planted_lag(spark, tmp_path):
+    """purchase(day) = click(day − 2): the cross-correlation must be
+    exactly 1.0 at lag +2 and strictly smaller elsewhere."""
+    import datetime
+
+    base = [5, 9, 2, 14, 7, 11, 3, 13, 6, 10, 4, 12, 8, 15, 5, 9, 7, 11, 6, 13]
+    rows = []
+    eid = 0
+    start = datetime.datetime(2024, 3, 1)
+    for d, n in enumerate(base):
+        day = start + datetime.timedelta(days=d)
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(seconds=i), 1, "click", 0.0, "{}"))
+            eid += 1
+    for d, n in enumerate(base):
+        day = start + datetime.timedelta(days=d + 2)
+        for i in range(n):
+            rows.append((eid, day + datetime.timedelta(seconds=i), 1, "purchase", 0.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline27 import (
+        leadlag_crosscorrelation,
+    )
+
+    got = {r["lag"]: r["correlation"] for r in
+           leadlag_crosscorrelation(spark, str(tmp_path)).collect()}
+    assert got[2] == pytest.approx(1.0)
+    for lag, c in got.items():
+        if lag != 2:
+            assert c < 0.99, (lag, c)
+
+
+# ---------------------------------------------------------------------------
+# Repeat-revenue attribution on a planted order history
+# ---------------------------------------------------------------------------
+
+
+def test_repeat_revenue_split_attribution(spark, tmp_path):
+    """Customer 1 orders in 1995 (first) and twice in 1996 (repeats);
+    customer 2's first order is in 1996 — the split must attribute
+    each cent to the right bucket per year."""
+    import datetime
+
+    rows = [
+        (1, 1, "O", 100.0, datetime.datetime(1995, 3, 1), "1-URGENT"),
+        (2, 1, "O", 200.0, datetime.datetime(1996, 3, 1), "1-URGENT"),
+        (3, 1, "O", 300.0, datetime.datetime(1996, 9, 1), "1-URGENT"),
+        (4, 2, "O", 50.0, datetime.datetime(1996, 5, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline32 import (
+        repeat_revenue_split,
+    )
+
+    got = {r["order_year"]: r for r in
+           repeat_revenue_split(spark, str(tmp_path)).collect()}
+    assert got[1995]["first_time_revenue"] == pytest.approx(100.0)
+    assert got[1995]["repeat_revenue"] == pytest.approx(0.0)
+    assert got[1996]["first_time_orders"] == 1
+    assert got[1996]["first_time_revenue"] == pytest.approx(50.0)
+    assert got[1996]["repeat_revenue"] == pytest.approx(500.0)
+    assert got[1996]["repeat_share"] == pytest.approx(500.0 / 550.0, abs=1e-6)
