@@ -152,6 +152,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline31,
         pipeline32,
         pipeline33,
+        pipeline34,
         textstats,
         tpch,
         vectors,
