@@ -153,6 +153,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline32,
         pipeline33,
         pipeline34,
+        pipeline35,
         textstats,
         tpch,
         vectors,
