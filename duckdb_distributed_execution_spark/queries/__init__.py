@@ -154,6 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline33,
         pipeline34,
         pipeline35,
+        pipeline36,
         textstats,
         tpch,
         vectors,
