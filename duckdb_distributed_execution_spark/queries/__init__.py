@@ -155,6 +155,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline34,
         pipeline35,
         pipeline36,
+        pipeline37,
         textstats,
         tpch,
         vectors,

@@ -555,15 +555,20 @@ def stratified_downsample(spark, sf_dir):
 # distributed loop must match exactly.
 # ---------------------------------------------------------------------------
 
+# sig/edges/und are AS MATERIALIZED: und is referenced on every
+# recursion step of `reach` (and again by downstream consumers), and
+# DuckDB's default inlining re-evaluates the simhash pair self-join
+# at each reference — measured 13.7 s → sub-second at sf0.01 once
+# materialized (same pitfall as the k-core oracle, operators/graph.py).
 _SIMHASH_UND_ORACLE = """
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id, lang, {simhash} AS sh
       FROM documents),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a.doc_id AS ea, b.doc_id AS eb
       FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-    und AS (SELECT ea AS u, eb AS v FROM edges
+    und AS MATERIALIZED (SELECT ea AS u, eb AS v FROM edges
             UNION SELECT eb, ea FROM edges)
 """
 
@@ -572,7 +577,7 @@ _CC_EDGES_ORACLE = _SIMHASH_UND_ORACLE + """,
       SELECT u, u FROM und
       UNION
       SELECT und.v, reach.comp FROM reach JOIN und ON und.u = reach.node),
-    cc AS (
+    cc AS MATERIALIZED (
       SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
 """
 
