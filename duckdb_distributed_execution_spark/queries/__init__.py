@@ -156,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline35,
         pipeline36,
         pipeline37,
+        pipeline38,
         textstats,
         tpch,
         vectors,
