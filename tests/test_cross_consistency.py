@@ -154,3 +154,18 @@ def test_sketch_quantiles_certified_and_exact_matches_percentile_disc(spark):
     )
     for r in rows.values():
         assert r["sketch_estimate"] >= r["exact_value"]
+
+
+def test_attribution_models_conserve_purchases(spark):
+    """Credit must be conserved across attribution models: U-shaped
+    per-purchase weights sum to exactly 1, so total credited
+    purchases equals the attributed-purchase count that first- and
+    last-touch both report (every attributed purchase has exactly one
+    first and one last click)."""
+    fl = _q("attribution_first_last")(spark, SF)
+    ft_total = fl.agg(F.sum("first_touch_purchases")).first()[0]
+    lt_total = fl.agg(F.sum("last_touch_purchases")).first()[0]
+    assert ft_total == lt_total
+    u = _q("attribution_u_shaped")(spark, SF)
+    credited = u.agg(F.sum("credited_purchases")).first()[0]
+    assert credited == pytest.approx(float(lt_total), abs=1e-3)
