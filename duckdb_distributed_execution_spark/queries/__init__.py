@@ -157,6 +157,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline36,
         pipeline37,
         pipeline38,
+        pipeline39,
         textstats,
         tpch,
         vectors,
