@@ -158,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline37,
         pipeline38,
         pipeline39,
+        pipeline40,
         textstats,
         tpch,
         vectors,

@@ -505,3 +505,35 @@ def test_repeat_revenue_split_attribution(spark, tmp_path):
     assert got[1996]["first_time_revenue"] == pytest.approx(50.0)
     assert got[1996]["repeat_revenue"] == pytest.approx(500.0)
     assert got[1996]["repeat_share"] == pytest.approx(500.0 / 550.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Directed follow rates see direction
+# ---------------------------------------------------------------------------
+
+
+def test_followed_by_within_is_directed(spark, tmp_path):
+    """Plant a strict A-then-B pattern: every 'view' is followed by a
+    'click' 10 minutes later; nothing follows the clicks. The view->
+    click rate must be 1.0 and click->view must be absent (or 0) —
+    the asymmetry a symmetric co-presence measure cannot express."""
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1)
+    for i in range(20):
+        t0 = base + datetime.timedelta(hours=3 * i)
+        rows.append((eid, t0, 1, "view", 0.0, "{}")); eid += 1
+        rows.append((eid, t0 + datetime.timedelta(minutes=10), 1, "click", 0.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from duckdb_distributed_execution_spark.queries.pipeline37 import (
+        followed_by_within,
+    )
+
+    got = {(r["antecedent"], r["consequent"]): r["follow_rate"]
+           for r in followed_by_within(spark, str(tmp_path)).collect()}
+    assert got[("view", "click")] == pytest.approx(1.0)
+    assert ("click", "view") not in got
