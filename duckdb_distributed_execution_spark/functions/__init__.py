@@ -13,8 +13,11 @@ Two concerns live here:
 
 2. **Vector math for the similarity/dedup operators** — cosine/dot
    products over ``array<float>`` columns using ``F.zip_with`` +
-   ``F.aggregate``, staying inside whole-stage codegen instead of
-   Python UDFs.
+   ``F.aggregate``. These higher-order functions run INTERPRETED on
+   the JVM (they break whole-stage codegen), but they still beat
+   row-at-a-time Python UDFs by avoiding serialization; for hot
+   verify paths use the Arrow-batched numpy matmul variants in
+   operators/similarity.py (``cosine_verify_numpy``) instead.
 """
 
 from __future__ import annotations

@@ -312,6 +312,12 @@ def kcore(
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+    # Materialize the result (localCheckpoint is eager by default)
+    # BEFORE releasing the persisted edge list — otherwise a
+    # long-running session leaks one cached edge list per kcore()
+    # call for its whole lifetime.
+    final = final.localCheckpoint()
+    und.unpersist()
     return final
 
 

@@ -112,8 +112,14 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL/NaN payloads quarantine to the empty-bytes feature
+            # like corrupt bytes do — bytes(None) would raise and fail
+            # the whole task (same guard as decode_media_info).
             feats = [
-                _decode_one(bytes(p), dim, decode_stub) for p in pdf["payload"]
+                _decode_one(bytes(p), dim, decode_stub)
+                if isinstance(p, (bytes, bytearray, memoryview))
+                else _decode_one(b"", dim, decode_stub)
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "feature": feats}

@@ -93,25 +93,32 @@ def cosine_rank(
 
     ``query_vecs`` has columns (query_id, qv) and optionally ``qid``
     (a corpus id to exclude — the query's own vector). Similarities
-    round to 4 decimals before ranking, ties broken on doc id."""
+    round to 4 decimals before ranking, ties broken on doc id.
+
+    The broadcast query side is aliased (``q``) so a corpus table
+    that happens to carry its own qid/qv/qn column can't raise an
+    ambiguous-reference error. Zero-norm vectors (query or corpus)
+    produce NULL cosine; those rows are dropped from the ranking
+    rather than silently occupying trailing rank slots."""
     qv = query_vecs
     if "qid" not in qv.columns:
         qv = qv.withColumn("qid", F.lit(None).cast("long"))
     qv = qv.select(
         "query_id", "qid", "qv", l2_norm(F.col("qv")).alias("qn")
-    )
-    sims = corpus.join(
+    ).alias("q")
+    c = corpus.alias("c")
+    sims = c.join(
         F.broadcast(qv),
-        F.col("qid").isNull() | (F.col(id_col) != F.col("qid")),
+        F.col("q.qid").isNull() | (F.col(f"c.{id_col}") != F.col("q.qid")),
     ).select(
-        "query_id",
-        F.col(id_col).alias("doc_id"),
+        F.col("q.query_id").alias("query_id"),
+        F.col(f"c.{id_col}").alias("doc_id"),
         F.round(
-            dot_product(F.col("qv"), F.col(vec_col))
-            / (F.col("qn") * l2_norm(F.col(vec_col))),
+            dot_product(F.col("q.qv"), F.col(f"c.{vec_col}"))
+            / (F.col("q.qn") * l2_norm(F.col(f"c.{vec_col}"))),
             4,
         ).alias("sim"),
-    )
+    ).filter(F.col("sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "doc_id")
     return (
         sims.withColumn("rank_vec", F.row_number().over(w).cast("int"))

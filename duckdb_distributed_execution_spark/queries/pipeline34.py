@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.operators.rowid import (
+    assign_stable_row_ids,
+)
 from duckdb_distributed_execution_spark.queries import load, register
 
 _GAP_US = 1800 * 1_000_000
@@ -95,12 +98,17 @@ def session_duration_quantiles(spark, sf_dir):
         (F.max("us") - F.min("us")).alias("dur_us"),
     )
     multi = per.filter(F.col("n_events") >= 2)
-    wr = Window.orderBy("dur_us", "user_id", "sid")
-    wf = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = multi.select(
-        "dur_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wf).alias("n"),
+    # |multi-event sessions| grows with the corpus, so the exact rank
+    # pick routes through the range-bucketed stable-row-id operator
+    # (operators/rowid.py) instead of an unpartitioned global window —
+    # no stage ever sees more than one range bucket's sessions. The
+    # total count attaches as a broadcast 1-row scalar.
+    rid = assign_stable_row_ids(
+        multi, ["dur_us", "user_id", "sid"], id_col="__rid"
+    )
+    n1 = multi.agg(F.count(F.lit(1)).alias("n"))
+    r = rid.crossJoin(F.broadcast(n1)).select(
+        "dur_us", (F.col("__rid") + 1).alias("rn"), "n"
     )
     # Single-event count joins in via tagged union (no scalar cross
     # join): one row carrying only the singles count.

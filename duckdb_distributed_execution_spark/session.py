@@ -1236,6 +1236,11 @@ class Engine:
             retrieval as R,
         )
 
+        # Rankings are computed to `depth` BEFORE the top-k filter, so
+        # k > depth would silently truncate every query's result to
+        # depth rows. Widen the ranking instead of surprising the
+        # caller.
+        depth = max(depth, k)
         q = (
             self.spark.table(queries)
             if isinstance(queries, str)

@@ -680,6 +680,59 @@ def test_cosine_verify_numpy_matches_fold(spark):
     assert got == exp and len(got) > 0
 
 
+def test_cosine_pairs_blocked_numpy_matches_fold(spark):
+    """The per-block matmul pair generator (semantic_dedup_seeded's
+    round-5 hot path) must agree with the fold-based blocked self-join
+    on pair identity and 4-decimal sims — including with a row_block
+    smaller than the block, so the chunked upper-triangle indexing is
+    exercised across chunk boundaries."""
+    from duckdb_distributed_execution_spark.functions import (
+        dot_product,
+        l2_norm,
+    )
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        cosine_pairs_blocked_numpy,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "label"
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "label"
+    )
+    fold = (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "label",
+            "id_a",
+            "id_b",
+            (
+                dot_product(F.col("__va"), F.col("__vb"))
+                / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb")))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .select("label", "id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+    for row_block in (7, 4096):
+        np_out = cosine_pairs_blocked_numpy(
+            v.select("vec_id", "label", F.col("v").alias("embedding")),
+            block_col="label", id_col="vec_id", vec_col="embedding",
+            threshold=0.3, row_block=row_block,
+        )
+        got = {(r.label, r.id_a, r.id_b): r.sim for r in np_out.collect()}
+        exp = {(r.label, r.id_a, r.id_b): r.sim for r in fold.collect()}
+        assert got == exp and len(got) > 0
+
+
 def test_lsh_family_selectivity_gates(spark):
     """Pruning-power gates for the remaining LSH families (round-3
     'What's missing' #2): candidates / possible pairs must stay small,
@@ -805,6 +858,27 @@ def test_decode_media_info_null_payload(spark):
     assert info[1].format == "png" and info[1].width == 4
     assert info[2].format == "unknown" and info[2].width is None
     assert info[3].format == "unknown"
+
+
+def test_extract_features_null_payload(spark):
+    """NULL payloads through extract_features quarantine to the
+    empty-bytes feature instead of dying on bytes(None) — the third
+    sibling of the round-3 advisor's NULL-payload finding (the first
+    two, decode_media_info/parse_media_content, were fixed in r4)."""
+    from pyspark.sql import types as T
+
+    rows = [(1, M.png_bytes(4, 3)), (2, None)]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    for stub in (True, False):
+        feats = {r.media_id: r.feature
+                 for r in M.extract_features(media, dim=4,
+                                             decode_stub=stub).collect()}
+        assert len(feats) == 2 and len(feats[2]) == 4
+        assert feats[2] == feats[2]  # materialized, no NaN surprises
 
 
 def test_extract_features_real_decode(spark):
