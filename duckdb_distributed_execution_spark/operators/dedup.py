@@ -717,3 +717,195 @@ def setsim_prefix_join(
         )
         .filter(F.col("jaccard") >= t)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup — the actual text surgery (round-4 verdict
+# task 6). Lee et al., "Deduplicating Training Data Makes Language
+# Models Better" (ACL 2022) do this with suffix arrays on one machine;
+# the join-based distributed equivalent below chains positional k-gram
+# matches along pair diagonals, which finds EXACTLY the maximal shared
+# substrings of >= (min_run + k - 1) tokens (if doc B positions
+# p..p+r match doc A positions q..q+r gram-for-gram on one diagonal,
+# the underlying token spans are equal verbatim — trigram overlap
+# forces every token to agree).
+# ---------------------------------------------------------------------------
+
+
+def positional_word_trigrams(col: Column) -> Column:
+    """Array of word trigrams in position order (index i covers tokens
+    i..i+2); docs under 3 tokens yield an empty array."""
+    toks = tokens(col)
+    s1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    s2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    return F.filter(
+        F.zip_with(
+            F.zip_with(toks, s1, lambda a, b: F.concat(a, F.lit(" "), b)),
+            s2,
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def substring_cut_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 4,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Per-doc REMOVED-SPAN offsets for corpus-internal exact-substring
+    dedup: every merged token span of a doc that duplicates, verbatim,
+    a >= (min_run + 2)-token span of some EARLIER doc (lower id — the
+    keep-first convention every dedup family here uses). Returns
+    (doc_id, span_start, span_end, n_tokens, src_doc): 1-based
+    inclusive token offsets plus the earliest source doc contributing
+    a run to the merged span. This emits the surgery itself —
+    ``substring_cut_text`` applies it.
+
+    Plan: positional trigrams self-join on the gram (postings-bounded,
+    never all-pairs), matches chain along (b_doc, a_doc, b_pos - a_pos)
+    DIAGONALS with the gaps-and-islands idiom (same machinery as
+    contamination_span_max, applied doc-vs-doc instead of
+    doc-vs-benchmark); runs of >= min_run consecutive diagonal matches
+    are exact shared substrings; per-doc overlapping/adjacent intervals
+    then merge with one running-max window keyed by the
+    high-cardinality doc id. All shuffles key on grams or doc ids.
+
+    Scale: the gram join is Theta(sum of posting-list^2) like every
+    postings join here. At 100 TB, cap posting lists via
+    ``max_postings`` (grams seen in more postings are dropped as span
+    SEEDS — the standard common-gram cap; spans composed entirely of
+    ultra-common grams are then missed, which is the documented
+    recall trade, and the cap must be mirrored in any oracle). The
+    registered queries run exact (cap off): measured posting max is
+    25 at sf0.1."""
+    gp = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(positional_word_trigrams(F.col(text_col))).alias(
+            "pos0", "g"
+        ),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "g")
+    if max_postings is not None:
+        ok = (
+            gp.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_postings)
+            .select("g")
+        )
+        gp = gp.join(ok, on="g", how="left_semi")
+    a = gp.select(
+        F.col("doc").alias("a_doc"), F.col("pos").alias("a_pos"), "g"
+    )
+    b = gp.select(
+        F.col("doc").alias("b_doc"), F.col("pos").alias("b_pos"), "g"
+    )
+    m = (
+        b.join(a, on="g")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select(
+            "b_doc", "b_pos", "a_doc",
+            (F.col("b_pos") - F.col("a_pos")).alias("diag"),
+        )
+    )
+    wd = Window.partitionBy("b_doc", "a_doc", "diag").orderBy("b_pos")
+    runs = m.withColumn(
+        "grp", F.col("b_pos") - F.row_number().over(wd)
+    )
+    seg = (
+        runs.groupBy("b_doc", "a_doc", "diag", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("b_pos").alias("st"),
+            (F.max("b_pos") + 2).alias("en"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("b_doc", "a_doc", "st", "en")
+    )
+    # Interval merge per doc: running max end over (st, en, a_doc)
+    # order; a new island starts when this interval neither overlaps
+    # nor touches everything before it. Duplicate (st, en, a_doc)
+    # rows from different diagonals are harmless: the island sum uses
+    # the default RANGE frame, so tied rows share one island id.
+    wo = Window.partitionBy("b_doc").orderBy("st", "en", "a_doc")
+    prevmax = F.max("en").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = seg.withColumn(
+        "__new",
+        F.when(
+            prevmax.isNull() | (F.col("st") > prevmax + 1), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn("__island", F.sum("__new").over(wo))
+    return (
+        isl.groupBy("b_doc", "__island")
+        .agg(
+            F.min("st").alias("span_start"),
+            F.max("en").alias("span_end"),
+            F.min("a_doc").alias("src_doc"),
+        )
+        .select(
+            F.col("b_doc").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+            F.col("src_doc").cast("long").alias("src_doc"),
+        )
+    )
+
+
+def substring_cut_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 4,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Apply the surgery: the corpus with every removed span cut out.
+    Returns (doc_id, n_tokens_orig, n_tokens_kept, text_dedup) — docs
+    without spans pass through whole; a fully-duplicated doc comes back
+    with an empty string. Tokens survive iff no merged span covers
+    their position; the doc-keyed anti-join is an equi-join on the doc
+    id with a range post-filter (spans per doc are few)."""
+    spans = substring_cut_spans(docs, id_col, text_col, min_run, max_postings)
+    tp = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos0", "tok"),
+    ).select("doc", (F.col("pos0") + 1).alias("tpos"), "tok")
+    s = spans.select(
+        F.col(id_col).alias("s_doc"), "span_start", "span_end"
+    )
+    kept = tp.join(
+        s,
+        (F.col("doc") == F.col("s_doc"))
+        & (F.col("tpos") >= F.col("span_start"))
+        & (F.col("tpos") <= F.col("span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens_orig"),
+    )
+    return (
+        base.join(rebuilt, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens_orig",
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -159,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline38,
         pipeline39,
         pipeline40,
+        pipeline41,
         textstats,
         tpch,
         vectors,

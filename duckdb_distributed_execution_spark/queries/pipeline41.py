@@ -1,0 +1,126 @@
+"""Forty-first wave — exact-substring span dedup EMITTING THE SURGERY
+(round-4 verdict task 6).
+
+``dedup_substring_spans`` (pipeline7) profiles duplicated gram mass
+and ``contamination_span_max`` (pipeline16) finds quote spans against
+a benchmark set; neither emits the deduplicated corpus. These two do:
+``dedup_substring_cut`` reports per-doc removed-span token offsets
+with source-doc attribution (the distributed join-based equivalent of
+Lee et al.'s suffix-array dedup — positional trigram matches chained
+along pair diagonals are exact verbatim shared substrings), and
+``dedup_substring_cut_text`` applies the cut and returns the surgically
+deduplicated corpus. Reference has no text-dedup surface (north-star
+greenfield, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from duckdb_distributed_execution_spark.operators.dedup import (
+    substring_cut_spans,
+    substring_cut_text,
+)
+from duckdb_distributed_execution_spark.queries import load, register
+
+_MIN_RUN = 4  # >= 4 consecutive trigram matches = >= 6 shared tokens
+
+# Shared oracle CTE chain mirroring substring_cut_spans exactly:
+# positional trigrams -> gram self-join (earlier doc only) -> diagonal
+# gaps-and-islands -> interval merge per doc.
+_SPANS_BODY = f"""
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gp AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+               AS g
+      FROM ws),
+    m AS (
+      SELECT b.doc_id AS b_doc, b.pos AS b_pos, a.doc_id AS a_doc,
+             b.pos - a.pos AS diag
+      FROM gp b JOIN gp a ON a.g = b.g AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT b_doc, a_doc, diag, b_pos,
+             b_pos - ROW_NUMBER() OVER (
+               PARTITION BY b_doc, a_doc, diag ORDER BY b_pos) AS grp
+      FROM m),
+    seg AS (
+      SELECT b_doc, a_doc, MIN(b_pos) AS st, MAX(b_pos) + 2 AS en
+      FROM runs GROUP BY b_doc, a_doc, diag, grp
+      HAVING COUNT(*) >= {_MIN_RUN}),
+    ord_seg AS (
+      SELECT b_doc, a_doc, st, en,
+             MAX(en) OVER (PARTITION BY b_doc ORDER BY st, en, a_doc
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prevmax
+      FROM seg),
+    isl AS (
+      SELECT b_doc, a_doc, st, en,
+             SUM(CASE WHEN prevmax IS NULL OR st > prevmax + 1
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY b_doc ORDER BY st, en, a_doc) AS island
+      FROM ord_seg),
+    spans AS (
+      SELECT b_doc AS doc_id,
+             CAST(MIN(st) AS BIGINT) AS span_start,
+             CAST(MAX(en) AS BIGINT) AS span_end,
+             CAST(MAX(en) - MIN(st) + 1 AS BIGINT) AS n_tokens,
+             CAST(MIN(a_doc) AS BIGINT) AS src_doc
+      FROM isl GROUP BY b_doc, island)
+"""
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH {_SPANS_BODY}
+    SELECT doc_id, span_start, span_end, n_tokens, src_doc FROM spans
+    """,
+)
+def dedup_substring_cut(spark, sf_dir):
+    """Per-doc removed-span offsets (1-based inclusive token indices)
+    for corpus-internal exact-substring dedup with keep-first
+    semantics and earliest-source attribution — the text surgery's
+    cut list. Exact by construction: a run of >= 4 consecutive
+    diagonal trigram matches IS a verbatim >= 6-token shared
+    substring. See operators/dedup.py::substring_cut_spans for the
+    plan and the 100 TB posting-cap posture."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return substring_cut_spans(d, "doc_id", "text", min_run=_MIN_RUN)
+
+
+@register(
+    "dedup_substring_cut_text",
+    oracle=f"""
+    WITH {_SPANS_BODY},
+    toks AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS tpos,
+             unnest(w) AS tok
+      FROM ws),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.tpos BETWEEN s.span_start AND s.span_end)),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens_orig,
+           COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM ws d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def dedup_substring_cut_text(spark, sf_dir):
+    """The deduplicated corpus itself: every doc with its removed
+    spans cut out (tokens whose position falls inside any merged span
+    are dropped; the remainder re-joins in order). Docs without spans
+    pass through whole; a fully-duplicated doc returns an empty
+    string."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return substring_cut_text(d, "doc_id", "text", min_run=_MIN_RUN)

@@ -634,6 +634,78 @@ def test_contamination_span_planted(spark, tmp_path):
     assert out == {1: (8, 1)}  # 6 trigram hits -> 8-token span; doc 2/3 clean
 
 
+def test_substring_cut_planted(spark):
+    """Plant verbatim duplication and assert the EXACT removed spans,
+    attribution, and surgically cut text (round-4 verdict task 6 —
+    surgery, not just signal). Doc 3 embeds tokens 3..10 of doc 1
+    (8 tokens = 6 consecutive trigram matches) plus, later, tokens
+    12..17 of doc 2 (6 tokens = 4 matches); doc 4 shares only a
+    scattered trigram (run < 4). Keep-first: doc 1/2 lose nothing."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        substring_cut_spans,
+        substring_cut_text,
+    )
+
+    w1 = [f"a{i}" for i in range(1, 21)]   # doc 1: a1..a20
+    w2 = [f"b{i}" for i in range(1, 21)]   # doc 2: b1..b20
+    quote1 = w1[2:10]                      # a3..a10 (8 tokens)
+    quote2 = w2[11:17]                     # b12..b17 (6 tokens)
+    d3 = ["n1", "n2"] + quote1 + ["n3"] + quote2 + ["n4"]
+    d4 = ["a1", "a2", "a3", "x1", "x2", "b5", "b6", "b7", "x3"]
+    rows = [
+        (1, " ".join(w1)),
+        (2, " ".join(w2)),
+        (3, " ".join(d3)),
+        (4, " ".join(d4)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): (r.n_tokens, r.src_doc)
+        for r in substring_cut_spans(docs, min_run=4).collect()
+    }
+    # doc 3: quote1 occupies positions 3..10, quote2 positions 12..17.
+    assert spans == {
+        (3, 3, 10): (8, 1),
+        (3, 12, 17): (6, 2),
+    }
+    cut = {
+        r.doc_id: (r.n_tokens_orig, r.n_tokens_kept, r.text_dedup)
+        for r in substring_cut_text(docs, min_run=4).collect()
+    }
+    assert cut[1] == (20, 20, " ".join(w1))
+    assert cut[2] == (20, 20, " ".join(w2))
+    assert cut[3] == (18, 4, "n1 n2 n3 n4")
+    assert cut[4] == (9, 9, " ".join(d4))
+
+
+def test_substring_cut_adjacent_spans_merge(spark):
+    """Two runs whose intervals touch merge into one span (the
+    interval-merge window), and a doc duplicated WHOLE comes back as
+    an empty string."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        substring_cut_spans,
+        substring_cut_text,
+    )
+
+    w1 = [f"c{i}" for i in range(1, 15)]
+    rows = [
+        (1, " ".join(w1)),
+        (2, " ".join(w1)),  # verbatim clone of doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = [
+        (r.doc_id, r.span_start, r.span_end, r.src_doc)
+        for r in substring_cut_spans(docs, min_run=4).collect()
+    ]
+    assert spans == [(2, 1, 14, 1)]
+    cut = {
+        r.doc_id: (r.n_tokens_kept, r.text_dedup)
+        for r in substring_cut_text(docs, min_run=4).collect()
+    }
+    assert cut[1] == (14, " ".join(w1))
+    assert cut[2] == (0, "")
+
+
 def test_cosine_verify_numpy_matches_fold(spark):
     """The Arrow-batched numpy verify (the large-candidate-set hot
     path) must agree with the sequential-fold cosine on pair identity

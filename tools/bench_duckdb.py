@@ -60,6 +60,13 @@ def main() -> None:
         )
         out[name] = round(best, 3)
 
+    # Same session stamp bench.py emits — tools/ab_table.py refuses
+    # to pair JSONs from different boots or runs > 30 min apart.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        boot = "unknown"
     print(json.dumps({
         "metric": "duckdb_oracle_headline_total",
         "value": round(sum(out.values()), 3),
@@ -67,6 +74,8 @@ def main() -> None:
         "queries": out,
         "sf": sf,
         "threads": os.cpu_count(),
+        "ts": round(time.time(), 1),
+        "boot_id": boot,
     }))
 
 

@@ -73,6 +73,14 @@ def main():
     ap.add_argument(
         "--partitions", default=None,
         help="spark.sql.shuffle.partitions (default = --cores)")
+    ap.add_argument(
+        "--master", default=None,
+        help="Spark master override — e.g. local-cluster[2,16,4096] to "
+             "run the sweep under REAL process separation (2 executor "
+             "JVMs, separate python workers): proves no single-JVM/"
+             "single-process assumption hides in driver-side state, "
+             "broadcasts, or per-task connections (round-4 verdict "
+             "task 4). Default: local[--cores].")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -81,9 +89,14 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = (
-        SparkSession.builder.master(f"local[{args.cores}]")
+        SparkSession.builder.master(args.master or f"local[{args.cores}]")
         .appName("selfcheck")
+        # Executors in local-cluster mode are separate JVMs spawning
+        # their own python workers; the package must be importable
+        # there (in plain local mode this is inherited and harmless).
+        .config("spark.executorEnv.PYTHONPATH", repo)
         .config("spark.sql.shuffle.partitions", args.partitions or args.cores)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
