@@ -74,6 +74,63 @@ def assign_stable_row_ids(
     )
 
 
+def assign_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    id_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum (and optionally a dense 1-based row number)
+    in ``order_cols`` order, distributed the same way as
+    ``assign_stable_row_ids``: range-repartition on the order key,
+    pin the layout with localCheckpoint, collect ONE (count, sum) pair
+    per partition, prefix-sum those on the driver, then each partition
+    computes offset + within-partition cumulative sum. Equals
+    ``SUM(value) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)``
+    exactly for integral values (driver prefix sums are exact longs),
+    but no stage ever sees more than one partition's rows — the
+    unpartitioned-window replacement for corpus-sized prefix sums
+    (e.g. heaps_law_fit's cumulative token counts). Requires a total
+    order for determinism, same contract as assign_stable_row_ids."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols)
+    with_pid = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+    stats = (
+        with_pid.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col(value_col).cast("long")).alias("__s"),
+        )
+        .orderBy("__pid")
+        .collect()
+    )
+    rows, n_acc, s_acc = [], 0, 0
+    for r in stats:
+        rows.append((int(r["__pid"]), n_acc, s_acc))
+        n_acc += r["__c"]
+        s_acc += int(r["__s"] or 0)
+    offset_df = df.sparkSession.createDataFrame(
+        rows, "__pid INT, __noff LONG, __soff LONG"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = with_pid.join(F.broadcast(offset_df), on="__pid").withColumn(
+        out_col,
+        F.col("__soff")
+        + F.sum(F.col(value_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    if id_col is not None:
+        out = out.withColumn(
+            id_col, F.col("__noff") + F.row_number().over(w)
+        )
+    return out.drop("__pid", "__noff", "__soff")
+
+
 def _order_struct(df: DataFrame, order_cols: list[str]):
     """The row's order tuple as a struct with stable field names, so
     it compares positionally against boundary literals."""

@@ -516,6 +516,130 @@ def cosine_verify_numpy(
     return cand_with_vecs.mapInPandas(run, schema=schema + ", sim double")
 
 
+def brute_force_topk_numpy(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k with the scoring loop in ONE
+    numpy matmul per Arrow batch: ``queries`` is the collected
+    [(query_id, vector), ...] (q x dim floats, driver-bounded — the
+    same broadcast the fold plan shipped as a literal join side).
+    Each batch emits only its own top-k rows per query (ordered by
+    sim DESC, neighbor id ASC — any global top-k row is necessarily
+    in its batch's top-k under the same order, so the prune is
+    exact), and the final window ranks q x k x n_batches candidate
+    rows instead of q x |corpus|. The corpus never shuffles; the
+    plan is the 100 TB exact-scan shape with the interpreted
+    higher-order-function fold replaced by SIMD.
+    Returns (query_id, neighbor_id, rank, sim) with sim rounded to 4
+    decimals, rank 1..k."""
+    import numpy as np
+    import pandas as pd
+
+    qids = np.asarray([q[0] for q in queries], dtype=np.int64)
+    Q = np.asarray([q[1] for q in queries], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    dt = dict(corpus.dtypes)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf[id_col].values
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            S = (V @ Q.T) / np.outer(np.linalg.norm(V, axis=1), Qn)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -S[:, j]))[: min(k, n)]
+                out_q.append(np.full(len(order), qids[j]))
+                out_n.append(ids[order])
+                out_s.append(S[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"query_id long, neighbor_id {dt[id_col]}, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def assign_nearest_seed_numpy(
+    df: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-seed (max rounded cosine, lowest seed id on ties)
+    assignment in ONE Arrow-batched numpy pass: sims to all seeds are
+    a single (batch x dim) @ (dim x k) matmul — replacing the k-way
+    broadcast fan-out whose per-row interpreted higher-order-function
+    dots dominated semantic_dedup_seeded's wall after the pair pass
+    went numpy. ``seeds`` is the collected [(seed_id, vector), ...]
+    (k x dim floats — driver-bounded, broadcast in the closure).
+    Emits (id_col, out_col, vec_col): the vector rides through so the
+    downstream per-cluster pass needs no join back to the corpus.
+    Ties beyond rounding follow the oracle convention
+    (ORDER BY sim DESC, seed_id)."""
+    import numpy as np
+    import pandas as pd
+
+    seed_ids = np.asarray([s[0] for s in seeds], dtype=np.int64)
+    S = np.asarray([s[1] for s in seeds], dtype=np.float64)  # k x dim
+    Sn = np.linalg.norm(S, axis=1)
+    order = np.argsort(seed_ids)          # tie-break: lowest seed id
+    seed_ids, S, Sn = seed_ids[order], S[order], Sn[order]
+    dt = dict(df.dtypes)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            sims = np.round(
+                (V @ S.T) / np.outer(np.linalg.norm(V, axis=1), Sn),
+                round_decimals,
+            )
+            # argmax returns the FIRST max index; rows are in
+            # ascending seed-id order, so ties resolve to the lowest
+            # seed id — the oracle's ORDER BY sim DESC, seed_id.
+            best = seed_ids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    out_col: best,
+                    vec_col: pdf[vec_col].values,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run,
+        schema=f"{id_col} {dt[id_col]}, {out_col} long, "
+               f"{vec_col} {dt[vec_col]}",
+    )
+
+
 def cosine_pairs_blocked_numpy(
     df: DataFrame,
     block_col: str = "cluster",

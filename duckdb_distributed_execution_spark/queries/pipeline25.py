@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.operators.rowid import (
+    assign_running_sum,
+)
 from duckdb_distributed_execution_spark.operators.text import tokens
 from duckdb_distributed_execution_spark.queries import load, register
 
@@ -83,16 +86,18 @@ def heaps_law_fit(spark, sf_dir):
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
     firsts = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
     dtok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
-    wo = Window.orderBy("doc_id")
-    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ids = dtok.select(
-        "doc_id",
-        "ntok",
-        F.row_number().over(wo).alias("i"),
-        F.sum("ntok")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_tokens"),
-        F.count(F.lit(1)).over(wf).alias("nd"),
+    # The per-doc relation grows with the corpus, so the running token
+    # prefix sum + dense index route through the range-bucketed
+    # running-sum operator (operators/rowid.py) instead of an
+    # unpartitioned global window (round-4 advisor note); the doc
+    # count attaches as a broadcast 1-row scalar.
+    nd1 = dtok.agg(F.count(F.lit(1)).alias("nd"))
+    ids = (
+        assign_running_sum(
+            dtok, ["doc_id"], "ntok", out_col="cum_tokens", id_col="i"
+        )
+        .crossJoin(F.broadcast(nd1))
+        .select("doc_id", "ntok", "i", "cum_tokens", "nd")
     )
     marks = ids.filter(
         (F.col("i") % F.greatest(F.lit(1), F.expr(f"nd div {_HEAPS_POINTS}")) == 0)

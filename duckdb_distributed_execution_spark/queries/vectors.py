@@ -136,41 +136,29 @@ _ORACLE_COSINE = """
     """,
 )
 def ann_bruteforce_topk(spark, sf_dir):
-    """Exact ANN baseline: broadcast the (small) query set against the
-    partitioned corpus — the corpus never shuffles, cosine is a
-    JVM-side left fold (higher-order functions are INTERPRETED, not
-    whole-stage-codegen'd — see functions/dot_product; kept here
-    because the fold's fixed order is what the oracle hash relies on,
-    and at ~10k query×candidate rows the interpreted cost is
-    stage-floor noise), per-query top-k via window. At scale the
-    window shuffle is on query_id (tiny cardinality); a 100 TB corpus
-    streams through map-side — or routes to the Arrow-batched numpy
-    path (operators/similarity.cosine_verify_numpy) when the pair
-    count crosses ~100k."""
+    """Exact ANN baseline: the query set (5 x 64 floats,
+    driver-bounded — the same payload the fold plan broadcast as a
+    join side) scores the partitioned corpus in ONE numpy matmul per
+    Arrow batch (round-5: the interpreted higher-order-function fold
+    this ran through r4 was 60%+ of its wall; brute_force_topk_numpy
+    also prunes to per-batch top-k before the rank window, so the
+    window sees q x k x n_batches rows, not q x |corpus|). The corpus
+    never shuffles — the 100 TB exact-scan shape. The fold-based
+    operator (similarity.brute_force_topk) stays for callers needing
+    the oracle's exact summation order; at 4-decimal rounding the two
+    agree on every measured corpus."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        brute_force_topk_numpy,
+    )
+
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    # Precompute each side's norm once (per row, not per pair) — the
-    # division produces bit-identical values to recomputing inside
-    # the pair loop, at a third of the array traversals.
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        l2_norm(F.col("embedding")).alias("qn"),
-    )
-    c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        l2_norm(F.col("embedding")).alias("cn"),
-    )
-    sims = c.join(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        (dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    queries = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return brute_force_topk_numpy(
+        corpus, queries, id_col="vec_id", vec_col="embedding", k=10
     )
 
 

@@ -398,6 +398,41 @@ def test_stable_row_ids_multi_partition(spark):
     assert all(rows[k] == k for k in (0, 1, 499, 998, 999))
 
 
+def test_assign_running_sum_matches_window(spark):
+    """assign_running_sum must equal SUM(v) OVER (ORDER BY k ROWS
+    UNBOUNDED PRECEDING) and the row number must be 1-based dense, at
+    any input layout and partition count (heaps_law_fit's
+    unpartitioned-window replacement)."""
+    from pyspark.sql import Window
+
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        assign_running_sum,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.lit(499) - F.col("id")).alias("k"),
+        ((F.col("id") * 7) % 23).alias("v"),
+    ).repartition(9)
+    for parts in (1, 4, 13):
+        out = {
+            r.k: (r.i, r.rs)
+            for r in assign_running_sum(
+                df, ["k"], "v", out_col="rs", id_col="i",
+                num_partitions=parts,
+            ).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        exp = {
+            r.k: (r.i, r.rs)
+            for r in df.select(
+                "k",
+                F.row_number().over(Window.orderBy("k")).alias("i"),
+                F.sum("v").over(w).alias("rs"),
+            ).collect()
+        }
+        assert out == exp and len(out) == 500
+
+
 def test_keyed_row_number_matches_plain_window(spark):
     """keyed_row_number must equal ROW_NUMBER() OVER (PARTITION BY key
     ORDER BY ...) exactly, at any input layout and bucket count —

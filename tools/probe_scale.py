@@ -245,6 +245,16 @@ def main() -> None:
         help="print the banded-cosine LSH feasibility table "
         "(no Spark, no data)",
     )
+    ap.add_argument(
+        "--data-dir", default=None,
+        help="probe an EXISTING dataset dir (e.g. the organic sf1 from "
+        "tools/gen_sf.py) instead of building a replica corpus — kills "
+        "the Theta(factor^2)-by-replication caveat for dedup families",
+    )
+    ap.add_argument(
+        "--tag", default=None,
+        help="label for --data-dir timings (default: dir basename)",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
 
@@ -253,8 +263,11 @@ def main() -> None:
         return
 
     global OUT
-    OUT = f"/tmp/dde_probe{args.factor}"
-    build_datasets(args.factor)
+    if args.data_dir:
+        OUT = args.data_dir
+    else:
+        OUT = f"/tmp/dde_probe{args.factor}"
+        build_datasets(args.factor)
 
     if args.verify_banded:
         verify_banded_subset(args.factor)
@@ -293,7 +306,12 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    for base, tag in ((SF, "1x"), (OUT, f"{args.factor}x")):
+    out_tag = (
+        args.tag or os.path.basename(OUT.rstrip("/"))
+        if args.data_dir
+        else f"{args.factor}x"
+    )
+    for base, tag in ((SF, "1x"), (OUT, out_tag)):
         if {"dedup", "minhash"} & fams:
             d = read_parquet_table(spark, f"{base}/documents.parquet")
             timed(
@@ -402,7 +420,7 @@ def main() -> None:
         if "setsim" in fams:
             fname = (
                 "documents.parquet"
-                if base == SF
+                if base == SF or args.data_dir
                 else "documents_distinct.parquet"
             )
             d = read_parquet_table(spark, f"{base}/{fname}")
