@@ -732,20 +732,24 @@ def setsim_prefix_join(
 # ---------------------------------------------------------------------------
 
 
+def positional_word_kgrams(col: Column, k: int) -> Column:
+    """Array of word ``k``-grams in position order (index i covers
+    tokens i..i+k-1); docs under k tokens yield an empty array."""
+    toks = tokens(col)
+    n = F.size(toks)
+    # sequence(1, m) DESCENDS when m < 1 — guard short docs to empty.
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+
+
 def positional_word_trigrams(col: Column) -> Column:
     """Array of word trigrams in position order (index i covers tokens
     i..i+2); docs under 3 tokens yield an empty array."""
-    toks = tokens(col)
-    s1 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-    s2 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
-    return F.filter(
-        F.zip_with(
-            F.zip_with(toks, s1, lambda a, b: F.concat(a, F.lit(" "), b)),
-            s2,
-            lambda ab, c: F.concat(ab, F.lit(" "), c),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    return positional_word_kgrams(col, 3)
 
 
 def substring_cut_spans(
@@ -764,28 +768,49 @@ def substring_cut_spans(
     a run to the merged span. This emits the surgery itself —
     ``substring_cut_text`` applies it.
 
-    Plan: positional trigrams self-join on the gram (postings-bounded,
-    never all-pairs), matches chain along (b_doc, a_doc, b_pos - a_pos)
-    DIAGONALS with the gaps-and-islands idiom (same machinery as
-    contamination_span_max, applied doc-vs-doc instead of
-    doc-vs-benchmark); runs of >= min_run consecutive diagonal matches
-    are exact shared substrings; per-doc overlapping/adjacent intervals
-    then merge with one running-max window keyed by the
+    Plan: positional ``k``-grams with k = min_run + 2 (the MINIMUM
+    SPAN LENGTH itself) self-join on the gram, matches chain along
+    (b_doc, a_doc, b_pos - a_pos) DIAGONALS with the gaps-and-islands
+    idiom (same machinery as contamination_span_max, applied
+    doc-vs-doc); every maximal diagonal run is an exact shared
+    substring of run_len + k - 1 tokens; per-doc overlapping/adjacent
+    intervals then merge with one running-max window keyed by the
     high-cardinality doc id. All shuffles key on grams or doc ids.
 
-    Scale: the gram join is Theta(sum of posting-list^2) like every
-    postings join here. At 100 TB, cap posting lists via
-    ``max_postings`` (grams seen in more postings are dropped as span
-    SEEDS — the standard common-gram cap; spans composed entirely of
-    ultra-common grams are then missed, which is the documented
-    recall trade, and the cap must be mirrored in any oracle). The
-    registered queries run exact (cap off): measured posting max is
-    25 at sf0.1."""
+    Seeding with k-grams instead of trigrams-with-run>=min_run is
+    PROVABLY equivalent (a span of >= k shared tokens contains a
+    k-gram match at every position, and any k-gram match IS k shared
+    tokens) but changes the join complexity class on realistic data:
+    the round-5 sf1 probe measured the trigram form at Theta(sum of
+    posting^2) = 393 s on a 50k-doc organic corpus whose 31-word
+    vocabulary makes every TRIGRAM common (~90 postings each), while
+    6-gram postings are near-unique outside true duplication — the
+    same organic corpus runs in ~8 s, output-bound. This is the
+    join-based analog of why suffix-array dedup matches long
+    substrings directly rather than assembling them from short ones.
+
+    Scale: at 100 TB, residual ultra-common k-grams (boilerplate
+    sentences) still fatten postings; cap them via ``max_postings``
+    (grams in more docs than the cap are dropped as span SEEDS —
+    spans consisting ONLY of such boilerplate are missed, the
+    documented recall trade; mirror the cap in any oracle).
+
+    The gram explode is the CPU-heavy map stage and inherits the
+    scan's partitioning — text parquet compresses so well that a
+    whole corpus can arrive in a handful of splits (the sf1 probe
+    read 50k docs as 2 partitions and serialized the explode: 62 s;
+    rebalanced, 7.2 s — flat vs sf0.1). Inputs narrower than the
+    cluster are repartitioned up front; many-split 100 TB inputs skip
+    this (the check is on partition count, not size)."""
+    k = min_run + 2
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     gp = docs.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(positional_word_trigrams(F.col(text_col))).alias(
-            "pos0", "g"
-        ),
+        F.posexplode(
+            positional_word_kgrams(F.col(text_col), k)
+        ).alias("pos0", "g"),
     ).select("doc", (F.col("pos0") + 1).alias("pos"), "g")
     if max_postings is not None:
         ok = (
@@ -816,11 +841,9 @@ def substring_cut_spans(
     seg = (
         runs.groupBy("b_doc", "a_doc", "diag", "grp")
         .agg(
-            F.count(F.lit(1)).alias("run_len"),
             F.min("b_pos").alias("st"),
-            (F.max("b_pos") + 2).alias("en"),
+            (F.max("b_pos") + (k - 1)).alias("en"),
         )
-        .filter(F.col("run_len") >= min_run)
         .select("b_doc", "a_doc", "st", "en")
     )
     # Interval merge per doc: running max end over (st, en, a_doc)
@@ -870,6 +893,11 @@ def substring_cut_text(
     their position; the doc-keyed anti-join is an equi-join on the doc
     id with a range post-filter (spans per doc are few)."""
     spans = substring_cut_spans(docs, id_col, text_col, min_run, max_postings)
+    # Same compressed-scan rebalance as substring_cut_spans — the
+    # token explode is this function's own heavy map stage.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     tp = docs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(F.col(text_col))).alias("pos0", "tok"),

@@ -21,19 +21,22 @@ from duckdb_distributed_execution_spark.operators.dedup import (
 )
 from duckdb_distributed_execution_spark.queries import load, register
 
-_MIN_RUN = 4  # >= 4 consecutive trigram matches = >= 6 shared tokens
+_MIN_RUN = 4      # legacy knob: min span = _MIN_RUN + 2 tokens
+_K = _MIN_RUN + 2  # seed k-gram length == minimum span length (6)
 
 # Shared oracle CTE chain mirroring substring_cut_spans exactly:
-# positional trigrams -> gram self-join (earlier doc only) -> diagonal
-# gaps-and-islands -> interval merge per doc.
+# positional k-grams (k = minimum span length — see the operator
+# docstring for why seeding with the span-length gram beats
+# trigram-run assembly by a complexity class) -> gram self-join
+# (earlier doc only) -> diagonal gaps-and-islands -> interval merge.
 _SPANS_BODY = f"""
     ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     gp AS (
       SELECT doc_id,
-             unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS pos,
+             unnest(range(1, greatest(len(w) - {_K - 1}, 0) + 1)) AS pos,
              unnest(list_transform(
-               range(1, greatest(len(w) - 2, 0) + 1),
-               i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+               range(1, greatest(len(w) - {_K - 1}, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + {_K - 1}), ' ')))
                AS g
       FROM ws),
     m AS (
@@ -46,9 +49,8 @@ _SPANS_BODY = f"""
                PARTITION BY b_doc, a_doc, diag ORDER BY b_pos) AS grp
       FROM m),
     seg AS (
-      SELECT b_doc, a_doc, MIN(b_pos) AS st, MAX(b_pos) + 2 AS en
-      FROM runs GROUP BY b_doc, a_doc, diag, grp
-      HAVING COUNT(*) >= {_MIN_RUN}),
+      SELECT b_doc, a_doc, MIN(b_pos) AS st, MAX(b_pos) + {_K - 1} AS en
+      FROM runs GROUP BY b_doc, a_doc, diag, grp),
     ord_seg AS (
       SELECT b_doc, a_doc, st, en,
              MAX(en) OVER (PARTITION BY b_doc ORDER BY st, en, a_doc

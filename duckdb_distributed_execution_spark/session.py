@@ -1117,6 +1117,40 @@ class Engine:
         )
         return out
 
+    def cut_substrings(self, table: str, id_col: str = "doc_id",
+                       text_col: str = "text", min_run: int = 4,
+                       max_postings: int | None = None,
+                       spans_only: bool = False) -> DataFrame:
+        """Exact-substring SPAN dedup — the text surgery (Lee et al.
+        suffix-array dedup, join-based): returns the table's docs with
+        every token span that verbatim-duplicates a >= (min_run+2)-token
+        span of an earlier doc cut out (columns: id, n_tokens_orig,
+        n_tokens_kept, text_dedup). ``spans_only=True`` returns the cut
+        list instead — (id, span_start, span_end, n_tokens, src_doc),
+        1-based inclusive token offsets with earliest-source
+        attribution. Eager + stats-recorded. Query twins:
+        dedup_substring_cut / dedup_substring_cut_text
+        (queries/pipeline41.py, both oracle-checked); see
+        operators/dedup.py::substring_cut_spans for the diagonal
+        chaining plan and the 100 TB ``max_postings`` posture."""
+        from duckdb_distributed_execution_spark.operators.dedup import (
+            substring_cut_spans,
+            substring_cut_text,
+        )
+
+        df = self.spark.table(table)
+        fn = substring_cut_spans if spans_only else substring_cut_text
+        with Timer() as t:
+            out = fn(
+                df, id_col, text_col, min_run=min_run,
+                max_postings=max_postings,
+            ).localCheckpoint(eager=True)
+        self.recorder.record(
+            f"CUT_SUBSTRINGS(table={table}, min_run={min_run}, "
+            f"spans_only={spans_only})", out, t.ms,
+        )
+        return out
+
     def decontaminate(self, table: str, bench_table: str | DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, max_hit_rate: float = 0.2) -> DataFrame:

@@ -864,6 +864,37 @@ def test_dedup_facade(engine):
     assert any(s.startswith("DEDUP(method=exact") for s in ops)
 
 
+def test_cut_substrings_facade(engine):
+    """Engine.cut_substrings must equal its oracle-checked query twins
+    (dedup_substring_cut / dedup_substring_cut_text) row-for-row, and
+    record stats."""
+    from duckdb_distributed_execution_spark.queries.pipeline41 import (
+        dedup_substring_cut,
+        dedup_substring_cut_text,
+    )
+
+    engine.register_testdata(SF_SMOKE)
+    spans = engine.cut_substrings("documents", spans_only=True)
+    twin = dedup_substring_cut(engine.spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in spans.collect())
+    exp = sorted(tuple(r) for r in twin.collect())
+    assert got == exp
+
+    cut = engine.cut_substrings("documents")
+    twin2 = dedup_substring_cut_text(engine.spark, SF_SMOKE)
+    got2 = sorted(tuple(r) for r in cut.collect())
+    exp2 = sorted(tuple(r) for r in twin2.collect())
+    assert got2 == exp2
+    # every doc comes back, kept <= orig
+    assert cut.count() == engine.table("documents").count()
+    assert cut.filter(
+        F.col("n_tokens_kept") > F.col("n_tokens_orig")
+    ).count() == 0
+
+    ops = [r.query for r in engine.get_query_history().collect()]
+    assert any(s.startswith("CUT_SUBSTRINGS(") for s in ops)
+
+
 def test_ann_facade(engine):
     """Engine.ann_topk: brute / lsh / ivf against a registered corpus;
     brute is the exact baseline the approximate methods are judged

@@ -211,16 +211,36 @@ def gen_documents(out: str, sf: float) -> None:
                                    int(rng.integers(10, 101)))]
         toks_by_id.append(t)
         texts.append(" ".join(t))
+    langs = pa.array(
+        np.array(LANGS)[rng.choice(len(LANGS), n_docs, p=LANG_W)]
+    )
+    sources = [f"src{i}" for i in rng.integers(0, 20, n_docs)]
     docs = pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
-        "lang": pa.array(
-            np.array(LANGS)[
-                rng.choice(len(LANGS), n_docs, p=LANG_W)]),
-        "source": [f"src{i}" for i in rng.integers(0, 20, n_docs)],
+        "lang": langs,
+        "source": sources,
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     pq.write_table(docs, f"{out}/documents.parquet")
+    # Salted twin for the set-similarity PIPELINE probe (same role as
+    # probe_scale's documents_distinct replica): a per-doc-unique
+    # interleave salt makes every bigram doc-private. The organic
+    # corpus's 31-word vocabulary turns EVERY token into a stop-token,
+    # so prefix filtering is definitionally powerless there — the
+    # candidate set is output/posting-bound, not an algorithm defect
+    # (measured: the unsalted sf1 setsim probe spilled >40 GB; real
+    # corpora have ~1e5+ vocabularies where prefix rarity exists).
+    salted = [
+        t.replace(" ", f" u{i} ") for i, t in enumerate(texts)
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": salted,
+        "lang": langs,
+        "source": sources,
+        "n_chars": pa.array([len(t) for t in salted], pa.int64()),
+    }), f"{out}/documents_distinct.parquet")
 
 
 def gen_embeddings(out: str, sf: float) -> None:

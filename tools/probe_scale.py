@@ -418,10 +418,16 @@ def main() -> None:
                 ),
             )
         if "setsim" in fams:
+            # The salted twin isolates PIPELINE cost (see
+            # build_datasets's documents_distinct comment); an organic
+            # low-vocabulary corpus without it is candidate-bound by
+            # construction — every token is a stop-token to the prefix
+            # filter (measured: unsalted organic sf1 spilled >40 GB).
             fname = (
-                "documents.parquet"
-                if base == SF or args.data_dir
-                else "documents_distinct.parquet"
+                "documents_distinct.parquet"
+                if base != SF
+                and os.path.exists(f"{base}/documents_distinct.parquet")
+                else "documents.parquet"
             )
             d = read_parquet_table(spark, f"{base}/{fname}")
             timed(
