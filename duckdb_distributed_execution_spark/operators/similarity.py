@@ -291,6 +291,17 @@ def cosine_banded_candidates(
     sig = prepared.mapInPandas(
         run, schema=f"__id {id_t}, __blk {blk_t}, __t int, __bk long"
     )
+    # Both self-join sides consume sig; without a persist the matmul
+    # pass (scan + Arrow round-trip) runs twice (the physical plan
+    # shows two MapInPandas nodes). Lazy MEMORY_AND_DISK persist —
+    # narrow (id, blk, table, bucket) rows, n_tables per vector — is
+    # the same convention as minhash_lsh_pairs: no extra up-front
+    # job, lineage survives block loss; the cached blocks live until
+    # session cleanup (documented leak, same as the other dedup
+    # operators' mid-pipeline persists).
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a = sig.select(
         F.col("__id").alias("id_a"), "__blk", "__t", "__bk"
     )
@@ -345,18 +356,26 @@ def cosine_banded_pairs(
     # 100x probe) — beyond broadcastable corpus sizes, shard the
     # verify by block (IVF cell / label) or carry vectors through the
     # bucket join itself (the oracle's sig shape) instead.
+    if verify not in ("fold", "numpy"):
+        raise ValueError(f"verify must be 'fold' or 'numpy': {verify!r}")
+    # The numpy verify computes norms inside the Arrow batch — don't
+    # pay two interpreted fold traversals of the corpus for columns
+    # it would ignore.
+    norm = [l2_norm(F.col(vec_col)).alias("__n")] if verify == "fold" else []
     v = df.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        *norm,
     )
+    na = [F.col("__n").alias("__na")] if verify == "fold" else []
+    nb = [F.col("__n").alias("__nb")] if verify == "fold" else []
     sims = (
         cand.join(
             F.broadcast(
                 v.select(
                     F.col("__vid").alias("id_a"),
                     F.col("__v").alias("__va"),
-                    F.col("__n").alias("__na"),
+                    *na,
                 )
             ),
             on="id_a",
@@ -366,7 +385,7 @@ def cosine_banded_pairs(
                 v.select(
                     F.col("__vid").alias("id_b"),
                     F.col("__v").alias("__vb"),
-                    F.col("__n").alias("__nb"),
+                    *nb,
                 )
             ),
             on="id_b",
@@ -377,8 +396,6 @@ def cosine_banded_pairs(
             sims.select("id_a", "id_b", "__va", "__vb"),
             threshold=threshold,
         )
-    if verify != "fold":
-        raise ValueError(f"verify must be 'fold' or 'numpy': {verify!r}")
     scored = sims.select(
         "id_a",
         "id_b",

@@ -61,7 +61,12 @@ def main() -> None:
             "zorder_clustering",                  # 1-row bounds broadcast
             "text_unigram_logprob",               # 1-row corpus-total broadcast
             "hll_sketch_mergeable",               # 1-row merged-sketch + total
-            "semantic_dedup_seeded",              # 8-seed broadcast × corpus
+            "semantic_dedup_seeded",              # r5: numpy assignment —
+                                                  # kept for older plans
+            "session_duration_quantiles",         # 1-row session-count
+                                                  # broadcast (r5: global
+                                                  # rank routed through
+                                                  # assign_stable_row_ids)
             "contamination_embedding_cosine",     # benchmark-slice broadcast
             "rag_retrieval_topk",                 # 8-centroid broadcast (IVF
                                                   # assign); per-query corpus
