@@ -834,6 +834,13 @@ def substring_cut_spans(
             (F.col("b_pos") - F.col("a_pos")).alias("diag"),
         )
     )
+    return _chain_and_merge_spans(m, k, id_col)
+
+
+def _chain_and_merge_spans(m: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared tail of the substring-cut family: diagonal
+    gaps-and-islands over the (b_doc, b_pos, a_doc, diag) match
+    relation, then per-doc interval merge."""
     wd = Window.partitionBy("b_doc", "a_doc", "diag").orderBy("b_pos")
     runs = m.withColumn(
         "grp", F.col("b_pos") - F.row_number().over(wd)
@@ -877,6 +884,71 @@ def substring_cut_spans(
             F.col("src_doc").cast("long").alias("src_doc"),
         )
     )
+
+
+def substring_cut_spans_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 4,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Delta-mode substring surgery — the production shape (a daily
+    crawl increment deduped against the accumulated corpus): removed
+    spans for NEW docs only, where a span duplicates either ANY
+    corpus doc (always "earlier", regardless of id) or an
+    earlier-by-id new doc. The corpus itself is never re-deduped and
+    never appears on the b-side, so per-increment work is
+    Θ(new grams + matched corpus postings) — delta-sized, like the
+    other incremental operators (Engine.create_incremental_rollup,
+    the dedup registry). Ids must be disjoint across the two frames;
+    when corpus ids are all below new ids this equals the full
+    ``substring_cut_spans`` of the union restricted to new docs
+    (property-pinned in tests). Same k-gram seeding, chaining, and
+    interval merge as the batch form."""
+    k = min_run + 2
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def grams(df: DataFrame) -> DataFrame:
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                positional_word_kgrams(F.col(text_col), k)
+            ).alias("pos0", "g"),
+        ).select("doc", (F.col("pos0") + 1).alias("pos"), "g")
+
+    gp_new = grams(new_docs)
+    gp_a = grams(corpus).withColumn("__old", F.lit(1)).unionByName(
+        gp_new.withColumn("__old", F.lit(0))
+    )
+    if max_postings is not None:
+        ok = (
+            gp_a.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_postings)
+            .select("g")
+        )
+        gp_a = gp_a.join(ok, on="g", how="left_semi")
+        gp_new = gp_new.join(ok, on="g", how="left_semi")
+    a = gp_a.select(
+        F.col("doc").alias("a_doc"), F.col("pos").alias("a_pos"),
+        "g", "__old",
+    )
+    b = gp_new.select(
+        F.col("doc").alias("b_doc"), F.col("pos").alias("b_pos"), "g"
+    )
+    m = (
+        b.join(a, on="g")
+        .filter((F.col("__old") == 1) | (F.col("a_doc") < F.col("b_doc")))
+        .select(
+            "b_doc", "b_pos", "a_doc",
+            (F.col("b_pos") - F.col("a_pos")).alias("diag"),
+        )
+    )
+    return _chain_and_merge_spans(m, k, id_col)
 
 
 def substring_cut_text(

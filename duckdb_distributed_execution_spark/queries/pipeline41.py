@@ -6,7 +6,7 @@ and ``contamination_span_max`` (pipeline16) finds quote spans against
 a benchmark set; neither emits the deduplicated corpus. These two do:
 ``dedup_substring_cut`` reports per-doc removed-span token offsets
 with source-doc attribution (the distributed join-based equivalent of
-Lee et al.'s suffix-array dedup — positional trigram matches chained
+Lee et al.'s suffix-array dedup — positional k-gram matches chained
 along pair diagonals are exact verbatim shared substrings), and
 ``dedup_substring_cut_text`` applies the cut and returns the surgically
 deduplicated corpus. Reference has no text-dedup surface (north-star
@@ -15,8 +15,11 @@ greenfield, BASELINE.json).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from duckdb_distributed_execution_spark.operators.dedup import (
     substring_cut_spans,
+    substring_cut_spans_incremental,
     substring_cut_text,
 )
 from duckdb_distributed_execution_spark.queries import load, register
@@ -84,8 +87,8 @@ def dedup_substring_cut(spark, sf_dir):
     """Per-doc removed-span offsets (1-based inclusive token indices)
     for corpus-internal exact-substring dedup with keep-first
     semantics and earliest-source attribution — the text surgery's
-    cut list. Exact by construction: a run of >= 4 consecutive
-    diagonal trigram matches IS a verbatim >= 6-token shared
+    cut list. Exact by construction: a diagonal k-gram match (k = 6,
+    the minimum span length) IS a verbatim >= 6-token shared
     substring. See operators/dedup.py::substring_cut_spans for the
     plan and the 100 TB posting-cap posture."""
     d = load(spark, sf_dir, "documents")["documents"]
@@ -126,3 +129,66 @@ def dedup_substring_cut_text(spark, sf_dir):
     string."""
     d = load(spark, sf_dir, "documents")["documents"]
     return substring_cut_text(d, "doc_id", "text", min_run=_MIN_RUN)
+
+
+@register(
+    "dedup_substring_cut_incremental",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gp AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - {_K - 1}, 0) + 1)) AS pos,
+             unnest(list_transform(
+               range(1, greatest(len(w) - {_K - 1}, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + {_K - 1}), ' ')))
+               AS g
+      FROM ws),
+    m AS (
+      SELECT b.doc_id AS b_doc, b.pos AS b_pos, a.doc_id AS a_doc,
+             b.pos - a.pos AS diag
+      FROM gp b JOIN gp a
+        ON a.g = b.g AND b.doc_id % 2 = 1
+       AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)),
+    runs AS (
+      SELECT b_doc, a_doc, diag, b_pos,
+             b_pos - ROW_NUMBER() OVER (
+               PARTITION BY b_doc, a_doc, diag ORDER BY b_pos) AS grp
+      FROM m),
+    seg AS (
+      SELECT b_doc, a_doc, MIN(b_pos) AS st, MAX(b_pos) + {_K - 1} AS en
+      FROM runs GROUP BY b_doc, a_doc, diag, grp),
+    ord_seg AS (
+      SELECT b_doc, a_doc, st, en,
+             MAX(en) OVER (PARTITION BY b_doc ORDER BY st, en, a_doc
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prevmax
+      FROM seg),
+    isl AS (
+      SELECT b_doc, a_doc, st, en,
+             SUM(CASE WHEN prevmax IS NULL OR st > prevmax + 1
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY b_doc ORDER BY st, en, a_doc) AS island
+      FROM ord_seg)
+    SELECT b_doc AS doc_id,
+           CAST(MIN(st) AS BIGINT) AS span_start,
+           CAST(MAX(en) AS BIGINT) AS span_end,
+           CAST(MAX(en) - MIN(st) + 1 AS BIGINT) AS n_tokens,
+           CAST(MIN(a_doc) AS BIGINT) AS src_doc
+    FROM isl GROUP BY b_doc, island
+    """,
+)
+def dedup_substring_cut_incremental(spark, sf_dir):
+    """Delta-mode substring surgery: the documents table split into an
+    accumulated corpus (even doc_ids) and a new increment (odd
+    doc_ids); removed spans are computed for the INCREMENT only,
+    against corpus-always-earlier + earlier-by-id-within-increment
+    semantics. Per-increment work is delta-sized — the corpus never
+    re-dedupes (operators/dedup.py::substring_cut_spans_incremental).
+    When corpus ids all precede increment ids this equals the batch
+    form restricted to increment docs (property-pinned in pytest)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return substring_cut_spans_incremental(
+        corpus, new, "doc_id", "text", min_run=_MIN_RUN
+    )

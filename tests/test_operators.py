@@ -713,6 +713,58 @@ def test_substring_cut_planted(spark):
     assert cut[4] == (9, 9, " ".join(d4))
 
 
+def test_substring_cut_short_docs(spark):
+    """Docs shorter than the k-gram seed (min span = min_run + 2
+    tokens) produce no grams and must neither crash nor emit spans —
+    guards the sequence(1, m<1) DESCENDING pitfall in
+    positional_word_kgrams — and identical short docs are untouched
+    (below the span threshold by definition)."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        positional_word_kgrams,
+        substring_cut_spans,
+        substring_cut_text,
+    )
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = docs.select(
+        F.size(positional_word_kgrams(F.col("text"), 6)).alias("n")
+    ).collect()
+    assert all(r.n == 0 for r in grams)
+    assert substring_cut_spans(docs, min_run=4).count() == 0
+    cut = {r.doc_id: r.text_dedup
+           for r in substring_cut_text(docs, min_run=4).collect()}
+    assert cut[1] == "a b c" and cut[2] == "a b c" and cut[3] == "x"
+
+
+def test_substring_cut_incremental_matches_batch(spark):
+    """When every corpus id precedes every increment id, delta-mode
+    substring surgery must EXACTLY equal the batch form of the union
+    restricted to increment docs — the invariant that makes daily
+    increments composable (re-running batch over the growing corpus
+    and running increments forever produce the same removed spans)."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        substring_cut_spans,
+        substring_cut_spans_incremental,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    thr = 250
+    corpus = d.filter(F.col("doc_id") < thr)
+    new = d.filter(F.col("doc_id") >= thr)
+    inc = {
+        tuple(r)
+        for r in substring_cut_spans_incremental(corpus, new).collect()
+    }
+    full = {
+        tuple(r)
+        for r in substring_cut_spans(d).collect()
+        if r.doc_id >= thr
+    }
+    assert inc == full and len(inc) > 0
+
+
 def test_substring_cut_adjacent_spans_merge(spark):
     """Two runs whose intervals touch merge into one span (the
     interval-merge window), and a doc duplicated WHOLE comes back as

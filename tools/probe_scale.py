@@ -478,6 +478,19 @@ def main() -> None:
                 f"multimodal_features @{tag}",
                 lambda m=m: noop(extract_features(m)),
             )
+        if "substring" in fams:
+            # Exact-substring span surgery (round 5): k-gram seeded,
+            # output-bound on organic data (sf1-organic: 7.2 s for
+            # 8,774 spans vs sf0.1's 7.5 s for 271 — flat). NOTE: on
+            # the REPLICA corpora every doc has factor-1 verbatim
+            # clones, so spans (and the match join) grow Θ(factor²)
+            # by construction — probe this family against gen_sf.py's
+            # organic data (--data-dir), not the replicas.
+            d = read_parquet_table(spark, f"{base}/documents.parquet")
+            timed(
+                f"substring_cut @{tag}",
+                lambda d=d: noop(D.substring_cut_spans(d)),
+            )
 
 
 if __name__ == "__main__":
