@@ -965,6 +965,32 @@ def substring_cut_text(
     their position; the doc-keyed anti-join is an equi-join on the doc
     id with a range post-filter (spans per doc are few)."""
     spans = substring_cut_spans(docs, id_col, text_col, min_run, max_postings)
+    return _apply_cut(docs, spans, id_col, text_col)
+
+
+def substring_cut_text_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = 4,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Delta-mode surgery applied: the NEW increment with its removed
+    spans cut out (the corpus passes through untouched and is not
+    returned — append the result to it). Same composability invariant
+    as substring_cut_spans_incremental."""
+    spans = substring_cut_spans_incremental(
+        corpus, new_docs, id_col, text_col, min_run, max_postings
+    )
+    return _apply_cut(new_docs, spans, id_col, text_col)
+
+
+def _apply_cut(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared surgery application: drop tokens covered by any span,
+    re-join the remainder in order."""
     # Same compressed-scan rebalance as substring_cut_spans — the
     # token explode is this function's own heavy map stage.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism

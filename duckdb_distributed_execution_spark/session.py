@@ -1120,7 +1120,8 @@ class Engine:
     def cut_substrings(self, table: str, id_col: str = "doc_id",
                        text_col: str = "text", min_run: int = 4,
                        max_postings: int | None = None,
-                       spans_only: bool = False) -> DataFrame:
+                       spans_only: bool = False,
+                       against: str | DataFrame | None = None) -> DataFrame:
         """Exact-substring SPAN dedup — the text surgery (Lee et al.
         suffix-array dedup, join-based): returns the table's docs with
         every token span that verbatim-duplicates a >= (min_run+2)-token
@@ -1128,26 +1129,49 @@ class Engine:
         n_tokens_kept, text_dedup). ``spans_only=True`` returns the cut
         list instead — (id, span_start, span_end, n_tokens, src_doc),
         1-based inclusive token offsets with earliest-source
-        attribution. Eager + stats-recorded. Query twins:
-        dedup_substring_cut / dedup_substring_cut_text
-        (queries/pipeline41.py, both oracle-checked); see
+        attribution. ``against`` switches to DELTA MODE: ``table`` is
+        a new increment deduped against the accumulated corpus named
+        (or passed) in ``against`` — the corpus is never re-deduped and
+        per-increment work is delta-sized; ids must be disjoint. Eager
+        + stats-recorded. Query twins: dedup_substring_cut /
+        dedup_substring_cut_text / dedup_substring_cut_incremental
+        (queries/pipeline41.py, all oracle-checked); see
         operators/dedup.py::substring_cut_spans for the diagonal
         chaining plan and the 100 TB ``max_postings`` posture."""
         from duckdb_distributed_execution_spark.operators.dedup import (
             substring_cut_spans,
+            substring_cut_spans_incremental,
             substring_cut_text,
+            substring_cut_text_incremental,
         )
 
         df = self.spark.table(table)
-        fn = substring_cut_spans if spans_only else substring_cut_text
         with Timer() as t:
-            out = fn(
-                df, id_col, text_col, min_run=min_run,
-                max_postings=max_postings,
-            ).localCheckpoint(eager=True)
+            if against is not None:
+                corpus = (
+                    self.spark.table(against)
+                    if isinstance(against, str)
+                    else against
+                )
+                fn = (
+                    substring_cut_spans_incremental
+                    if spans_only
+                    else substring_cut_text_incremental
+                )
+                out = fn(
+                    corpus, df, id_col, text_col, min_run=min_run,
+                    max_postings=max_postings,
+                ).localCheckpoint(eager=True)
+            else:
+                fn = substring_cut_spans if spans_only else substring_cut_text
+                out = fn(
+                    df, id_col, text_col, min_run=min_run,
+                    max_postings=max_postings,
+                ).localCheckpoint(eager=True)
+        mode = "delta" if against is not None else "batch"
         self.recorder.record(
             f"CUT_SUBSTRINGS(table={table}, min_run={min_run}, "
-            f"spans_only={spans_only})", out, t.ms,
+            f"spans_only={spans_only}, mode={mode})", out, t.ms,
         )
         return out
 

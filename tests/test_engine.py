@@ -891,8 +891,30 @@ def test_cut_substrings_facade(engine):
         F.col("n_tokens_kept") > F.col("n_tokens_orig")
     ).count() == 0
 
+    # Delta mode: increment (odd ids) deduped against corpus (even
+    # ids) must equal the oracle-checked incremental query twin.
+    from duckdb_distributed_execution_spark.queries.pipeline41 import (
+        dedup_substring_cut_incremental,
+    )
+
+    docs = engine.table("documents")
+    docs.filter(F.col("doc_id") % 2 == 0).createOrReplaceTempView(
+        "docs_corpus"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).createOrReplaceTempView(
+        "docs_increment"
+    )
+    delta = engine.cut_substrings(
+        "docs_increment", spans_only=True, against="docs_corpus"
+    )
+    twin3 = dedup_substring_cut_incremental(engine.spark, SF_SMOKE)
+    assert sorted(tuple(r) for r in delta.collect()) == sorted(
+        tuple(r) for r in twin3.collect()
+    )
+
     ops = [r.query for r in engine.get_query_history().collect()]
     assert any(s.startswith("CUT_SUBSTRINGS(") for s in ops)
+    assert any("mode=delta" in s for s in ops)
 
 
 def test_ann_facade(engine):

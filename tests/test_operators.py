@@ -764,6 +764,22 @@ def test_substring_cut_incremental_matches_batch(spark):
     }
     assert inc == full and len(inc) > 0
 
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        substring_cut_text,
+        substring_cut_text_incremental,
+    )
+
+    inc_t = {
+        tuple(r)
+        for r in substring_cut_text_incremental(corpus, new).collect()
+    }
+    full_t = {
+        tuple(r)
+        for r in substring_cut_text(d).collect()
+        if r.doc_id >= thr
+    }
+    assert inc_t == full_t and len(inc_t) == new.count()
+
 
 def test_substring_cut_adjacent_spans_merge(spark):
     """Two runs whose intervals touch merge into one span (the
