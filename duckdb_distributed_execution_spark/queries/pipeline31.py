@@ -198,11 +198,13 @@ def revenue_bridge_pvm(spark, sf_dir):
              list_reduce(list(xx ORDER BY cohort, k), (a, b) -> a + b) AS sxx
       FROM le)
     SELECT CAST(n AS BIGINT) AS n_points,
-           ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
-             AS decay_rate,
-           ROUND(0.6931471805599453
-                 / ((n * sxy - sx * sy) / (n * sxx - sx * sx) * -1.0), 6)
-             AS half_life_weeks
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) + 0.0
+           END AS decay_rate,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+             ROUND(0.6931471805599453
+                   / ((n * sxy - sx * sy) / (n * sxx - sx * sx) * -1.0), 6)
+           END AS half_life_weeks
     FROM sums
     """,
 )
@@ -272,13 +274,23 @@ def retention_decay_fit(spark, sf_dir):
         _fold("xy").alias("sxy"),
         _fold("xx").alias("sxx"),
     )
-    slope = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # Degenerate fits (the sf0.001 corpus): all points at one k zeroes
+    # the OLS denominator, and a perfectly flat fit zeroes the slope —
+    # both must emit NULL instead of an ANSI divide-by-zero. DuckDB's
+    # double x/0.0 is NULL natively, so only decay_rate's denominator
+    # CASE needs mirroring in the oracle; Spark guards both.
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+    )
+    half_life = F.when(
+        slope != 0, F.lit(0.6931471805599453) / (slope * -1.0)
+    )
     return sums.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(-slope, 6).alias("decay_rate"),
-        F.round(F.lit(0.6931471805599453) / (slope * -1.0), 6).alias(
-            "half_life_weeks"
-        ),
+        # + 0.0 canonicalizes IEEE negative zero (a flat fit rounds
+        # to -0.0 on one engine and 0.0 on the other).
+        (F.round(-slope, 6) + F.lit(0.0)).alias("decay_rate"),
+        F.round(half_life, 6).alias("half_life_weeks"),
     )
