@@ -192,3 +192,90 @@ def dedup_substring_cut_incremental(spark, sf_dir):
     return substring_cut_spans_incremental(
         corpus, new, "doc_id", "text", min_run=_MIN_RUN
     )
+
+
+@register(
+    "domain_quota_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def domain_quota_sample(spark, sf_dir):
+    """Per-domain quota capping — the Common-Crawl-style ingestion
+    rule (at most N documents per source/domain, keep-first by id)
+    that keeps one boilerplate-heavy domain from dominating a
+    training mix. The partition key is LOW-cardinality (~20 sources
+    here; domains in the thousands at 100 TB, each carrying millions
+    of docs), exactly the regime where a plain window funnels a
+    domain through one task — so the rank routes through
+    keyed_row_number (operators/rowid.py, the sampled-range-bucket
+    ROW_NUMBER; measured 63x better than the naive window at the
+    100x probe). Deterministic: (source, doc_id) is a total order."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    ranked = keyed_row_number(
+        d.select("doc_id", "source"), ["source"], ["doc_id"], id_col="rn"
+    )
+    return ranked.filter(F.col("rn") <= 20).select(
+        "doc_id", "source", F.col("rn").cast("long").alias("rn")
+    )
+
+
+@register(
+    "substring_boilerplate_topk",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - {_K - 1}, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + {_K - 1}), ' ')))
+               AS g
+      FROM ws),
+    stats AS (
+      SELECT g, COUNT(*) AS n_postings,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM gp GROUP BY g)
+    SELECT g, n_postings, n_docs
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_postings DESC, g) AS rn
+          FROM stats)
+    WHERE rn <= 15
+    """,
+)
+def substring_boilerplate_topk(spark, sf_dir):
+    """Boilerplate observability for the substring-cut family: the 15
+    most-frequent span-length (6-token) grams with posting and doc
+    counts — the exact relation a 100 TB deployment inspects to set
+    ``max_postings`` (grams above the cap are dropped as span seeds;
+    this query shows what the cap would drop and how fat the postings
+    tail is). Grouped aggregate over the gram explode + a top-k over
+    the (distinct-gram-sized) stats relation."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        positional_word_kgrams,
+    )
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    gp = d.select(
+        "doc_id",
+        F.explode(positional_word_kgrams(F.col("text"), _K)).alias("g"),
+    )
+    stats = gp.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_postings").desc(), "g")
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("g", "n_postings", "n_docs")
+    )
