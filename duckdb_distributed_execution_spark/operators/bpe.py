@@ -215,3 +215,81 @@ def oracle_bpe_sql(
         for k in range(1, iterations + 1)
     )
     return "WITH" + ",".join(parts) + "\n" + union
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLICATION (the inference half: encode a corpus with a trained
+# merge table). The trainer above learns merges; production pipelines
+# apply a FIXED pretrained merge table to count tokens / cost a corpus
+# (the reference has no tokenizer surface — north-star greenfield).
+#
+# Algorithm: Sennrich-ordered application — each merge (a, b) -> ab is
+# applied to exhaustion, in rank order, with leftmost-non-overlapping
+# scans. A word is carried as a separator-delimited token string
+# ("|t|a|b|l|e|"); one merge pass is a single codegen'd
+# replace('|a|b|', '|ab|') — a scan merges the leftmost occurrence and
+# everything non-overlapping to its right, and because a match consumes
+# its trailing separator, a pattern repeated back-to-back needs another
+# pass; `passes` scans reach the scan fixpoint for adjacency runs up
+# to 2^passes. Scan-to-fixpoint equals strict one-occurrence-at-a-time
+# BPE everywhere EXCEPT inside a self-merge run of length >= 5 (merge
+# (a,a) over 'aaaaa'): the scan's leftover singleton lands mid-run
+# ([aa,a,aa]) where strict BPE leaves it last ([aa,aa,a]) — and a
+# chained self-merge ((aa,aa)) can then see different adjacencies.
+# This is exactly the semantics of str.replace-loop tokenizer
+# implementations; natural-language merge tables don't self-merge, so
+# real corpora encode identically (exact sequence equality on the
+# whole corpus vocabulary, plus the divergence example itself, is
+# pinned against a strict Python reference in tests/test_wave42.py).
+# The whole encoder is a static
+# chain of merges*passes built-in replace() calls — fully inside
+# whole-stage codegen, zero Python in the hot path, and identical
+# semantics in the DuckDB oracle (replace() is leftmost-non-overlapping
+# in both engines).
+# ---------------------------------------------------------------------------
+
+
+def bpe_apply_expr(word_col, merges, passes: int = 3, sep: str = "|"):
+    """Column: the BPE token string for a word — ``|t|a|ble|`` — after
+    applying ``merges`` (rank-ordered (a, b) pairs) Sennrich-style.
+    ``sep`` must not occur in the input words."""
+    from pyspark.sql import Column
+
+    c = word_col if isinstance(word_col, Column) else F.col(word_col)
+    s = F.concat(F.lit(sep), F.regexp_replace(c, "(.)", "$1" + sep))
+    for a, b in merges:
+        pat = F.lit(sep + a + sep + b + sep)
+        rep = F.lit(sep + a + b + sep)
+        for _ in range(passes):
+            s = F.replace(s, pat, rep)
+    return s
+
+
+def bpe_token_count_expr(encoded_col, sep: str = "|"):
+    """Token count of a ``bpe_apply_expr`` string: separator count − 1
+    (the empty word encodes to a single separator → 0 tokens)."""
+    from pyspark.sql import Column
+
+    c = encoded_col if isinstance(encoded_col, Column) else F.col(encoded_col)
+    return (
+        F.length(c) - F.length(F.replace(c, F.lit(sep), F.lit(""))) - 1
+    ).cast("long")
+
+
+def oracle_bpe_apply(expr: str, merges, passes: int = 3, sep: str = "|") -> str:
+    """DuckDB mirror of ``bpe_apply_expr`` (same scan semantics)."""
+    s = f"'{sep}' || regexp_replace({expr}, '(.)', '\\1{sep}', 'g')"
+    for a, b in merges:
+        for _ in range(passes):
+            s = f"replace({s}, '{sep}{a}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    return s
+
+
+def oracle_bpe_token_count(expr: str, sep: str = "|") -> str:
+    """DuckDB mirror of ``bpe_token_count_expr`` over an encoded
+    column reference (pass a column NAME, not the whole encoder
+    expression — it is evaluated twice)."""
+    return (
+        f"CAST(length({expr}) - length(replace({expr}, '{sep}', '')) - 1"
+        " AS BIGINT)"
+    )

@@ -160,6 +160,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline39,
         pipeline40,
         pipeline41,
+        pipeline42,
         textstats,
         tpch,
         vectors,
