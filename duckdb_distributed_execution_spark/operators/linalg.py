@@ -1,0 +1,209 @@
+"""Distributed dense linear algebra over embedding columns: the
+covariance/Gram pass and PCA projection — the dimensionality-reduction
+step semantic-dedup / ANN pipelines run before clustering (SemDeDup
+et al. reduce with PCA before k-means; whitening is the same pass).
+
+The 100 TB shape is the classic two-phase Gram computation:
+
+1. **Partial pass** (`_gram_partials` via mapInPandas): each Arrow
+   batch contributes one row of (count, Σx[D], Σxᵢxⱼ[D·D]) — numpy
+   matmul-shaped work, no shuffle, partials are #batches × (D²+D)
+   longs. D is the embedding width (64 here; even D=4096 keeps a
+   partial row at ~128 MB — chunked per 256 rows so the outer-product
+   intermediate stays ~8 MB).
+2. **Combine**: posexplode + grouped SUM — a shuffle over
+   #batches·D² rows, data-size-independent.
+
+Determinism: per-row values and products are quantized to scaled
+longs (floor(v·1e9 + 0.5), round-half-up) BEFORE summation, so the
+sums are exact integers independent of partitioning/accumulation
+order and the DuckDB oracle (same quantization in SQL) hashes
+identically. The downstream covariance arithmetic is written with
+identical operation order on both engines. Quantization scale vs
+corpus size: int64 overflows at ~9.2e18, so 1e9-scaled O(1) products
+hold to ~1e9 rows per partial chain; a 100 TB deployment drops the
+scale to 1e6 or combines hierarchically (the partial relation is
+mergeable by construction).
+
+The eigen step runs on the DRIVER over the D×D matrix — D² floats,
+data-size-independent, exactly the k-means-centroid pattern
+similarity.py already uses; components broadcast back for the
+projection matmul. Reference has no linear-algebra surface
+(north-star greenfield, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1e9
+_CHUNK = 256
+
+
+def _gram_partials(vec_col: str):
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = X.shape[1]
+            sx = np.zeros(d, dtype=np.int64)
+            sxy = np.zeros((d, d), dtype=np.int64)
+            for lo in range(0, X.shape[0], _CHUNK):
+                c = X[lo : lo + _CHUNK]
+                sx += np.floor(c * _SCALE + 0.5).astype(np.int64).sum(axis=0)
+                outer = c[:, :, None] * c[:, None, :]
+                sxy += (
+                    np.floor(outer * _SCALE + 0.5).astype(np.int64).sum(axis=0)
+                )
+            yield pd.DataFrame(
+                {
+                    "n": [int(X.shape[0])],
+                    "sx": [sx.tolist()],
+                    "sxy": [sxy.reshape(-1).tolist()],
+                }
+            )
+
+    return fn
+
+
+def gram_partial_sums(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One row per Arrow batch: (n, Σ⌊x·1e9+.5⌋ [D], flattened
+    Σ⌊xᵢxⱼ·1e9+.5⌋ [D·D] row-major)."""
+    return df.select(vec_col).mapInPandas(
+        _gram_partials(vec_col), schema="n long, sx array<long>, sxy array<long>"
+    )
+
+
+def covariance_entries(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Upper-triangle population covariance entries (dim_i, dim_j, cov)
+    as a DataFrame, 1-based dims, cov = E[xy] − E[x]E[y] computed from
+    the quantized exact sums. ``dim`` defaults to a one-row probe."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    pr = gram_partial_sums(df, vec_col)
+    n = pr.agg(F.sum("n").alias("c"))
+    sx = (
+        pr.select(F.posexplode("sx").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(F.sum("v").alias("sx"))
+    )
+    sxy = (
+        pr.select(F.posexplode("sxy").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("sxy"))
+        .select(
+            (F.floor(F.col("k") / dim)).alias("i0"),
+            (F.col("k") % dim).alias("j0"),
+            "sxy",
+        )
+        .filter(F.col("i0") <= F.col("j0"))
+    )
+    sxa = F.broadcast(sx.select(F.col("i0"), F.col("sx").alias("sxi")))
+    sxb = F.broadcast(
+        sx.select(F.col("i0").alias("j0"), F.col("sx").alias("sxj"))
+    )
+    c = F.col("c").cast("double")
+    cov = (F.col("sxy") / F.lit(_SCALE)) / c - (
+        (F.col("sxi") / F.lit(_SCALE)) / c
+    ) * ((F.col("sxj") / F.lit(_SCALE)) / c)
+    return (
+        sxy.join(sxa, "i0")
+        .join(sxb, "j0")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("i0") + 1).cast("long").alias("dim_i"),
+            (F.col("j0") + 1).cast("long").alias("dim_j"),
+            cov.alias("cov"),
+        )
+    )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[int, np.ndarray]:
+    """Driver-side (n, D×D covariance ndarray) — D² floats collected,
+    data-size-independent."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    rows = covariance_entries(df, vec_col, dim).collect()
+    n = 0
+    m = np.zeros((dim, dim))
+    for r in rows:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        m[i, j] = m[j, i] = r["cov"]
+    n = df.count()
+    return n, m
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", q: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean[D], eigenvalues[q] desc, components[q×D]) from the
+    distributed covariance + driver eigh. Component signs are
+    canonicalized (largest-|coord| entry positive) so results are
+    deterministic across LAPACK builds."""
+    dim = len(df.select(vec_col).head()[0])
+    pr = gram_partial_sums(df, vec_col)
+    tot = pr.select(
+        F.sum("n").alias("c"),
+        F.aggregate(
+            F.collect_list("sx"),
+            F.expr(f"array_repeat(CAST(0 AS LONG), {dim})"),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("sx"),
+    ).head()
+    n, mean = int(tot["c"]), np.array(tot["sx"], dtype=np.float64) / _SCALE / int(tot["c"])
+    _, cov = covariance_matrix(df, vec_col, dim)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:q]
+    comps = vecs[:, order].T
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    return mean, vals[order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q: int = 8,
+    out_col: str = "pca",
+    id_cols: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Center + project every vector onto the top-q principal
+    components: one broadcast (mean, components) + a numpy matmul per
+    Arrow batch — no shuffle, corpus never moves."""
+    mean, _, comps = pca_components(df, vec_col, q)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((mean, comps))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, w = b.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            P = (X - mu) @ w.T
+            out = pdf[list(id_cols)].copy()
+            out[out_col] = list(P.astype(np.float64))
+            yield out
+
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    return df.select(*id_cols, vec_col).mapInPandas(
+        fn, schema=f"{id_schema}, {out_col} array<double>"
+    )

@@ -161,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline40,
         pipeline41,
         pipeline42,
+        pipeline43,
         textstats,
         tpch,
         vectors,
