@@ -162,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline41,
         pipeline42,
         pipeline43,
+        pipeline44,
         textstats,
         tpch,
         vectors,
