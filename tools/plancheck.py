@@ -97,6 +97,12 @@ def main() -> None:
                                                   # (histogram_bins pattern)
             "sampled_topk_quality",               # two 5-row top-k sets +
                                                   # 1-row overlap combine
+            "lm_bigram_perplexity",               # 1-row corpus-total bcast
+                                                  # (text_unigram pattern)
+            "session_concurrency_sweep",          # 1-row peak + n_sessions
+                                                  # scalar broadcasts
+            "embedding_covariance_topvar",        # 1-row n broadcast ×
+                                                  # D²-bounded entries
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
