@@ -163,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline42,
         pipeline43,
         pipeline44,
+        pipeline45,
         textstats,
         tpch,
         vectors,

@@ -34,11 +34,9 @@ from duckdb_distributed_execution_spark.queries import load, register
 _LAMBDA = 0.9  # bigram weight; (1-λ) backs off to the unigram prior
 _SCALE = 1000000000.0  # per-bigram logprob quantization (order-free sums)
 
-
-@register(
-    "lm_bigram_perplexity",
-    oracle=f"""
-    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Oracle CTE chain for the per-doc interpolated-bigram score; shared
+# with the CCNet tercile split (pipeline45).
+PPL_ORACLE_CTES = f"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     tok AS (SELECT unnest(w) AS t FROM ws),
     uni AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY t),
     tot AS (SELECT SUM(cu) AS n FROM uni),
@@ -58,27 +56,19 @@ _SCALE = 1000000000.0  # per-bigram logprob quantization (order-free sums)
       FROM bg JOIN bgc USING (a, b)
               JOIN uni ua ON ua.t = bg.a
               JOIN uni ub ON ub.t = bg.b
-              CROSS JOIN tot)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-(SUM(lpq) / {_SCALE}) / COUNT(*), 4) AS avg_nll,
-           ROUND(exp(-(SUM(lpq) / {_SCALE}) / COUNT(*)), 3) AS ppl
-    FROM sc GROUP BY doc_id
-    """,
-)
-def lm_bigram_perplexity(spark, sf_dir):
-    """Per-document perplexity under an interpolated bigram LM trained
-    on the corpus: p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/N. Both terms
-    are strictly positive for observed tokens, so no extra smoothing
-    floor is needed. Plan: bigram pairs come straight off the token
-    array (zip of two slices — no self-join, no window shuffle); the
-    bigram-count join keys on (a,b) and is left to AQE (the distinct-
-    bigram relation is corpus-sized at 100 TB — a shuffle join — but
-    broadcastable below ~10M bigrams); the unigram and total relations
-    are vocabulary-bounded broadcasts. Per-bigram log-probs are
-    quantized to scaled longs (×1e9) so per-doc sums are
-    order-independent and the cross-engine hash is exact (same
-    convention as text_unigram_logprob)."""
+              CROSS JOIN tot),
+    docppl AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(-(SUM(lpq) / {_SCALE}) / COUNT(*), 4) AS avg_nll,
+             ROUND(exp(-(SUM(lpq) / {_SCALE}) / COUNT(*)), 3) AS ppl
+      FROM sc GROUP BY doc_id)"""
+
+
+def doc_ppl_df(spark, sf_dir):
+    """The per-doc (doc_id, n_bigrams, avg_nll, ppl) relation —
+    shared by lm_bigram_perplexity and the CCNet tercile split
+    (pipeline45); mirrors PPL_ORACLE_CTES.docppl exactly."""
     d = load(spark, sf_dir, "documents")["documents"]
     ws = d.select("doc_id", F.split("text", " ").alias("w"))
     tok = ws.select(F.explode("w").alias("t"))
@@ -119,6 +109,29 @@ def lm_bigram_perplexity(spark, sf_dir):
         F.round(nll, 4).alias("avg_nll"),
         F.round(F.exp(nll), 3).alias("ppl"),
     )
+
+
+@register(
+    "lm_bigram_perplexity",
+    oracle=f"""
+    WITH {PPL_ORACLE_CTES}
+    SELECT doc_id, n_bigrams, avg_nll, ppl FROM docppl
+    """,
+)
+def lm_bigram_perplexity(spark, sf_dir):
+    """Per-document perplexity under an interpolated bigram LM trained
+    on the corpus: p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/N. Both terms
+    are strictly positive for observed tokens, so no extra smoothing
+    floor is needed. Plan: bigram pairs come straight off the token
+    array (zip of two slices — no self-join, no window shuffle); the
+    bigram-count join keys on (a,b) and is left to AQE (the distinct-
+    bigram relation is corpus-sized at 100 TB — a shuffle join — but
+    broadcastable below ~10M bigrams); the unigram and total relations
+    are vocabulary-bounded broadcasts. Per-bigram log-probs are
+    quantized to scaled longs (×1e9) so per-doc sums are
+    order-independent and the cross-engine hash is exact (same
+    convention as text_unigram_logprob)."""
+    return doc_ppl_df(spark, sf_dir)
 
 
 # Rank-ordered pretrained merge table (Sennrich-style application

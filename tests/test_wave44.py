@@ -51,3 +51,25 @@ def test_self_consistency_invariants(spark):
         )
         # majority by definition: votes >= n / #buckets
         assert r["votes"] * 10 >= r["n"]
+
+
+def test_ppl_tercile_buckets_invariants(spark):
+    """CCNet split: per lang, three buckets with sizes differing by
+    at most one, and the perplexity ranges are ordered —
+    max_ppl(head) <= min_ppl(middle) <= ... (rank-cut property)."""
+    from duckdb_distributed_execution_spark.queries.pipeline45 import (
+        ppl_tercile_buckets,
+    )
+
+    rows = ppl_tercile_buckets(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, bks in by_lang.items():
+        assert set(bks) == {0, 1, 2}
+        sizes = [bks[b]["n_docs"] for b in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for b in (0, 1):
+            assert bks[b]["max_ppl"] <= bks[b + 1]["min_ppl"] + 1e-9
+        for b in (0, 1, 2):
+            assert bks[b]["min_ppl"] <= bks[b]["avg_ppl"] <= bks[b]["max_ppl"] + 1e-9
