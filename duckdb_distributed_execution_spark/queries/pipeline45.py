@@ -62,7 +62,13 @@ def ppl_tercile_buckets(spark, sf_dir):
     longs (order-free)."""
     d = load(spark, sf_dir, "documents")["documents"]
     ppl = doc_ppl_df(spark, sf_dir).select("doc_id", "ppl")
-    dl = ppl.join(d.select("doc_id", "lang"), "doc_id")
+    # keyed_row_number makes three passes over its input (boundary
+    # sample, narrow count, final); the LM scoring behind it is the
+    # expensive relation, so materialize the NARROW per-doc scores
+    # once (3 columns × |docs| — far smaller than the corpus) instead
+    # of recomputing the bigram joins per pass (measured 15.4 s → see
+    # README probe row).
+    dl = ppl.join(d.select("doc_id", "lang"), "doc_id").localCheckpoint()
     nl = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     rk = keyed_row_number(
         dl.select("lang", "doc_id", "ppl"), ["lang"], ["ppl", "doc_id"],

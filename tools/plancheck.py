@@ -99,6 +99,8 @@ def main() -> None:
                                                   # 1-row overlap combine
             "lm_bigram_perplexity",               # 1-row corpus-total bcast
                                                   # (text_unigram pattern)
+            "ppl_tercile_buckets",                # same 1-row total bcast
+                                                  # via doc_ppl_df
             "session_concurrency_sweep",          # 1-row peak + n_sessions
                                                   # scalar broadcasts
             "embedding_covariance_topvar",        # 1-row n broadcast ×
