@@ -156,3 +156,60 @@ def oracle_lang_id(expr: str) -> str:
         f"CASE WHEN {swr} >= 0.08 THEN 'en' "
         f"WHEN {mean_len} < 3.5 THEN 'cjk-like' ELSE 'other' END"
     )
+
+
+def bigram_ppl_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+):
+    """Per-document interpolated bigram-LM scores — (id, n_bigrams,
+    avg_nll, ppl) — trained on the corpus itself (CCNet-style quality
+    signal; the oracle mirror lives in queries/pipeline42.py). Plan
+    notes there: slice-zip bigrams (no window), vocabulary-bounded
+    unigram broadcasts, AQE-planned bigram-count join, per-bigram
+    logprobs quantized to scaled longs so sums are order-free."""
+    from pyspark.sql import functions as F
+
+    scale = 1000000000.0
+    ws = df.select(F.col(id_col).alias("__id"),
+                   F.split(text_col, " ").alias("w"))
+    tok = ws.select(F.explode("w").alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    bg = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "__id",
+            F.expr(
+                "explode(transform(slice(w, 2, size(w) - 1),"
+                " (b, i) -> struct(w[i] AS a, b AS b)))"
+            ).alias("p"),
+        )
+        .select("__id", "p.a", "p.b")
+    )
+    bgc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ua = F.broadcast(uni.select(F.col("t").alias("a"), F.col("cu").alias("ca")))
+    ub = F.broadcast(uni.select(F.col("t").alias("b"), F.col("cu").alias("cb")))
+    p = F.lit(lam) * (
+        F.col("cab").cast("double") / F.col("ca").cast("double")
+    ) + F.lit(1.0 - lam) * (
+        F.col("cb").cast("double") / F.col("n").cast("double")
+    )
+    scored = (
+        bg.join(bgc, ["a", "b"])
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__id",
+            F.round(F.log(p) * F.lit(scale)).cast("long").alias("lpq"),
+        )
+    )
+    nll = -(F.sum("lpq") / F.lit(scale)) / F.count(F.lit(1))
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(nll, 4).alias("avg_nll"),
+        F.round(F.exp(nll), 3).alias("ppl"),
+    ).withColumnRenamed("__id", id_col)

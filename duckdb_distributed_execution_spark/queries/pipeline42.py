@@ -67,48 +67,16 @@ PPL_ORACLE_CTES = f"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM do
 
 def doc_ppl_df(spark, sf_dir):
     """The per-doc (doc_id, n_bigrams, avg_nll, ppl) relation —
-    shared by lm_bigram_perplexity and the CCNet tercile split
-    (pipeline45); mirrors PPL_ORACLE_CTES.docppl exactly."""
+    shared by lm_bigram_perplexity, the CCNet tercile split
+    (pipeline45) and Engine.score_quality; mirrors
+    PPL_ORACLE_CTES.docppl exactly (implementation:
+    operators/text.py::bigram_ppl_scores)."""
+    from duckdb_distributed_execution_spark.operators.text import (
+        bigram_ppl_scores,
+    )
+
     d = load(spark, sf_dir, "documents")["documents"]
-    ws = d.select("doc_id", F.split("text", " ").alias("w"))
-    tok = ws.select(F.explode("w").alias("t"))
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
-    tot = uni.agg(F.sum("cu").alias("n"))
-    bg = (
-        ws.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.expr(
-                "explode(transform(slice(w, 2, size(w) - 1),"
-                " (b, i) -> struct(w[i] AS a, b AS b)))"
-            ).alias("p"),
-        )
-        .select("doc_id", "p.a", "p.b")
-    )
-    bgc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    ua = F.broadcast(uni.select(F.col("t").alias("a"), F.col("cu").alias("ca")))
-    ub = F.broadcast(uni.select(F.col("t").alias("b"), F.col("cu").alias("cb")))
-    p = F.lit(_LAMBDA) * (
-        F.col("cab").cast("double") / F.col("ca").cast("double")
-    ) + F.lit(1.0 - _LAMBDA) * (
-        F.col("cb").cast("double") / F.col("n").cast("double")
-    )
-    scored = (
-        bg.join(bgc, ["a", "b"])
-        .join(ua, "a")
-        .join(ub, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.round(F.log(p) * F.lit(_SCALE)).cast("long").alias("lpq"),
-        )
-    )
-    nll = -(F.sum("lpq") / F.lit(_SCALE)) / F.count(F.lit(1))
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(nll, 4).alias("avg_nll"),
-        F.round(F.exp(nll), 3).alias("ppl"),
-    )
+    return bigram_ppl_scores(d, "doc_id", "text", lam=_LAMBDA)
 
 
 @register(

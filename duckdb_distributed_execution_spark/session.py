@@ -1345,6 +1345,69 @@ class Engine:
         )
         return out
 
+    def score_quality(self, table: str, id_col: str = "doc_id",
+                      text_col: str = "text", buckets: int = 0,
+                      by_col: str | None = None) -> DataFrame:
+        """Statistical quality scoring facade: per-document
+        interpolated bigram-LM perplexity (CCNet signal,
+        operators/text.py::bigram_ppl_scores). With ``buckets`` > 1
+        and ``by_col`` (e.g. 'lang'), also assigns each doc its
+        CCNet-style quality bucket — 0 = head (lowest perplexity) —
+        cut by exact rank within each group through the scalable
+        keyed_row_number (groups are the low-card hot-key regime).
+        Eager + stats-recorded. Query twins: lm_bigram_perplexity /
+        ppl_tercile_buckets (oracle-checked; facade equivalence
+        pinned in tests/test_engine.py)."""
+        from duckdb_distributed_execution_spark.operators.rowid import (
+            keyed_row_number,
+        )
+        from duckdb_distributed_execution_spark.operators.text import (
+            bigram_ppl_scores,
+        )
+
+        docs = self.spark.table(table)
+        scores = bigram_ppl_scores(docs, id_col, text_col)
+        if buckets > 1:
+            if by_col is None:
+                raise ValueError("buckets > 1 requires by_col")
+            dl = scores.join(
+                docs.select(id_col, by_col), id_col
+            ).localCheckpoint()
+            nl = dl.groupBy(by_col).agg(F.count(F.lit(1)).alias("__n"))
+            rk = keyed_row_number(
+                dl, [by_col], ["ppl", id_col], id_col="__rn"
+            ).join(F.broadcast(nl), by_col)
+            scores = rk.select(
+                id_col, by_col, "n_bigrams", "avg_nll", "ppl",
+                F.expr(f"CAST(({buckets} * (__rn - 1)) DIV __n AS BIGINT)")
+                .alias("bucket"),
+            )
+        with Timer() as t:
+            out = scores.localCheckpoint(eager=True)
+        self.recorder.record(
+            f"SCORE_QUALITY(table={table}, buckets={buckets})", out, t.ms
+        )
+        return out
+
+    def pca(self, table: str, vec_col: str = "embedding", q: int = 8,
+            id_cols: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+        """PCA projection facade: center + project every vector of a
+        registered table onto the top-q principal components
+        (operators/linalg.py — distributed quantized Gram, driver
+        eigh, broadcast-matmul projection; sign-canonicalized, so
+        results are deterministic). Eager + stats-recorded."""
+        from duckdb_distributed_execution_spark.operators.linalg import (
+            pca_project,
+        )
+
+        df = self.spark.table(table)
+        with Timer() as t:
+            out = pca_project(
+                df, vec_col, q=q, id_cols=id_cols
+            ).localCheckpoint(eager=True)
+        self.recorder.record(f"PCA(table={table}, q={q})", out, t.ms)
+        return out
+
     def copy_from(self, name: str, path: str, fmt: str = "parquet",
                   **options) -> int:
         """COPY name FROM path (FORMAT fmt) — DuckDB's import surface

@@ -169,3 +169,73 @@ def test_attribution_models_conserve_purchases(spark):
     u = _q("attribution_u_shaped")(spark, SF)
     credited = u.agg(F.sum("credited_purchases")).first()[0]
     assert credited == pytest.approx(float(lt_total), abs=1e-3)
+
+
+def test_bigram_and_bpe_word_accounting_agree(spark):
+    """lm_bigram_perplexity counts n-1 bigrams per doc; bpe_apply_fixed
+    counts n words per doc by a different plan (explode + distinct-vocab
+    join vs array-slice zip). n_bigrams == n_words - 1 everywhere."""
+    bg = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in _q("lm_bigram_perplexity")(spark, SF).collect()
+    }
+    words = {
+        r["doc_id"]: r["n_words"]
+        for r in _q("bpe_apply_fixed")(spark, SF).collect()
+    }
+    assert set(bg) == set(words)
+    for doc, nb in bg.items():
+        assert nb == words[doc] - 1
+
+
+def test_tercile_docs_partition_language_counts(spark):
+    """ppl_tercile_buckets' per-lang bucket sizes must sum to the
+    language histogram of the raw documents table (every scored doc
+    lands in exactly one bucket)."""
+    terc = _q("ppl_tercile_buckets")(spark, SF)
+    got = {
+        r["lang"]: r["total"]
+        for r in terc.groupBy("lang")
+        .agg(F.sum("n_docs").alias("total"))
+        .collect()
+    }
+    from duckdb_distributed_execution_spark.queries import load
+
+    docs = load(spark, SF, "documents")["documents"]
+    want = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    assert got == want
+
+
+def test_pass_at_k_and_self_consistency_sample_counts_agree(spark):
+    """Both eval estimators group the same samples by problem through
+    different plans; their per-problem n must agree (pass@k filters
+    n >= 10, so compare on its problems), and pass@k's total samples
+    must equal the raw event count."""
+    pk = {r["problem_id"]: r for r in _q("eval_pass_at_k")(spark, SF).collect()}
+    sc = {
+        r["problem_id"]: r["n"]
+        for r in _q("eval_self_consistency")(spark, SF).collect()
+    }
+    assert set(pk) <= set(sc)
+    for pid, r in pk.items():
+        assert r["n"] == sc[pid]
+    from duckdb_distributed_execution_spark.queries import load
+
+    events = load(spark, SF, "events")["events"]
+    n_small = events.groupBy("user_id").count().filter("count < 10").count()
+    assert len(pk) + n_small == events.select("user_id").distinct().count()
+
+
+def test_concurrency_sweep_agrees_with_sessionizer(spark):
+    """session_concurrency_sweep's session count must equal the
+    sessionize_window_sql rollup's total (same 30-min gap rule, very
+    different plans: sweep-line + distributed prefix sum vs per-user
+    window rollup); the peak is bounded by the distinct-user count
+    (a user can hold only one open session at a time)."""
+    sweep = _q("session_concurrency_sweep")(spark, SF).collect()[0]
+    sess = _q("sessionize_window_sql")(spark, SF)
+    assert sweep["n_sessions"] == sess.agg(F.sum("n_sessions")).first()[0]
+    assert 1 <= sweep["peak_concurrency"] <= sess.count()

@@ -1025,3 +1025,76 @@ def test_retrieve_facade_matches_query_twin(engine, spark):
     assert vec.count() > 0 and vec.agg(F.max("rk")).first()[0] <= 5
     ops = [r.query for r in engine.get_query_history().collect()]
     assert any(s.startswith("RETRIEVE(method=hybrid") for s in ops)
+
+
+def test_score_quality_facade_matches_query_twins(engine, spark):
+    """Engine.score_quality must reproduce lm_bigram_perplexity per
+    doc, and its bucket assignment must aggregate to exactly the
+    oracle-checked ppl_tercile_buckets relation."""
+    from duckdb_distributed_execution_spark.queries.pipeline42 import (
+        lm_bigram_perplexity,
+    )
+    from duckdb_distributed_execution_spark.queries.pipeline45 import (
+        ppl_tercile_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    engine.register_testdata(sf)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in engine.score_quality("documents").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in lm_bigram_perplexity(spark, sf).collect()
+    }
+    assert got == want
+
+    bucketed = engine.score_quality("documents", buckets=3, by_col="lang")
+    agg = {
+        (r["lang"], r["bucket"]): (r["n"], r["s"])
+        for r in bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("ppl") * 1000).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    twin = {
+        (r["lang"], r["bucket"]): (
+            r["n_docs"],
+            int(round(r["avg_ppl"] * 1000 * r["n_docs"])),
+        )
+        for r in ppl_tercile_buckets(spark, sf).collect()
+    }
+    assert set(agg) == set(twin)
+    for k, (n, s) in agg.items():
+        assert twin[k][0] == n
+        assert abs(twin[k][1] - s) <= n  # avg_ppl is rounded to 4dp
+
+
+def test_pca_facade_matches_operator(engine, spark):
+    """Engine.pca equals a direct pca_project call (deterministic:
+    sign-canonicalized components, same q)."""
+    import numpy as np
+
+    from duckdb_distributed_execution_spark.operators.linalg import (
+        pca_project,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    engine.register_testdata(sf)
+    got = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in engine.pca("embeddings", q=4).collect()
+    }
+    want = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in pca_project(
+            spark.read.parquet(f"{sf}/embeddings.parquet"), q=4
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert np.allclose(got[k], want[k], atol=1e-9)
