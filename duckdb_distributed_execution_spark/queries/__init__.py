@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline43,
         pipeline44,
         pipeline45,
+        pipeline46,
         textstats,
         tpch,
         vectors,
