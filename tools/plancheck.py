@@ -105,6 +105,8 @@ def main() -> None:
                                                   # scalar broadcasts
             "embedding_covariance_topvar",        # 1-row n broadcast ×
                                                   # D²-bounded entries
+            "abtest_cuped_adjustment",            # 1-row pooled-θ bcast
+                                                  # × 2-row arm relation
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
