@@ -165,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline44,
         pipeline45,
         pipeline46,
+        pipeline47,
         textstats,
         tpch,
         vectors,

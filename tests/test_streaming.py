@@ -309,3 +309,31 @@ def test_remote_stream_ingest(spark, tmp_path):
     assert got.selectExpr("max(k)").first()[0] == 69
     # no duplicates: each key delivered exactly once
     assert got.select("k").distinct().count() == 70
+
+
+def test_streaming_ppl_screen_matches_batch(spark):
+    """Stream-batch parity for the LM screen: the quarantine stream
+    must contain exactly the docs whose batch perplexity exceeds the
+    corpus's exact-rank p90 (~10% of the corpus)."""
+    from duckdb_distributed_execution_spark.queries.pipeline42 import (
+        lm_bigram_perplexity,
+    )
+    from duckdb_distributed_execution_spark.queries.pipeline47 import (
+        streaming_ppl_screen,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in streaming_ppl_screen(spark, sf).collect()
+    }
+    batch = lm_bigram_perplexity(spark, sf).collect()
+    ranked = sorted(batch, key=lambda r: (r["ppl"], r["doc_id"]))
+    cut = ranked[int(0.9 * (len(ranked) - 1))]["ppl"]
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in batch
+        if r["ppl"] > cut
+    }
+    assert got == want
+    assert 0 < len(got) <= 0.11 * len(batch)
