@@ -166,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline45,
         pipeline46,
         pipeline47,
+        pipeline48,
         textstats,
         tpch,
         vectors,
