@@ -107,6 +107,8 @@ def main() -> None:
                                                   # D²-bounded entries
             "abtest_cuped_adjustment",            # 1-row pooled-θ bcast
                                                   # × 2-row arm relation
+            "abtest_poststratified_ate",          # 1-row total bcast ×
+                                                  # |strata| rows
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
