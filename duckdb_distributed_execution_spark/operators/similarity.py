@@ -976,3 +976,71 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negative_topk_numpy(
+    corpus: DataFrame,
+    anchors: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-NEGATIVE mining for embedding/contrastive training: for
+    each anchor (id, label, vector), the k most-similar corpus vectors
+    with a DIFFERENT label — the near-miss negatives a triplet/InfoNCE
+    batch builder wants. Same plan shape as brute_force_topk_numpy
+    (anchors broadcast, one numpy matmul per Arrow batch, exact
+    per-batch top-k prune, corpus never shuffles) plus a label mask:
+    same-label columns are -inf'd before the per-batch prune, so the
+    prune stays exact under the (sim DESC, id ASC) order."""
+    import numpy as np
+    import pandas as pd
+
+    aids = np.asarray([a[0] for a in anchors], dtype=np.int64)
+    albl = np.asarray([a[1] for a in anchors], dtype=np.int64)
+    A = np.asarray([a[2] for a in anchors], dtype=np.float64)
+    An = np.linalg.norm(A, axis=1)
+    dt = dict(corpus.dtypes)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf[id_col].values
+            lbl = np.asarray(pdf[label_col].values, dtype=np.int64)
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            S = (V @ A.T) / np.outer(np.linalg.norm(V, axis=1), An)
+            mask = lbl[:, None] == albl[None, :]
+            S = np.where(mask, -np.inf, S)
+            out_a, out_n, out_s = [], [], []
+            for j in range(len(aids)):
+                order = np.lexsort((ids, -S[:, j]))[: min(k, n)]
+                keep = order[np.isfinite(S[order, j])]
+                out_a.append(np.full(len(keep), aids[j]))
+                out_n.append(ids[keep])
+                out_s.append(S[keep, j])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_a),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        run,
+        schema=f"anchor_id long, neighbor_id {dt[id_col]}, sim double",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "neighbor_id", "rank",
+            F.round("sim", 4).alias("sim"),
+        )
+    )

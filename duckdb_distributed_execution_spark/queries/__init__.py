@@ -167,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline46,
         pipeline47,
         pipeline48,
+        pipeline49,
         textstats,
         tpch,
         vectors,

@@ -46,3 +46,40 @@ def test_poststratified_ate_identities(spark):
     lo = min(r["effect"] for r in rows)
     hi = max(r["effect"] for r in rows)
     assert lo - 1e-9 <= ate <= hi + 1e-9
+
+
+def test_hard_negatives_match_numpy_ground_truth(spark):
+    """Every mined negative must have a different label from its
+    anchor, and the top-3 must equal a dense numpy recomputation."""
+    import numpy as np
+
+    from duckdb_distributed_execution_spark.queries.pipeline49 import (
+        ann_hard_negative_mining,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    lbl = np.array([r["label"] for r in emb])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in emb])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    labels = {r["vec_id"]: r["label"] for r in emb}
+
+    got = {}
+    for r in ann_hard_negative_mining(spark, sf).collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["sim"])
+        )
+    assert set(got) == set(ids[ids < 8])
+    for aid, rows in got.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3]
+        a = np.where(ids == aid)[0][0]
+        sims = Xn @ Xn[a]
+        sims[lbl == labels[aid]] = -np.inf
+        order = np.lexsort((ids, -sims))[:3]
+        assert [r[1] for r in rows] == list(ids[order])
+        for (_, _, s), j in zip(rows, order):
+            assert abs(s - sims[j]) < 1e-4
+        for _, nid, _ in rows:
+            assert labels[nid] != labels[aid]
