@@ -276,8 +276,7 @@ def fuzz_env(spark, duck):
     return spark, duck
 
 
-@pytest.mark.parametrize("i,sql", _gen_queries())
-def test_fuzz_query_parity(fuzz_env, i, sql):
+def _run_parity(fuzz_env, sql):
     from duckdb_distributed_execution_spark.dialect import transpile
 
     spark, duck = fuzz_env
@@ -293,3 +292,74 @@ def test_fuzz_query_parity(fuzz_env, i, sql):
     sh, _ = table_hash(srows, [c.lower() for c in sdf.columns])
     dh, _ = table_hash(drows, [c.lower() for c in dcols])
     assert sh == dh, f"value mismatch for: {sql}"
+
+
+@pytest.mark.parametrize("i,sql", _gen_queries())
+def test_fuzz_query_parity(fuzz_env, i, sql):
+    _run_parity(fuzz_env, sql)
+
+
+# ---------------------------------------------------------------------------
+# Wave 2 (round-5): scalar-expression parity — the surface the round-5
+# operators lean on (replace() scan chains, quantized ln/exp, modular
+# arithmetic) fuzzed as GROUP-BY-expression queries. Separate seed so
+# the original 180 queries stay byte-identical.
+# ---------------------------------------------------------------------------
+
+N_QUERIES2 = 30
+SEED2 = 20260815
+
+
+def _scalar2(rng: random.Random) -> str:
+    kind = rng.randrange(5)
+    if kind == 0:
+        # nested replace chain (the BPE-encode primitive)
+        a, b = rng.sample(["A", "N", "R", "O", "F"], 2)
+        return (
+            f"replace(replace(l_returnflag || l_linestatus,"
+            f" '{a}', 'xx'), '{b}', 'y')"
+        )
+    if kind == 1:
+        # quantized ln on a positive integer expression (the LM
+        # scoring primitive: identical doubles, order-free longs)
+        m = rng.randrange(7, 97)
+        return (
+            f"CAST(round(ln(CAST(l_orderkey % {m} + 1 AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        )
+    if kind == 2:
+        # quantized exp of a bounded integer ratio
+        m = rng.randrange(3, 9)
+        return (
+            f"CAST(round(exp(CAST(l_linenumber % {m} AS DOUBLE)"
+            f" / {m}.0) * 1000000.0) AS BIGINT)"
+        )
+    if kind == 3:
+        m = rng.randrange(5, 50)
+        return f"(l_orderkey * 7 + l_suppkey * 3) % {m}"
+    return (
+        f"length(replace(l_returnflag || l_linestatus,"
+        f" '{rng.choice(['A', 'N', 'R'])}', ''))"
+    )
+
+
+def _query2(rng: random.Random) -> str:
+    expr = _scalar2(rng)
+    if rng.random() < 0.5:
+        return (
+            f"SELECT {expr} AS k, COUNT(*) AS n FROM lineitem"
+            f"{_where(rng)} GROUP BY 1"
+        )
+    return (
+        f"SELECT l_linenumber, {expr} AS k FROM lineitem{_where(rng)}"
+    )
+
+
+def _gen_queries2():
+    rng = random.Random(SEED2)
+    return [(i, _query2(rng)) for i in range(N_QUERIES2)]
+
+
+@pytest.mark.parametrize("i,sql", _gen_queries2())
+def test_fuzz_scalar_parity(fuzz_env, i, sql):
+    _run_parity(fuzz_env, sql)
