@@ -1236,8 +1236,10 @@ class Engine:
         registered corpus table. Methods: 'brute' (exact — broadcast
         queries, corpus never shuffles), 'lsh' (hyperplane-bucketed
         candidates, exact re-rank), 'ivf' (k-means-cell-routed; pass
-        centroids= or nprobe=). ``queries`` is a DataFrame or the name
-        of a registered table. Eager + stats-recorded."""
+        centroids= or nprobe=), 'hard_negative' (top-k most-similar
+        DIFFERENT-label vectors — contrastive-training negatives;
+        queries must carry a label column). ``queries`` is a DataFrame
+        or the name of a registered table. Eager + stats-recorded."""
         from duckdb_distributed_execution_spark.operators import (
             similarity as S,
         )
@@ -1262,9 +1264,24 @@ class Engine:
                 corpus, q, centroids, id_col=id_col, vec_col=vec_col,
                 k=k, **kwargs
             )
+        elif method == "hard_negative":
+            # Contrastive-training negatives: most-similar vectors
+            # with a DIFFERENT label. queries must carry
+            # (id_col, label_col, vec_col); driver-bounded collect,
+            # then the label-masked exact numpy scan.
+            label_col = kwargs.pop("label_col", "label")
+            anchors = [
+                (r[id_col], r[label_col], [float(x) for x in r[vec_col]])
+                for r in q.select(id_col, label_col, vec_col).collect()
+            ]
+            topk = S.hard_negative_topk_numpy(
+                corpus, anchors, id_col=id_col, vec_col=vec_col,
+                label_col=label_col, k=k,
+            )
         else:
             raise ValueError(
-                f"unknown ann method {method!r}; expected brute, lsh, ivf"
+                f"unknown ann method {method!r}; "
+                "expected brute, lsh, ivf, hard_negative"
             )
         with Timer() as t:
             out = topk.localCheckpoint(eager=True)

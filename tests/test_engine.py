@@ -1098,3 +1098,29 @@ def test_pca_facade_matches_operator(engine, spark):
     assert set(got) == set(want)
     for k in got:
         assert np.allclose(got[k], want[k], atol=1e-9)
+
+
+def test_ann_hard_negative_facade_matches_query_twin(engine, spark):
+    """Engine.ann_topk(method='hard_negative') must reproduce the
+    oracle-checked ann_hard_negative_mining query on the same
+    anchors."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.queries.pipeline49 import (
+        ann_hard_negative_mining,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    engine.register_testdata(sf)
+    anchors = spark.table("embeddings").filter(F.col("vec_id") < 8)
+    got = sorted(
+        (r["anchor_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in engine.ann_topk(
+            "embeddings", anchors, k=3, method="hard_negative"
+        ).collect()
+    )
+    want = sorted(
+        (r["anchor_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ann_hard_negative_mining(spark, sf).collect()
+    )
+    assert got == want

@@ -162,3 +162,28 @@ def test_lm_bigram_perplexity_contract(spark):
         finally:
             Q._LOAD_CACHE.clear()
     assert out[1]["ppl"] < out[2]["ppl"]
+
+
+def test_bpe_apply_randomized_batch(spark):
+    """Seeded randomized sweep: 200 random words over a 3-letter
+    alphabet under a random 6-merge table must encode to exactly the
+    scan-fixpoint reference, in one Spark job."""
+    import random
+
+    rng = random.Random(20260815)
+    alpha = "abc"
+    merges = []
+    toks = list(alpha)
+    for _ in range(6):
+        a, b = rng.choice(toks), rng.choice(toks)
+        merges.append((a, b))
+        toks.append(a + b)
+    merges = tuple(merges)
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 12)))
+        for _ in range(200)
+    ]
+    words = sorted(set(words))
+    got = _encode_with_engine(spark, words, merges)
+    for w in words:
+        assert got[w][0] == _scan_reference(w, merges), (w, merges)
