@@ -207,3 +207,75 @@ def pca_project(
     return df.select(*id_cols, vec_col).mapInPandas(
         fn, schema=f"{id_schema}, {out_col} array<double>"
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+    quant: float = 1e6,
+) -> DataFrame:
+    """k-center greedy (farthest-point) coreset selection — the
+    classic data-curation pick (Sener & Savarese 2018 active-learning
+    coresets): start from the minimum id, then k−1 times add the point
+    farthest (squared L2) from its nearest chosen center.
+
+    Scale shape: the selection is inherently sequential (k bounded,
+    like the BPE trainer's merge loop), but each round is ONE corpus
+    scan — a numpy d² pass against the single new center (broadcast
+    64 floats) folded into the running min-distance relation (narrow:
+    id + one long), localCheckpoint-pinned; the argmax is a bounded
+    driver fetch. Distances are quantized to ⌊d²·1e6+.5⌋ longs BEFORE
+    the argmax so the selection is deterministic cross-engine (a
+    1e-13 summation-order wobble cannot flip a pick; exact quantized
+    ties break by id — mirrored by the unrolled-CTE DuckDB oracle in
+    queries/pipeline50.py). Duplicate points are legal: once every
+    point has distance 0 the argmax degenerates to the minimum id,
+    identically on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    first = df.orderBy(id_col).select(id_col, vec_col).head()
+    cur_id, cur_vec = first[0], np.asarray(first[1], dtype=np.float64)
+    picks = [(0, int(cur_id), 0.0)]
+    dist = None
+    for t in range(1, k):
+        b = spark.sparkContext.broadcast(cur_vec)
+
+        def d2q(batches):
+            c = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                d = ((V - c) ** 2).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id_": pdf[id_col].values,
+                        "dq": np.floor(d * quant + 0.5).astype(np.int64),
+                    }
+                )
+
+        nd = df.select(id_col, vec_col).mapInPandas(
+            d2q, schema="vec_id_ long, dq long"
+        )
+        if dist is None:
+            dist = nd.localCheckpoint()
+        else:
+            dist = (
+                dist.join(nd.withColumnRenamed("dq", "dq2"), "vec_id_")
+                .select("vec_id_", F.least("dq", "dq2").alias("dq"))
+                .localCheckpoint()
+            )
+        top = dist.orderBy(F.col("dq").desc(), "vec_id_").head()
+        cur_id, seldq = int(top[0]), int(top[1])
+        cur_vec = np.asarray(
+            df.filter(F.col(id_col) == cur_id).select(vec_col).head()[0],
+            dtype=np.float64,
+        )
+        picks.append((t, cur_id, seldq / quant))
+    return spark.createDataFrame(
+        picks, f"sel_round long, {id_col} long, dist double"
+    ).select("sel_round", id_col, F.round("dist", 4).alias("dist"))

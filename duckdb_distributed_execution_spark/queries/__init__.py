@@ -168,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline47,
         pipeline48,
         pipeline49,
+        pipeline50,
         textstats,
         tpch,
         vectors,

@@ -83,3 +83,44 @@ def test_hard_negatives_match_numpy_ground_truth(spark):
             assert abs(s - sims[j]) < 1e-4
         for _, nid, _ in rows:
             assert labels[nid] != labels[aid]
+
+
+def test_kcenter_greedy_matches_numpy_and_radius_monotone(spark):
+    """k-center picks must equal a dense numpy greedy recomputation
+    (same quantized-argmax rule), with a non-increasing selection
+    radius and no repeats (while any point remains uncovered)."""
+    import numpy as np
+
+    from duckdb_distributed_execution_spark.queries.pipeline50 import (
+        coreset_kcenter_greedy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in emb])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    picks = []
+    cur = 0  # min id position
+    picks.append((0, int(ids[cur]), 0.0))
+    dq = None
+    for t in range(1, 6):
+        d = ((X - X[cur]) ** 2).sum(axis=1)
+        ndq = np.floor(d * 1e6 + 0.5).astype(np.int64)
+        dq = ndq if dq is None else np.minimum(dq, ndq)
+        cand = np.lexsort((ids, -dq))[0]
+        picks.append((t, int(ids[cand]), dq[cand] / 1e6))
+        cur = cand
+
+    got = sorted(
+        (r["sel_round"], r["vec_id"], r["dist"])
+        for r in coreset_kcenter_greedy(spark, sf).collect()
+    )
+    want = [(t, i, round(d, 4)) for t, i, d in picks]
+    assert got == want
+    radii = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    chosen = [i for _, i, _ in got]
+    assert len(set(chosen)) == len(chosen)
