@@ -120,3 +120,16 @@ def test_pca_components_and_projection(spark, emb_xy):
     # projections of orthogonal components are uncorrelated
     off = np.cov(P, rowvar=False, bias=True) - np.diag(got_var)
     assert np.max(np.abs(off)) < 1e-6
+
+
+def test_pca_trace_identity(spark, emb_xy):
+    """Σ all eigenvalues == trace(cov) == Σ per-dim variances — the
+    spectral mass conservation identity across three independent
+    computations (distributed Gram → eigh; matrix diagonal; raw numpy
+    variances)."""
+    emb, X = emb_xy
+    d = X.shape[1]
+    n, cov = covariance_matrix(emb, "embedding")
+    _, vals, _ = pca_components(emb, "embedding", q=d)
+    assert np.isclose(vals.sum(), np.trace(cov), atol=1e-8)
+    assert np.isclose(np.trace(cov), X.var(axis=0).sum(), atol=1e-5)
