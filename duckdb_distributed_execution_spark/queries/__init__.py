@@ -169,6 +169,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline48,
         pipeline49,
         pipeline50,
+        pipeline51,
         textstats,
         tpch,
         vectors,

@@ -124,3 +124,35 @@ def test_kcenter_greedy_matches_numpy_and_radius_monotone(spark):
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     chosen = [i for _, i, _ in got]
     assert len(set(chosen)) == len(chosen)
+
+
+def test_ingest_funnel_monotone_and_consistent(spark):
+    """Funnel sanity: stage counts are monotonically non-increasing
+    per source; totals reconcile with the standalone stage operators
+    (quota totals = domain_quota_sample rows; exact-dedup total
+    bounded by distinct fingerprints)."""
+    from duckdb_distributed_execution_spark.queries import all_queries
+    from duckdb_distributed_execution_spark.queries.pipeline51 import (
+        ingest_funnel_by_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ingest_funnel_by_source(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_in"] >= r["n_quota"] >= r["n_exact"]
+            >= r["n_quality"] >= r["n_ppl"] >= 0
+        )
+        if r["n_ppl"] == 0:
+            assert r["tokens_kept"] == 0
+        else:
+            assert r["tokens_kept"] > 0
+    quota_total = sum(r["n_quota"] for r in rows)
+    dq = all_queries()["domain_quota_sample"].fn(spark, sf)
+    assert quota_total == dq.count()
+    # the p90 cut keeps ~90% at the corpus level, before the earlier
+    # stages' attrition
+    assert sum(r["n_ppl"] for r in rows) <= 0.95 * sum(
+        r["n_exact"] for r in rows
+    )
