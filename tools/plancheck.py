@@ -101,6 +101,8 @@ def main() -> None:
                                                   # (text_unigram pattern)
             "ppl_tercile_buckets",                # same 1-row total bcast
                                                   # via doc_ppl_df
+            "ingest_funnel_by_source",            # same 1-row total bcast
+                                                  # via doc_ppl_df
             "session_concurrency_sweep",          # 1-row peak + n_sessions
                                                   # scalar broadcasts
             "embedding_covariance_topvar",        # 1-row n broadcast ×
