@@ -170,6 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline49,
         pipeline50,
         pipeline51,
+        pipeline52,
         textstats,
         tpch,
         vectors,

@@ -156,3 +156,30 @@ def test_ingest_funnel_monotone_and_consistent(spark):
     assert sum(r["n_ppl"] for r in rows) <= 0.95 * sum(
         r["n_exact"] for r in rows
     )
+
+
+def test_loso_influence_telescopes(spark):
+    """Leave-one-out algebra: n_s-weighted removal gains telescope —
+    Σ_s (N − n_s)·(loso_s − corpus_mean) == 0 (each doc's deviation
+    counted once with opposite sign), and the sign of removal_gain
+    is opposite to the source's own mean-vs-corpus position."""
+    from duckdb_distributed_execution_spark.queries.pipeline52 import (
+        loso_source_influence,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = loso_source_influence(spark, sf).collect()
+    assert rows
+    n = sum(r["n_docs"] for r in rows)
+    corpus = rows[0]["corpus_mean_quality"]
+    assert all(r["corpus_mean_quality"] == corpus for r in rows)
+    tele = sum(
+        (n - r["n_docs"]) * (r["loso_mean_quality"] - corpus) for r in rows
+    )
+    # each term carries up to 5e-7 of 6-decimal rounding, scaled by
+    # (N − n_s) ≈ N, summed over |sources| terms
+    assert abs(tele) < len(rows) * n * 5e-7
+    for r in rows:
+        assert r["removal_gain"] == pytest.approx(
+            r["loso_mean_quality"] - corpus, abs=3e-6
+        )
