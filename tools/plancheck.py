@@ -103,6 +103,8 @@ def main() -> None:
                                                   # via doc_ppl_df
             "ingest_funnel_by_source",            # same 1-row total bcast
                                                   # via doc_ppl_df
+            "loso_source_influence",              # 1-row corpus-total bcast
+                                                  # × |sources| rows
             "session_concurrency_sweep",          # 1-row peak + n_sessions
                                                   # scalar broadcasts
             "embedding_covariance_topvar",        # 1-row n broadcast ×
