@@ -171,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline50,
         pipeline51,
         pipeline52,
+        pipeline53,
         textstats,
         tpch,
         vectors,

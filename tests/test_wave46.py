@@ -74,3 +74,33 @@ def test_delta_ci_contract(spark):
         )
         # the ratio really is Σvalue/Σevents for the arm's post period
         assert r["n_events"] > 0 and r["n_users"] > 0
+
+
+def test_quantile_effects_match_python_quantiles(spark):
+    """QTE rows must equal a direct Python recomputation of the
+    exact lower quantiles per arm, and quantiles are monotone in p."""
+    from duckdb_distributed_execution_spark.queries.pipeline46 import (
+        _per_user,
+    )
+    from duckdb_distributed_execution_spark.queries.pipeline53 import (
+        abtest_quantile_effects,
+    )
+
+    u = _per_user(spark, SF).collect()
+    by_arm = {0: [], 1: []}
+    for r in u:
+        by_arm[r["arm"]].append((r["y"], r["user_id"]))
+    for arm in by_arm:
+        by_arm[arm].sort()
+    got = {r["pct"]: r for r in abtest_quantile_effects(spark, SF).collect()}
+    assert set(got) == {25, 50, 75, 90}
+    for pct, r in got.items():
+        for arm, col in ((0, "q_arm0"), (1, "q_arm1")):
+            ys = by_arm[arm]
+            want = ys[int(pct / 100.0 * (len(ys) - 1))][0] / 100.0
+            assert r[col] == pytest.approx(want, abs=5e-3)
+        assert r["qte"] == pytest.approx(
+            r["q_arm1"] - r["q_arm0"], abs=2e-2
+        )
+    qs = [got[p]["q_arm0"] for p in (25, 50, 75, 90)]
+    assert qs == sorted(qs)
