@@ -105,6 +105,8 @@ def main() -> None:
                                                   # via doc_ppl_df
             "loso_source_influence",              # 1-row corpus-total bcast
                                                   # × |sources| rows
+            "abtest_quantile_effects",            # 4-row percentile spine
+                                                  # bcast × ranked relation
             "session_concurrency_sweep",          # 1-row peak + n_sessions
                                                   # scalar broadcasts
             "embedding_covariance_topvar",        # 1-row n broadcast ×
