@@ -172,6 +172,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline51,
         pipeline52,
         pipeline53,
+        pipeline54,
         textstats,
         tpch,
         vectors,

@@ -183,3 +183,42 @@ def test_loso_influence_telescopes(spark):
         assert r["removal_gain"] == pytest.approx(
             r["loso_mean_quality"] - corpus, abs=3e-6
         )
+
+
+def test_drift_audit_and_loo_encoding(spark):
+    from duckdb_distributed_execution_spark.queries import load
+    from duckdb_distributed_execution_spark.queries.pipeline54 import (
+        table_drift_audit,
+        target_encode_loo,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["col"]: r for r in table_drift_audit(spark, sf).collect()}
+    assert set(rows) == {
+        "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
+        "o_orderkey",
+    }
+    orders = load(spark, sf, "orders")["orders"]
+    total = orders.count()
+    for r in rows.values():
+        assert r["n_early"] + r["n_late"] == total
+    assert rows["o_orderstatus"]["mean_delta"] is None
+
+    # LOO telescoping: Σ loo over a category == Σ target (each row's
+    # exclusion redistributes exactly); reconstruct from raw data.
+    loo = target_encode_loo(spark, sf).collect()
+    raw = {
+        r["o_orderkey"]: (r["o_orderpriority"], round(r["o_totalprice"] * 100))
+        for r in orders.collect()
+    }
+    by_cat = {}
+    for k, (cat, cents) in raw.items():
+        by_cat.setdefault(cat, []).append(cents)
+    for r in loo:
+        cat, cents = raw[r["o_orderkey"]]
+        ys = by_cat[cat]
+        if len(ys) == 1:
+            assert r["loo_mean_price"] is None
+        else:
+            want = (sum(ys) - cents) / (len(ys) - 1) / 100.0
+            assert r["loo_mean_price"] == pytest.approx(want, abs=6e-5)
