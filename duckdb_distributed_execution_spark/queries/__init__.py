@@ -44,6 +44,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently OVERWRITE an existing query
+        # (and its oracle) — caught once in round 5 when a second
+        # target_encode_loo shadowed pipeline11's. Fail loudly instead.
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} is already registered "
+                f"(by {REGISTRY[name].fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
         return fn
 

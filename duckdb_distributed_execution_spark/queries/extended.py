@@ -1076,7 +1076,7 @@ def funnel_conversion(spark, sf_dir):
 
 
 @register(
-    "cohort_retention",
+    "cohort_retention_week5",
     oracle="""
     WITH first_seen AS (
       SELECT user_id,
@@ -1095,10 +1095,14 @@ def funnel_conversion(spark, sf_dir):
     GROUP BY f.cohort_week, week_offset
     """,
 )
-def cohort_retention(spark, sf_dir):
-    """Cohort retention: users grouped by first-seen week, counted in
-    each of their first 5 activity weeks.  Both sides pre-aggregate to
-    (user, week) grain before joining."""
+def cohort_retention_week5(spark, sf_dir):
+    """Cohort retention (first-5-weeks window, timestamp-grain cohort
+    key): users grouped by first-seen week, counted in each of their
+    first 5 activity weeks. Both sides pre-aggregate to (user, week)
+    grain before joining. Registered as the _week5 variant: the weekly
+    full-horizon twin lives in pipeline14.py — this one silently
+    SHADOWED it for rounds until register() learned to raise on
+    duplicates (round 5)."""
     ev = load(spark, sf_dir, "events")["events"]
     wk = lambda c: F.date_trunc("week", c)  # noqa: E731
     first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))

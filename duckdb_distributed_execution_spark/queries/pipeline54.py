@@ -1,5 +1,4 @@
-"""Fifty-fourth wave — dataset drift audit and leave-one-out target
-encoding.
+"""Fifty-fourth wave — dataset drift audit.
 
 ``table_drift_audit`` is the schema-level data-ops artifact: per
 column, null-rate / distinct-count / mean deltas between an early and
@@ -10,13 +9,11 @@ pass per slice; the column dimension is unpivoted via a UNION of
 column-literal selects, so adding a column is adding a row template,
 not a shuffle.
 
-``target_encode_loo`` is the standard leakage-free categorical
-feature: each row's category encoded as the mean target of OTHER
-rows in its category, (Σ_cat − y_i)/(n_cat − 1) — exact algebra from
-one grouped pass + a broadcast join, the same one-pass trick as
-loso_source_influence. Singleton categories yield NULL (no peers),
-never a division by zero. Reference has neither surface (north-star
-greenfield, BASELINE.json).
+(Leave-one-out target encoding already ships as
+queries/pipeline11.py::target_encode_loo — a first draft here
+duplicated it and was removed; register() now raises on duplicate
+names so an overwrite can never be silent again.) Reference has no
+data-ops surface (north-star greenfield, BASELINE.json).
 """
 
 from __future__ import annotations
@@ -129,46 +126,4 @@ def table_drift_audit(spark, sf_dir):
         ).alias("null_rate_delta"),
         (F.col("dl") - F.col("de")).cast("long").alias("distinct_delta"),
         F.round(F.col("ml") - F.col("me"), 4).alias("mean_delta"),
-    )
-
-
-@register(
-    "target_encode_loo",
-    oracle="""
-    WITH o AS (
-      SELECT o_orderkey, o_orderpriority,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders),
-    g AS (SELECT o_orderpriority, COUNT(*) AS n_cat, SUM(cents) AS s_cat
-          FROM o GROUP BY o_orderpriority)
-    SELECT o.o_orderkey, o.o_orderpriority,
-           CASE WHEN g.n_cat > 1
-                THEN ROUND((CAST(g.s_cat - o.cents AS DOUBLE)
-                            / (g.n_cat - 1)) / 100.0, 4)
-           END AS loo_mean_price
-    FROM o JOIN g USING (o_orderpriority)
-    """,
-)
-def target_encode_loo(spark, sf_dir):
-    """Leave-one-out target encoding of order priority against total
-    price (dollars): each row gets the mean target of its category's
-    OTHER rows — the leakage-free variant of mean encoding. Exact
-    cents algebra from one grouped pass + a category-sized broadcast;
-    singleton categories encode NULL."""
-    o = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    g = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_cat"), F.sum("cents").alias("s_cat")
-    )
-    loo = (
-        (F.col("s_cat") - F.col("cents")).cast("double")
-        / (F.col("n_cat") - 1)
-    ) / F.lit(100.0)
-    return o.join(F.broadcast(g), "o_orderpriority").select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.when(F.col("n_cat") > 1, F.round(loo, 4)).alias("loo_mean_price"),
     )

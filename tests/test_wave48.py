@@ -185,11 +185,10 @@ def test_loso_influence_telescopes(spark):
         )
 
 
-def test_drift_audit_and_loo_encoding(spark):
+def test_drift_audit_slices_partition_table(spark):
     from duckdb_distributed_execution_spark.queries import load
     from duckdb_distributed_execution_spark.queries.pipeline54 import (
         table_drift_audit,
-        target_encode_loo,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -204,21 +203,15 @@ def test_drift_audit_and_loo_encoding(spark):
         assert r["n_early"] + r["n_late"] == total
     assert rows["o_orderstatus"]["mean_delta"] is None
 
-    # LOO telescoping: Σ loo over a category == Σ target (each row's
-    # exclusion redistributes exactly); reconstruct from raw data.
-    loo = target_encode_loo(spark, sf).collect()
-    raw = {
-        r["o_orderkey"]: (r["o_orderpriority"], round(r["o_totalprice"] * 100))
-        for r in orders.collect()
-    }
-    by_cat = {}
-    for k, (cat, cents) in raw.items():
-        by_cat.setdefault(cat, []).append(cents)
-    for r in loo:
-        cat, cents = raw[r["o_orderkey"]]
-        ys = by_cat[cat]
-        if len(ys) == 1:
-            assert r["loo_mean_price"] is None
-        else:
-            want = (sum(ys) - cents) / (len(ys) - 1) / 100.0
-            assert r["loo_mean_price"] == pytest.approx(want, abs=6e-5)
+
+def test_register_rejects_duplicate_names():
+    """A second @register under an existing name must raise, not
+    silently overwrite (the round-5 target_encode_loo incident)."""
+    from duckdb_distributed_execution_spark.queries import (
+        all_queries,
+        register,
+    )
+
+    assert "target_encode_loo" in all_queries()
+    with pytest.raises(ValueError, match="already registered"):
+        register("target_encode_loo")(lambda spark, sf: None)
