@@ -20,10 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+    sf = _parse_sf(sf_dir)
 
     from pyspark.sql import SparkSession
 
@@ -111,6 +108,21 @@ def main() -> None:
             }
         )
     )
+
+
+def _parse_sf(sf_dir: str) -> float:
+    """Scale factor from the data directory name. Accepts an explicit
+    $SPARK_GRAFT_SF_LABEL override, else the first ``sf<number>``
+    anywhere in the basename (``sf0.1``, ``dde_sf1``, ``bench-sf10``)
+    — round-5 verdict: the old exact-prefix parse stamped ``-1.0``
+    on /tmp/dde_sf1 runs."""
+    import re
+
+    label = os.environ.get("SPARK_GRAFT_SF_LABEL")
+    if label:
+        return float(label)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else -1.0
 
 
 def _session_stamp() -> dict:

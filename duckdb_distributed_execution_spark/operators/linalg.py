@@ -128,21 +128,58 @@ def covariance_entries(
     )
 
 
+def gram_totals(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """ONE corpus pass → driver-side exact quantized totals
+    (n, Σ⌊x·1e9+.5⌋ [D] int64, Σ⌊xᵢxⱼ·1e9+.5⌋ [D×D] int64).
+
+    The expensive mapInPandas Gram pass runs exactly once
+    (localCheckpoint pins the #batches×(D²+D) partial relation); the
+    n/sx/sxy reductions then run over the tiny pinned partials. The
+    driver collects D + D² longs — data-size-independent, and no
+    larger than the D×D matrix the eigen step needs anyway."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    pr = gram_partial_sums(df, vec_col).localCheckpoint()
+    n = int(pr.agg(F.sum("n")).head()[0] or 0)
+    sx = np.zeros(dim, dtype=np.int64)
+    for r in (
+        pr.select(F.posexplode("sx").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    ):
+        sx[r["i0"]] = r["s"]
+    sxy = np.zeros(dim * dim, dtype=np.int64)
+    for r in (
+        pr.select(F.posexplode("sxy").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    ):
+        sxy[r["k"]] = r["s"]
+    pr.unpersist()
+    return n, sx, sxy.reshape(dim, dim)
+
+
+def _cov_from_totals(n: int, sx: np.ndarray, sxy: np.ndarray) -> np.ndarray:
+    # Same operation ORDER as covariance_entries' SQL-side formula
+    # ((sxy/S)/n − ((sxi/S)/n)·((sxj/S)/n)) — elementwise IEEE doubles,
+    # so the driver matrix matches the oracle-checked entries bitwise.
+    c = float(n)
+    ex = (sx.astype(np.float64) / _SCALE) / c
+    return (sxy.astype(np.float64) / _SCALE) / c - ex[:, None] * ex[None, :]
+
+
 def covariance_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int | None = None
 ) -> tuple[int, np.ndarray]:
-    """Driver-side (n, D×D covariance ndarray) — D² floats collected,
-    data-size-independent."""
-    if dim is None:
-        dim = len(df.select(vec_col).head()[0])
-    rows = covariance_entries(df, vec_col, dim).collect()
-    n = 0
-    m = np.zeros((dim, dim))
-    for r in rows:
-        i, j = r["dim_i"] - 1, r["dim_j"] - 1
-        m[i, j] = m[j, i] = r["cov"]
-    n = df.count()
-    return n, m
+    """Driver-side (n, D×D covariance ndarray) from ONE Gram pass
+    (ADVICE r5: the old form ran covariance_entries + a separate
+    df.count() — two extra full-corpus scans)."""
+    n, sx, sxy = gram_totals(df, vec_col, dim)
+    return n, _cov_from_totals(n, sx, sxy)
 
 
 def pca_components(
@@ -151,19 +188,12 @@ def pca_components(
     """(mean[D], eigenvalues[q] desc, components[q×D]) from the
     distributed covariance + driver eigh. Component signs are
     canonicalized (largest-|coord| entry positive) so results are
-    deterministic across LAPACK builds."""
-    dim = len(df.select(vec_col).head()[0])
-    pr = gram_partial_sums(df, vec_col)
-    tot = pr.select(
-        F.sum("n").alias("c"),
-        F.aggregate(
-            F.collect_list("sx"),
-            F.expr(f"array_repeat(CAST(0 AS LONG), {dim})"),
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sx"),
-    ).head()
-    n, mean = int(tot["c"]), np.array(tot["sx"], dtype=np.float64) / _SCALE / int(tot["c"])
-    _, cov = covariance_matrix(df, vec_col, dim)
+    deterministic across LAPACK builds. n, mean and covariance all
+    derive from a SINGLE gram_totals corpus pass (ADVICE r5: was
+    2-3 redundant scans)."""
+    n, sx, sxy = gram_totals(df, vec_col)
+    mean = sx.astype(np.float64) / _SCALE / n
+    cov = _cov_from_totals(n, sx, sxy)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:q]
     comps = vecs[:, order].T
@@ -227,12 +257,22 @@ def kcenter_greedy(
     64 floats) folded into the running min-distance relation (narrow:
     id + one long), localCheckpoint-pinned; the argmax is a bounded
     driver fetch. Distances are quantized to ⌊d²·1e6+.5⌋ longs BEFORE
-    the argmax so the selection is deterministic cross-engine (a
-    1e-13 summation-order wobble cannot flip a pick; exact quantized
-    ties break by id — mirrored by the unrolled-CTE DuckDB oracle in
-    queries/pipeline50.py). Duplicate points are legal: once every
-    point has distance 0 the argmax degenerates to the minimum id,
-    identically on both engines."""
+    the argmax; exact quantized ties break by id — mirrored by the
+    unrolled-CTE DuckDB oracle in queries/pipeline50.py.
+
+    Cross-engine determinism contract (ADVICE r5): d² is computed via
+    the SAME dot-product expansion on both sides —
+    dot(e,e) − 2·dot(e,c) + dot(c,c), identical operation order —
+    NOT ((e−c)²).sum, which differs from the expansion in last ulps.
+    Residual risk, stated honestly: numpy and DuckDB may still sum a
+    single dot product in different element orders, so a distance
+    within ~1 ulp of a 0.5·1e-6 quantization boundary could in
+    principle still flip by 1 and change a greedy pick. The
+    quantization makes this a measure-zero boundary event rather than
+    a certainty, and the pinned oracle hash would catch it loudly.
+    Duplicate points are legal: once every point has distance 0 the
+    argmax degenerates to the minimum id, identically on both
+    engines."""
     import numpy as np
     import pandas as pd
 
@@ -246,11 +286,14 @@ def kcenter_greedy(
 
         def d2q(batches):
             c = b.value
+            cc = float(np.dot(c, c))
             for pdf in batches:
                 if not len(pdf):
                     continue
                 V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-                d = ((V - c) ** 2).sum(axis=1)
+                # dot(e,e) − 2·dot(e,c) + dot(c,c), the oracle's exact
+                # expansion and operation order (see docstring).
+                d = np.einsum("ij,ij->i", V, V) - 2.0 * (V @ c) + cc
                 yield pd.DataFrame(
                     {
                         "vec_id_": pdf[id_col].values,

@@ -993,7 +993,12 @@ def hard_negative_topk_numpy(
     (anchors broadcast, one numpy matmul per Arrow batch, exact
     per-batch top-k prune, corpus never shuffles) plus a label mask:
     same-label columns are -inf'd before the per-batch prune, so the
-    prune stays exact under the (sim DESC, id ASC) order."""
+    prune stays exact under the (sim DESC, id ASC) order.
+
+    Zero-norm corpus vectors are DROPPED (cosine undefined → NaN →
+    pruned by the isfinite mask); oracles must mirror the exclusion
+    (e.g. list_dot_product(cv,cv) > 0) because DuckDB sorts NaN as
+    the largest double (ADVICE r5)."""
     import numpy as np
     import pandas as pd
 

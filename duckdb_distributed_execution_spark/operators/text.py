@@ -166,7 +166,9 @@ def bigram_ppl_scores(
 ):
     """Per-document interpolated bigram-LM scores — (id, n_bigrams,
     avg_nll, ppl) — trained on the corpus itself (CCNet-style quality
-    signal; the oracle mirror lives in queries/pipeline42.py). Plan
+    signal; the oracle mirror lives in queries/pipeline42.py).
+    Documents with <2 whitespace tokens have no bigrams and emit NO
+    row (ADVICE r5 — documented, mirrored by the oracle twins). Plan
     notes there: slice-zip bigrams (no window), vocabulary-bounded
     unigram broadcasts, AQE-planned bigram-count join, per-bigram
     logprobs quantized to scaled longs so sums are order-free."""

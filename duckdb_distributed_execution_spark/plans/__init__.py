@@ -1,10 +1,31 @@
 """Physical-plan introspection — the engine's answer to the
 reference's query-plan analyzer (query_plan_analyzer.cpp:21-245),
 used for execution-mode stats and for the performance test suite
-(assert a filter reached the scan, a dim join broadcast, etc.)."""
+(assert a filter reached the scan, a dim join broadcast, exact
+shuffle budgets for the headline queries, etc.).
+
+Two entry points:
+
+- ``summarize(df)`` — STATIC: parses the formatted explain of the
+  unexecuted plan. Shuffle counting understands both renderings:
+  non-AQE plans put the partitioning on the node line
+  (``Exchange hashpartitioning(...)``) while AQE formatted plans
+  render ``Exchange (5)`` with the partitioning on a separate
+  ``Arguments: hashpartitioning(...)`` line (round-5 verdict: the
+  old single-line match made every AQE shuffle count 0). Codegen
+  membership is only annotated statically for NON-adaptive plans
+  (the ``*`` node prefix); an unexecuted AdaptiveSparkPlan carries
+  no codegen info, so ``wholestage_codegen`` is None there.
+- ``summarize_executed(df)`` — RUNTIME: executes the DataFrame's own
+  QueryExecution (``toRdd().count()`` — no driver-side row
+  transfer), then parses the FINAL adaptive plan, giving the honest
+  post-AQE shuffle count and the real whole-stage-codegen stage
+  count (the ``*(N)`` markers).
+"""
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -16,16 +37,61 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+# Shuffle partitionings as they appear (a) on non-AQE node lines /
+# simple-mode plans, (b) on AQE formatted "Arguments:" lines.
+_SHUFFLE_FORMS = (
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "Exchange SinglePartition",
+    "Arguments: hashpartitioning",
+    "Arguments: rangepartitioning",
+    "Arguments: SinglePartition",
+)
+
+
+def _count_shuffles(plan: str) -> int:
+    # The two renderings are mutually exclusive per node (a formatted
+    # detail section never repeats the node-line form), so summing is
+    # safe and covers simple, formatted, AQE and non-AQE strings.
+    return sum(plan.count(f) for f in _SHUFFLE_FORMS)
+
+
+def _count_nodes(plan: str, name: str) -> int:
+    """Count physical nodes named ``name``. Formatted plans print each
+    node TWICE (tree line + a line-START ``(N) name`` detail header) —
+    count detail headers only (subquery sections included; their
+    headers are line-start too); simple/executed strings have no
+    detail sections — count word-boundary node names. The old raw
+    substring count silently doubled every join/exchange figure for
+    formatted plans."""
+    if re.search(r"(?m)^\(\d+\) ", plan):  # formatted explain
+        return len(re.findall(rf"(?m)^\(\d+\) {name}\b", plan))
+    return len(re.findall(rf"\b{name}\b", plan))
+
+
+def _count_exchange_nodes(plan: str) -> tuple[int, int]:
+    """(total exchange nodes, broadcast exchange nodes)."""
+    bc = _count_nodes(plan, "BroadcastExchange")
+    ex = _count_nodes(plan, "Exchange")  # excludes BroadcastExchange
+    return ex + bc, bc
+
+
 @dataclass
 class PlanSummary:
     n_exchanges: int            # all Exchange nodes (incl. broadcast)
     n_shuffle_exchanges: int    # hash/range/single-partition shuffles only
+    n_broadcast_exchanges: int
     n_broadcast_joins: int
     n_sortmerge_joins: int
     n_shuffle_hash_joins: int
     has_pushed_filters: bool
     has_partial_agg: bool
-    wholestage_codegen: bool
+    # True/False when the plan string carries codegen annotations
+    # (non-AQE static plans, executed final plans); None when it
+    # genuinely does not (unexecuted AdaptiveSparkPlan).
+    wholestage_codegen: bool | None
+    n_codegen_stages: int       # distinct *(N) units; 0 when unknown
+    is_adaptive: bool
 
     @property
     def n_joins(self) -> int:
@@ -36,35 +102,61 @@ class PlanSummary:
         )
 
 
-def summarize(df: DataFrame) -> PlanSummary:
-    plan = formatted_plan(df)
-    # In "formatted" explain, whole-stage-codegen membership is the
-    # leading asterisk on a node line ("* Filter (2)"), not the
-    # "WholeStageCodegen" label of "simple" mode.
-    codegen = "WholeStageCodegen" in plan or "\n* " in plan or plan.startswith("* ")
-    n_shuffles = (
-        plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning")
-        + plan.count("Exchange SinglePartition")
-    )
+def _summarize_plan_string(plan: str) -> PlanSummary:
+    is_adaptive = "AdaptiveSparkPlan" in plan
+    # Codegen markers: "*(2) HashAggregate" in simple/executed strings,
+    # leading "* Filter (2)" node lines in non-AQE formatted explain.
+    starred_units = {m.group(1) for m in re.finditer(r"\*\((\d+)\)", plan)}
+    formatted_star = "\n* " in plan or plan.startswith("* ")
+    if starred_units or formatted_star:
+        codegen: bool | None = True
+        n_cg = len(starred_units) if starred_units else 1
+    elif is_adaptive and "== Final Plan ==" not in plan:
+        codegen, n_cg = None, 0  # unexecuted AQE: unknown, not "false"
+    else:
+        codegen, n_cg = False, 0
+    n_ex, n_bc = _count_exchange_nodes(plan)
     return PlanSummary(
-        n_exchanges=plan.count("Exchange"),
-        n_shuffle_exchanges=n_shuffles,
-        n_broadcast_joins=plan.count("BroadcastHashJoin"),
-        n_sortmerge_joins=plan.count("SortMergeJoin"),
-        n_shuffle_hash_joins=plan.count("ShuffledHashJoin"),
+        n_exchanges=n_ex,
+        n_shuffle_exchanges=_count_shuffles(plan),
+        n_broadcast_exchanges=n_bc,
+        n_broadcast_joins=_count_nodes(plan, "BroadcastHashJoin"),
+        n_sortmerge_joins=_count_nodes(plan, "SortMergeJoin"),
+        n_shuffle_hash_joins=_count_nodes(plan, "ShuffledHashJoin"),
         has_pushed_filters="PushedFilters: [" in plan
         and "PushedFilters: []" not in plan,
         has_partial_agg="partial_" in plan or "HashAggregate" in plan,
         wholestage_codegen=codegen,
+        n_codegen_stages=n_cg,
+        is_adaptive=is_adaptive,
     )
+
+
+def summarize(df: DataFrame) -> PlanSummary:
+    return _summarize_plan_string(formatted_plan(df))
+
+
+def summarize_executed(df: DataFrame) -> PlanSummary:
+    """Execute the DataFrame's own QueryExecution and summarize the
+    FINAL adaptive plan — the honest post-AQE shuffle and codegen
+    counts. ``toRdd().count()`` runs the full plan distributed (the
+    count is per-partition row counting, no rows reach the driver) on
+    the SAME QueryExecution, which is what finalizes AQE — a separate
+    action like ``df.count()`` builds a different plan and leaves this
+    one un-finalized."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    plan = qe.executedPlan().toString()
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==";
+    # keep only the final section (the initial one would double-count
+    # every exchange and carries no codegen markers).
+    plan = plan.split("== Initial Plan ==")[0]
+    return _summarize_plan_string(plan)
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names that actually reach the parquet scan (column
     pruning check — ReadSchema in the formatted plan)."""
-    import re
-
     plan = formatted_plan(df)
     cols: list[str] = []
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):

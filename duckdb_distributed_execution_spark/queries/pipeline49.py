@@ -39,7 +39,8 @@ _ORACLE_COSINE = """
          sims AS (
            SELECT anchor_id, neighbor_id,
                   {_ORACLE_COSINE.format(a='av', b='cv')} AS sim
-           FROM a JOIN c ON c.label <> a.albl)
+           FROM a JOIN c ON c.label <> a.albl
+                        AND list_dot_product(cv, cv) > 0)
     SELECT anchor_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
            ROUND(sim, 4) AS sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
@@ -54,7 +55,12 @@ def ann_hard_negative_mining(spark, sf_dir):
     different label). Exact by construction — the label mask is
     applied BEFORE the per-batch prune, so a masked-out same-label
     vector can never displace a real candidate. The corpus never
-    shuffles; the rank window sees anchors × k × n_batches rows."""
+    shuffles; the rank window sees anchors × k × n_batches rows.
+    Zero-norm corpus vectors (cosine undefined → NaN) are excluded on
+    BOTH sides: the engine's isfinite prune drops them, and the oracle
+    carries the matching list_dot_product(cv,cv) > 0 predicate —
+    without it DuckDB sorts NaN as the largest double and a degenerate
+    embedding would rank FIRST (ADVICE r5)."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     anchors = [
         (r["vec_id"], r["label"], [float(x) for x in r["embedding"]])

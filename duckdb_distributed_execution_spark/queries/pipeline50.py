@@ -73,8 +73,11 @@ def coreset_kcenter_greedy(spark, sf_dir):
     """The first 6 k-center greedy picks over the embeddings (squared
     L2), each with the quantized distance at which it was selected —
     a monotonically non-increasing sequence (the classic coreset
-    radius curve; pinned in pytest). Both engines make the SAME
-    sequential decisions because the argmax compares ⌊d²·1e6+.5⌋
-    longs with an id tiebreak."""
+    radius curve; pinned in pytest). Both engines compute d² via the
+    SAME dot-product expansion (dot(e,e) − 2·dot(e,c) + dot(c,c)) and
+    compare ⌊d²·1e6+.5⌋ longs with an id tiebreak, so the sequential
+    decisions agree; the residual (boundary-ulp) risk is documented in
+    operators/linalg.py::kcenter_greedy — it is vanishingly unlikely,
+    not impossible."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     return kcenter_greedy(e, "vec_id", "embedding", k=_K)

@@ -886,26 +886,142 @@ class Engine:
     def drop_not_null(self, name: str, col: str) -> None:
         self._not_null.discard((name, col))
 
+    # -- file-pruned copy-on-write DML (round-5 verdict task 2) --------
+    #
+    # A managed table is a directory of immutable parquet files, so
+    # DELETE/UPDATE need only rewrite the FILES that contain matching
+    # rows. Finding them is one distributed probe scan that groups the
+    # predicate's matches by Spark's `_metadata.file_path` — exact
+    # runtime pruning for ANY predicate (a static zone-map analysis
+    # handles only pushable conjunctions), and the probe itself is
+    # pruned by parquet footer min/max + pushdown where the predicate
+    # allows (optimize_zorder clustering makes that pruning sharp).
+    # The matched-row count falls out of the same single pass, fixing
+    # the old count() + rewrite + count() triple scan.
+
+    def _managed_files(self, name: str) -> list[str]:
+        t = self._tables[name]
+        return sorted(
+            os.path.join(t.path, f)
+            for f in os.listdir(t.path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(t.path, f))
+        )
+
+    def _matched_files(self, name: str, condition: str) -> tuple[list[str], int]:
+        """ONE probe scan → (local paths of the table's parquet files
+        holding rows where ``condition`` is TRUE, total matched rows)."""
+        from urllib.parse import unquote, urlparse
+
+        t = self._tables[name]
+        rows = (
+            self.spark.read.parquet(t.path)
+            .filter(F.expr(condition))
+            .groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        paths = sorted(unquote(urlparse(r["__f"]).path) for r in rows)
+        return paths, sum(r["__n"] for r in rows)
+
+    def _replace_files(self, name: str, op: str, matched: list[str],
+                       replacement: DataFrame) -> None:
+        """Snapshot, then swap ONLY ``matched`` files for the files of
+        ``replacement`` — every other file stays byte-identical on
+        disk (the time-travel snapshot hardlinks them, no copy)."""
+        t = self._tables[name]
+        version = self._snapshot(name, op)
+        tmp = t.path + "__tmp"
+        replacement.write.mode("overwrite").parquet(tmp)
+        for p in matched:
+            os.remove(p)
+        for fn in os.listdir(tmp):
+            if fn.endswith(".parquet"):
+                # part-file names carry fresh UUIDs; the version prefix
+                # guards the (astronomically unlikely) collision with a
+                # kept file and makes rewrite provenance greppable.
+                os.rename(
+                    os.path.join(tmp, fn),
+                    os.path.join(t.path, f"v{version}-{fn}"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._attach_managed(name, t.path)
+
     def delete_from(self, name: str, condition: str) -> int:
         """DELETE FROM name WHERE condition — applies the *true*
         predicate (fixes reference hazard #5: distributed_delete.cpp
         rewrites the predicate as first-column IN (...), which is wrong
-        unless column 1 is a key). Returns rows deleted."""
-        df = self.table(name)
-        before = df.count()
-        remaining = df.filter(~F.expr(condition) | F.expr(condition).isNull())
-        self._rewrite(name, remaining)
-        return before - self.table(name).count()
+        unless column 1 is a key). Returns rows deleted.
+
+        Copy-on-write with FILE PRUNING: one probe scan yields both
+        the deleted-row count and the set of files containing matches;
+        only those files are re-filtered and rewritten, so DELETE cost
+        scales with matched files, not table size (the reference's
+        DELETE — and this engine's until round 6 — was a full-table
+        pass for any predicate; distributed_delete.cpp:27-126)."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError(
+                f"table {name!r} is an external registered table; "
+                "ALTER/DELETE require a managed table"
+            )
+        keep = ~F.expr(condition) | F.expr(condition).isNull()
+        matched, n_deleted = self._matched_files(name, condition)
+        if n_deleted == 0:
+            return 0
+        all_files = self._managed_files(name)
+        if set(matched) >= set(all_files):
+            # every file holds matches — a full rewrite IS the minimum
+            # (and keeps the small-table single-file compaction policy)
+            self._rewrite(name, self.table(name).filter(keep), op="delete")
+            return n_deleted
+        self._replace_files(
+            name, "delete", matched,
+            self.spark.read.parquet(*matched).filter(keep),
+        )
+        return n_deleted
 
     def update_table(self, name: str, set_exprs: dict[str, str],
-                     condition: str = "true") -> None:
-        """UPDATE ... SET ... WHERE — copy-on-write."""
-        df = self.table(name)
-        cond = F.expr(condition)
-        out = df
-        for col, expr in set_exprs.items():
-            out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
-        self._rewrite(name, out)
+                     condition: str = "true") -> int:
+        """UPDATE ... SET ... WHERE — copy-on-write with the same file
+        pruning as delete_from: only files containing condition-TRUE
+        rows are rewritten (non-matching rows in a rewritten file are
+        carried through unchanged). Returns rows updated."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError(
+                f"table {name!r} is an external registered table; "
+                "ALTER/UPDATE require a managed table"
+            )
+
+        dtypes = {f.name: f.dataType for f in self.table(name).schema.fields}
+
+        def apply(df: DataFrame) -> DataFrame:
+            cond = F.expr(condition)
+            out = df
+            for col, expr in set_exprs.items():
+                # cast back to the column's declared type: with file
+                # pruning a type-widening SET would otherwise change
+                # the schema of ONLY the rewritten files
+                out = out.withColumn(
+                    col,
+                    F.when(cond, F.expr(expr))
+                    .otherwise(F.col(col))
+                    .cast(dtypes[col]),
+                )
+            return out
+
+        matched, n_updated = self._matched_files(name, condition)
+        if n_updated == 0:
+            return 0
+        all_files = self._managed_files(name)
+        if set(matched) >= set(all_files):
+            self._rewrite(name, apply(self.table(name)), op="update")
+            return n_updated
+        self._replace_files(
+            name, "update", matched,
+            apply(self.spark.read.parquet(*matched)),
+        )
+        return n_updated
 
     def summarize(self, name: str) -> DataFrame:
         """DuckDB-SUMMARIZE-style profile of a registered table: one
@@ -1251,6 +1367,11 @@ class Engine:
             else queries
         )
         if method == "brute":
+            if kwargs:
+                raise TypeError(
+                    "ann_topk(method='brute') got unexpected "
+                    f"options: {sorted(kwargs)}"
+                )
             topk = S.brute_force_topk(corpus, q, id_col, vec_col, k=k)
         elif method == "lsh":
             topk = S.lsh_topk(corpus, q, id_col, vec_col, k=k, **kwargs)
@@ -1270,6 +1391,15 @@ class Engine:
             # (id_col, label_col, vec_col); driver-bounded collect,
             # then the label-masked exact numpy scan.
             label_col = kwargs.pop("label_col", "label")
+            if kwargs:
+                # brute/lsh/ivf forward **kwargs to their operators,
+                # which reject unknown names; this branch consumes its
+                # only option above, so anything left is a typo (e.g.
+                # nprobe=) that would otherwise pass silently (ADVICE r5).
+                raise TypeError(
+                    "ann_topk(method='hard_negative') got unexpected "
+                    f"options: {sorted(kwargs)}"
+                )
             anchors = [
                 (r[id_col], r[label_col], [float(x) for x in r[vec_col]])
                 for r in q.select(id_col, label_col, vec_col).collect()
@@ -1374,7 +1504,15 @@ class Engine:
         keyed_row_number (groups are the low-card hot-key regime).
         Eager + stats-recorded. Query twins: lm_bigram_perplexity /
         ppl_tercile_buckets (oracle-checked; facade equivalence
-        pinned in tests/test_engine.py)."""
+        pinned in tests/test_engine.py).
+
+        Exclusion (ADVICE r5): documents with fewer than 2
+        whitespace tokens have no bigrams, so they get NO row — they
+        are absent from both the scores and the buckets, exactly as
+        in the oracle twins (which also only emit rows for docs with
+        ≥1 bigram). Callers that must keep such docs should
+        left-join this result back to the corpus and route NULL-ppl
+        rows by policy."""
         from duckdb_distributed_execution_spark.operators.rowid import (
             keyed_row_number,
         )

@@ -735,7 +735,8 @@ def test_time_travel_history_and_restore(engine):
     engine.update_table("tt", {"v": "'z'"}, "id = 2")      # v3: {2,3}
 
     hist = engine.history("tt")
-    assert [h["op"] for h in hist] == ["insert", "insert", "rewrite", "rewrite"]
+    # r6: DELETE/UPDATE label their snapshots by op (file-pruned DML)
+    assert [h["op"] for h in hist] == ["insert", "insert", "delete", "update"]
     assert engine.table_at_version("tt", 0).count() == 0
     assert {r.id for r in engine.table_at_version("tt", 2).collect()} == {1, 2, 3}
     assert {r.id for r in engine.table("tt").collect()} == {2, 3}

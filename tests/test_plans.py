@@ -10,9 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from duckdb_distributed_execution_spark.plans import (
     scan_read_schema,
     summarize,
+    summarize_executed,
 )
 from duckdb_distributed_execution_spark.queries import all_queries
 from tests.conftest import SF_SMOKE
@@ -160,6 +163,58 @@ def test_aqe_skew_join_split(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# Exact compiled shuffle budgets for the headline queries (round-6
+# measurement, AQE-aware counters). EQUALITY, not ≤: a shuffle-count
+# GROWTH is the scale regression this gate exists for, and a decrease
+# means the plan improved and the pin should be consciously updated.
+# (Round-5 verdict: the old counter matched only the non-AQE plan
+# rendering, so every AQE plan reported 0 shuffles and this audit had
+# never actually run.)
+HEADLINE_SHUFFLE_BUDGETS = {
+    "agg_pricing_summary": 1,   # one partial→final agg exchange
+    "join_multi_star": 1,       # dims broadcast; only the fact aggregates
+    "sessionize_window_sql": 1, # one keyed window exchange
+    "dedup_minhash_lsh": 3,     # signature → band bucket → verify
+    "tpch_q9_partsupp": 2,      # dims broadcast; fact agg + synth partsupp
+}
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_SHUFFLE_BUDGETS))
+def test_headline_shuffle_budget(spark, name):
+    df = all_queries()[name].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    assert s.n_shuffle_exchanges == HEADLINE_SHUFFLE_BUDGETS[name], (
+        f"{name}: compiled plan has {s.n_shuffle_exchanges} shuffle "
+        f"exchanges, pinned {HEADLINE_SHUFFLE_BUDGETS[name]} — a growth "
+        "here multiplies directly into 100 TB shuffle volume"
+    )
+
+
+def test_shuffle_counter_sees_aqe_plans(spark):
+    """The regression the round-5 verdict found: agg_pricing_summary
+    visibly contains an Exchange, but under AQE the formatted plan
+    renders it as 'Exchange (5)' + 'Arguments: hashpartitioning(...)'
+    and the old single-line counter reported 0."""
+    df = all_queries()["agg_pricing_summary"].fn(spark, SF_SMOKE)
+    s = summarize(df)
+    assert s.is_adaptive, "expected an AQE-wrapped plan for this test"
+    assert s.n_shuffle_exchanges >= 1
+    # unexecuted AQE plans carry no codegen annotation — honest None,
+    # never a false "no codegen"
+    assert s.wholestage_codegen is None
+
+
+def test_executed_plan_codegen_and_shuffles(spark):
+    """summarize_executed finalizes AQE on the DataFrame's OWN
+    QueryExecution and reads the final plan: real whole-stage-codegen
+    stage count and the post-AQE shuffle count."""
+    df = all_queries()["agg_pricing_summary"].fn(spark, SF_SMOKE)
+    s = summarize_executed(df)
+    assert s.wholestage_codegen is True
+    assert s.n_codegen_stages >= 2, "scan-side and agg-side stages"
+    assert s.n_shuffle_exchanges == 1
 
 
 def test_runtime_bloom_filter_pruning(spark):
