@@ -81,6 +81,11 @@ def main():
              "single-process assumption hides in driver-side state, "
              "broadcasts, or per-task connections (round-4 verdict "
              "task 4). Default: local[--cores].")
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra spark conf k=v (repeatable) — e.g. "
+             "spark.executor.memory=4g for a spark:// standalone "
+             "master whose default 1g executors would OOM")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -90,7 +95,7 @@ def main():
     import __spark_entry__ as entrymod
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spark = (
+    builder = (
         SparkSession.builder.master(args.master or f"local[{args.cores}]")
         .appName("selfcheck")
         # Executors in local-cluster mode are separate JVMs spawning
@@ -105,8 +110,11 @@ def main():
         # 100-entry codegen class cache would Janino-recompile stages
         # constantly (see bench.py).
         .config("spark.sql.codegen.cache.maxEntries", "5000")
-        .getOrCreate()
     )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
