@@ -53,7 +53,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_queries()
-    headline = [name for name, s in sorted(specs.items()) if s.headline]
+    # Default: the headline set. $SPARK_GRAFT_QUERIES (comma-separated
+    # registry names) selects any other cohort — used by the per-family
+    # sf1 A/B (round-5 verdict task 4).
+    sel = os.environ.get("SPARK_GRAFT_QUERIES")
+    if sel:
+        headline = [n.strip() for n in sel.split(",") if n.strip()]
+        unknown = [n for n in headline if n not in specs]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}")
+    else:
+        headline = [name for name, s in sorted(specs.items()) if s.headline]
 
     # Steady-state measurement: one untimed warm pass over the whole
     # set (JIT + codegen class compilation amortize in any real

@@ -32,10 +32,15 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
-    try:
-        sf = float(os.path.basename(args.sf.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+    import re
+
+    # Same sf stamping as bench.py (r5 verdict #2: /tmp/dde_sf1
+    # stamped -1.0 under the old exact-prefix parse).
+    label = os.environ.get("SPARK_GRAFT_SF_LABEL")
+    m = re.search(
+        r"sf(\d+(?:\.\d+)?)", os.path.basename(args.sf.rstrip("/"))
+    )
+    sf = float(label) if label else (float(m.group(1)) if m else -1.0)
 
     import duckdb
 
@@ -50,9 +55,16 @@ def main() -> None:
         )
 
     specs = all_queries()
+    sel = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = (
+        [n.strip() for n in sel.split(",") if n.strip()]
+        if sel
+        else [n for n, s in sorted(specs.items()) if s.headline]
+    )
     out: dict[str, float] = {}
-    for name, s in sorted(specs.items()):
-        if not s.headline or not s.oracle:
+    for name in names:
+        s = specs[name]
+        if not s.oracle:
             continue
         con.execute(s.oracle).fetchall()  # warm (buffer cache, JIT-ish)
         best = min(
