@@ -1054,6 +1054,74 @@ class Engine:
             out = row if out is None else out.unionByName(row)
         return out
 
+    def table_files(self, name: str) -> DataFrame:
+        """Per-file metadata of a managed table: (file, n_rows, bytes,
+        and per-column min/max zone maps from the parquet footers) —
+        the lakehouse metadata surface that explains WHY file-pruned
+        DML (delete_from/update_table) and footer-pruned scans skip a
+        file. Footer reads only — no data pages touched; the result is
+        #files × #columns rows (metadata-scale at any table size).
+        min/max are stringified (heterogeneous types, same convention
+        as summarize())."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for p in self._managed_files(name):
+            md = pq.ParquetFile(p).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cname = col.path_in_schema
+                    if cname not in mins or st.min < mins[cname]:
+                        mins[cname] = st.min
+                    if cname not in maxs or st.max > maxs[cname]:
+                        maxs[cname] = st.max
+            base = (os.path.basename(p), md.num_rows, os.path.getsize(p))
+            cols = sorted(set(mins) | set(maxs))
+            if not cols:
+                rows.append((*base, None, None, None))
+            for c in cols:
+                rows.append(
+                    (*base, c, str(mins.get(c)), str(maxs.get(c)))
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "file STRING, n_rows LONG, bytes LONG, "
+            "column STRING, min_val STRING, max_val STRING",
+        )
+
+    def optimize_compact(self, name: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE <table> (bin-packing compaction): rewrite the
+        files smaller than half the target size into ~target-size
+        files — the maintenance op any long-lived table needs after
+        many small appends/deletes (file-pruned DML deliberately
+        leaves small rewritten files behind; this reclaims the file
+        count). Full-size files are left byte-identical; returns the
+        number of files compacted. Snapshot-versioned like every other
+        mutation."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError("OPTIMIZE requires a managed table")
+        small = [
+            p for p in self._managed_files(name)
+            if os.path.getsize(p) < target_bytes // 2
+        ]
+        if len(small) < 2:
+            return 0
+        total = sum(os.path.getsize(p) for p in small)
+        n_out = max(1, (total + target_bytes - 1) // target_bytes)
+        self._replace_files(
+            name, "compact", small,
+            self.spark.read.parquet(*small).repartition(int(n_out)),
+        )
+        return len(small)
+
     def optimize_zorder(self, name: str, columns: list[str]) -> None:
         """OPTIMIZE <table> ZORDER BY (cols) — rewrite the managed
         table clustered on the Morton key of the given non-negative

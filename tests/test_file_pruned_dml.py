@@ -133,6 +133,33 @@ def test_selective_update_rewrites_only_matching_files(spark, dml_engine):
     assert dict(t.dtypes)["v"] == "string", "schema must not drift per-file"
 
 
+def test_table_files_zone_maps(spark, dml_engine):
+    """table_files exposes per-file footer zone maps — the metadata
+    that explains a file-pruned DELETE's file choice."""
+    eng = dml_engine
+    _make_batched_table(spark, eng, "fp_meta_t")
+    tf = eng.table_files("fp_meta_t").collect()
+    k_rows = [r for r in tf if r["column"] == "k" and r["n_rows"] == 100]
+    assert len(k_rows) == 3
+    ranges = sorted((int(r["min_val"]), int(r["max_val"])) for r in k_rows)
+    assert ranges == [(0, 99), (100, 199), (200, 299)]
+
+
+def test_optimize_compact_bin_packs_small_files(spark, dml_engine):
+    eng = dml_engine
+    _make_batched_table(spark, eng, "fp_cpt_t")
+    before = eng.table("fp_cpt_t").groupBy().sum("k").collect()[0][0]
+    n_files_before = len(eng._managed_files("fp_cpt_t"))
+    compacted = eng.optimize_compact("fp_cpt_t")
+    assert compacted == n_files_before
+    assert len(eng._managed_files("fp_cpt_t")) < n_files_before
+    t = eng.table("fp_cpt_t")
+    assert t.count() == 300
+    assert t.groupBy().sum("k").collect()[0][0] == before
+    # compaction is versioned like any mutation
+    assert eng.history("fp_cpt_t")[-1]["op"] == "compact"
+
+
 def test_update_type_is_cast_back(spark, dml_engine):
     """A widening SET expression must not change the schema of only
     the rewritten files."""
