@@ -59,24 +59,38 @@ def disc_percentiles_by_group(
     hist = hist.withColumn("cum", F.sum("c").over(cumw)).withColumn(
         "cum_before", F.col("cum") - F.col("c")
     )
-    # One (group, percentile, bucket, residual) row per requested p.
-    targets = None
-    for name, p in ps:
-        t = (
-            hist.join(F.broadcast(n), "g")
-            .withColumn("r", F.ceil(F.lit(p) * F.col("n")))
-            .filter(
-                (F.col("cum") >= F.col("r"))
-                & (F.col("cum_before") < F.col("r"))
-            )
-            .select(
-                "g",
-                F.lit(name).alias("p_name"),
-                "b",
-                (F.col("r") - F.col("cum_before")).alias("residual"),
-            )
+    # One (group, percentile, bucket, residual) row per requested p,
+    # via a broadcast |ps|-row percentile spine — NOT a unionAll
+    # branch per percentile (round 6: the old per-p loop re-planned
+    # the hist/cum subtree |ps| times, e.g. 30 compiled shuffles for
+    # the 9-cut decile user reward_calibration_bins; one spine join
+    # keeps the plan size independent of the percentile count).
+    # The spine attach plans as a BroadcastNestedLoopJoin (a constant
+    # equi-key would just constant-fold back to one); that is the
+    # documented bounded-broadcast pattern — |ps| rows against the
+    # BUCKET-HISTOGRAM relation (thousands of rows), never the corpus.
+    # Callers are allowlisted in tools/plancheck.py as
+    # "quantile-spine".
+    spine = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(name, float(p)) for name, p in ps], "p_name STRING, p DOUBLE"
         )
-        targets = t if targets is None else targets.unionAll(t)
+    )
+    targets = (
+        hist.join(F.broadcast(n), "g")
+        .crossJoin(spine)
+        .withColumn("r", F.ceil(F.col("p") * F.col("n")))
+        .filter(
+            (F.col("cum") >= F.col("r"))
+            & (F.col("cum_before") < F.col("r"))
+        )
+        .select(
+            "g",
+            "p_name",
+            "b",
+            (F.col("r") - F.col("cum_before")).alias("residual"),
+        )
+    )
     # Refine: rows of the matching bucket only (broadcast the tiny
     # (group × percentile) target set onto the base relation).
     in_bucket = base.join(F.broadcast(targets), on=["g", "b"])

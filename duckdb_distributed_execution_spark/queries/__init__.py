@@ -181,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline52,
         pipeline53,
         pipeline54,
+        pipeline55,
         textstats,
         tpch,
         vectors,

@@ -158,6 +158,14 @@ def main() -> None:
                                                   # × 2-row arm relation
             "abtest_poststratified_ate",          # 1-row total bcast ×
                                                   # |strata| rows
+            # quantile-spine (r6): disc_percentiles_by_group attaches
+            # its |ps|-row percentile spine to the BUCKET-HISTOGRAM
+            # relation (thousands of rows, never the corpus) —
+            # operators/quantiles.py
+            "winsorize_clamp",
+            "histogram_equidepth",
+            "preference_margin_quantiles",
+            "reward_calibration_bins",
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
