@@ -133,6 +133,24 @@ def oracle_exact_avg_rounded(expr: str) -> str:
 # Vector ops (array<float|double> columns)
 # ---------------------------------------------------------------------------
 
+def ensure_min_parallelism(df):
+    """Repartition ``df`` up to the cluster's default parallelism when
+    its plan would otherwise run on fewer tasks (a single-row-group
+    parquet file yields 1-2 input splits regardless of
+    maxPartitionBytes, serializing any CPU-heavy stage pinned to the
+    scan — interpreted higher-order folds, explode+partial-agg
+    tokenization, Arrow/python stages). No-op when the input is
+    already well-partitioned, so at production scale (many files/row
+    groups) this never adds a shuffle; at toy/badly-compacted scale it
+    trades one narrow-row shuffle for N-way compute. Call it on the
+    NARROW projected relation feeding the heavy stage, not the raw
+    table, so the shuffle moves minimal bytes."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Sequential left-to-right double fold of elementwise products.
 

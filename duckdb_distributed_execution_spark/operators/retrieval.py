@@ -41,11 +41,22 @@ def tfidf_rank(
         tokens,
     )
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    # run the tokenize/explode corpus stage N-wide even off a
+    # single-row-group input (r6; see ensure_min_parallelism)
+    tok = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.explode(tokens(normalize_text(text_col))).alias("term"),
     )
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # pinned: tf feeds the dfreq BROADCAST branch and the scoring
+    # join, and broadcast subtrees don't share exchange reuse — the
+    # corpus tokenize ran once per consumer before (measured r6)
     tf = (
         tok.join(
             F.broadcast(query_terms.select("term").distinct()),
@@ -54,6 +65,7 @@ def tfidf_rank(
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -106,7 +118,13 @@ def cosine_rank(
     qv = qv.select(
         "query_id", "qid", "qv", l2_norm(F.col("qv")).alias("qn")
     ).alias("q")
-    c = corpus.alias("c")
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    # per-pair interpreted dot folds run at the corpus scan's
+    # parallelism (r6; see ensure_min_parallelism)
+    c = ensure_min_parallelism(corpus).alias("c")
     sims = c.join(
         F.broadcast(qv),
         F.col("q.qid").isNull() | (F.col(f"c.{id_col}") != F.col("q.qid")),

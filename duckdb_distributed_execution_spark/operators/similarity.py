@@ -76,21 +76,45 @@ def ivf_assign(
     centroid (argmin squared-L2, centroid id as tie-break). Centroids
     broadcast; the corpus never shuffles except the tiny argmin
     window keyed by vector id. Returns (id, cid, dist)."""
+    # r6 plan surgery, arithmetic-preserving: (1) the self-dots of
+    # sq_l2's expansion are hoisted — ⟨v,v⟩ once per corpus ROW and
+    # ⟨c,c⟩ once per centroid instead of once per (row, centroid)
+    # PAIR, cutting the interpreted fold count 3× (the combine keeps
+    # sq_l2's exact operation order, so the doubles are bit-identical
+    # to before and to the oracle); (2) the argmin is a partial-agg
+    # MIN over (dist, cid) structs — struct ordering IS the window's
+    # (dist ASC, cid ASC) — so the full-corpus sort window (and its
+    # row-level shuffle) becomes a map-side-combined aggregate.
     c = centroids.select(
-        F.col(cid_col).alias("__cid"), F.col(vec_col).alias("__cv")
+        F.col(cid_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__cc"),
     )
-    v = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-    dists = v.join(F.broadcast(c)).select(
-        "__vid", "__cid", sq_l2(F.col("__v"), F.col("__cv")).alias("dist")
+    v = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__vv"),
     )
-    w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("__cid"))
+    # interpreted folds run at the SCAN's parallelism; a 1-2 task
+    # single-row-group input serializes the corpus×centroids pass —
+    # ensure_min_parallelism restores it (no-op when already parallel)
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    v = ensure_min_parallelism(v)
+    dist = (
+        F.col("__vv") - F.lit(2.0) * dot_product(F.col("__v"), F.col("__cv"))
+    ) + F.col("__cc")
     return (
-        dists.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        v.join(F.broadcast(c))
+        .select("__vid", F.struct(dist.alias("dist"), F.col("__cid")).alias("__s"))
+        .groupBy("__vid")
+        .agg(F.min("__s").alias("__m"))
         .select(
             F.col("__vid").alias(id_col),
-            F.col("__cid").alias(cid_col),
-            "dist",
+            F.col("__m.__cid").alias(cid_col),
+            F.col("__m.dist").alias("dist"),
         )
     )
 
@@ -109,13 +133,23 @@ def ivf_assign_n(
     searching the runner-up cells recovers most of the recall lost to
     quantization at the cost of nprobe× candidates, still ≪ brute
     force."""
+    # same hoisted expansion as ivf_assign (bit-identical doubles);
+    # the window stays — nprobe > 1 needs ranked rows, and this runs
+    # on the QUERY side (bounded), never the corpus
     c = centroids.select(
-        F.col(cid_col).alias("__cid"), F.col(vec_col).alias("__cv")
+        F.col(cid_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__cc"),
     )
-    v = vecs.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-    dists = v.join(F.broadcast(c)).select(
-        "__vid", "__cid", sq_l2(F.col("__v"), F.col("__cv")).alias("dist")
+    v = vecs.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__vv"),
     )
+    pdist = (
+        F.col("__vv") - F.lit(2.0) * dot_product(F.col("__v"), F.col("__cv"))
+    ) + F.col("__cc")
+    dists = v.join(F.broadcast(c)).select("__vid", "__cid", pdist.alias("dist"))
     w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("__cid"))
     return (
         dists.withColumn("__rn", F.row_number().over(w))
@@ -891,8 +925,15 @@ def pq_subvectors(
     """Explode each vector into its ``m`` contiguous ``dsub``-dim
     subvectors: (id, sub, sv). Narrow rows — ``m`` per vector, each
     carrying only a ``dsub``-dim slice."""
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
     spark = df.sparkSession
     subs = spark.range(m).select(F.col("id").cast("int").alias("sub"))
+    # downstream encode/LUT folds are Θ(rows·m·k) interpreted work
+    # pinned to this relation's parallelism (r6)
+    df = ensure_min_parallelism(df)
     return df.crossJoin(F.broadcast(subs)).select(
         F.col(id_col).alias("__id"),
         "sub",

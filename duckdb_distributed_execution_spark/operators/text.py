@@ -177,6 +177,17 @@ def bigram_ppl_scores(
     scale = 1000000000.0
     ws = df.select(F.col(id_col).alias("__id"),
                    F.split(text_col, " ").alias("w"))
+    # The tokenize/explode/partial-agg stages inherit the SCAN's
+    # partitioning; a single-row-group parquet file maps to 1-2 tasks
+    # and serializes the corpus-heavy LM counting on 2 of N cores
+    # (measured r6: the sf1 ingest funnel spent most of its 20 s
+    # here). ensure_min_parallelism restores N-way compute; no-op on
+    # well-partitioned inputs.
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    ws = ensure_min_parallelism(ws)
     tok = ws.select(F.explode("w").alias("t"))
     uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
     tot = uni.agg(F.sum("cu").alias("n"))

@@ -755,7 +755,11 @@ def rag_retrieval_topk(spark, sf_dir):
     pipeline in SQL, so cell assignment, in-cell ranking and the
     metadata join are all cross-engine-checked — nothing rests on
     ANN recall luck."""
-    from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+    from duckdb_distributed_execution_spark.functions import (
+        dot_product,
+        ensure_min_parallelism,
+        l2_norm,
+    )
     from duckdb_distributed_execution_spark.operators.similarity import ivf_assign
 
     t = load(spark, sf_dir, "embeddings", "documents")
@@ -765,9 +769,14 @@ def rag_retrieval_topk(spark, sf_dir):
     )
     corpus = e.filter(F.col("vec_id") >= 8)
     cells = ivf_assign(corpus, cents).select("vec_id", "cid")
-    member = corpus.join(cells, on="vec_id").select(
-        "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("n")
-    )
+    # pinned: member feeds the broadcast query branch AND the scoring
+    # join — unpinned, the whole ivf_assign chain re-ran per consumer
+    # (r6; broadcast subtrees don't share exchange reuse)
+    member = ensure_min_parallelism(
+        corpus.join(cells, on="vec_id").select(
+            "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("n")
+        )
+    ).localCheckpoint()
     q = member.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("qid"),
         "cid",

@@ -152,7 +152,14 @@ def rag_hybrid_rrf(spark, sf_dir):
     qvec = spark.createDataFrame(
         [(qid, v) for qid, _, _, v in _RRF_QUERIES], "query_id STRING, qid LONG"
     )
-    tok = d.select(
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    # N-wide tokenize + one pinned postings pass (tf feeds the dfreq
+    # broadcast AND the scoring join; broadcast subtrees don't share
+    # exchange reuse — r6, same fix as bm25_retrieval_topk)
+    tok = ensure_min_parallelism(d.select("doc_id", "text")).select(
         "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
     )
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -160,6 +167,7 @@ def rag_hybrid_rrf(spark, sf_dir):
         tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     lexscore = (
@@ -190,12 +198,19 @@ def rag_hybrid_rrf(spark, sf_dir):
         e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
         on="qid",
     ).select("query_id", "qid", "qv", l2_norm(F.col("qv")).alias("qn"))
-    sims = e.join(F.broadcast(qv), F.col("vec_id") != F.col("qid")).select(
+    # corpus norm hoisted per ROW (was recomputed per (row, query)
+    # pair — 3× redundant interpreted folds), corpus N-wide (r6)
+    ec = ensure_min_parallelism(
+        e.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("cn")
+        )
+    )
+    sims = ec.join(F.broadcast(qv), F.col("vec_id") != F.col("qid")).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.round(
             dot_product(F.col("qv"), F.col("embedding"))
-            / (F.col("qn") * l2_norm(F.col("embedding"))),
+            / (F.col("qn") * F.col("cn")),
             4,
         ).alias("sim"),
     )

@@ -89,7 +89,13 @@ def ingest_funnel_by_source(spark, sf_dir):
     flags; the LM relation joins per doc; every stage relation is
     reused from its standalone operator."""
     d = load(spark, sf_dir, "documents")["documents"]
-    ppl = doc_ppl_df(spark, sf_dir).select("doc_id", "ppl")
+    # The bigram-LM relation is the expensive subtree and is consumed
+    # THREE times (count, p90 probe, per-doc join) — pin it once.
+    # Before the r6 localCheckpoint each consumer re-trained the LM
+    # from scratch: 20.5 s at organic sf1, vs one training pass after.
+    ppl = (
+        doc_ppl_df(spark, sf_dir).select("doc_id", "ppl").localCheckpoint()
+    )
     n_docs = ppl.count()
     cut = (
         ppl.orderBy("ppl", "doc_id")
@@ -107,7 +113,9 @@ def ingest_funnel_by_source(spark, sf_dir):
     rn = keyed_row_number(
         base.select("doc_id", "source"), ["source"], ["doc_id"], id_col="rn"
     ).select("doc_id", "rn")
-    b = base.join(rn, "doc_id")
+    # b feeds both keepfp and flags; pinning it avoids re-running the
+    # quality/fingerprint HOFs over the whole corpus a second time.
+    b = base.join(rn, "doc_id").localCheckpoint()
     keepfp = (
         b.filter(F.col("rn") <= _QUOTA)
         .groupBy("fp")

@@ -194,20 +194,43 @@ def bm25_retrieval_topk(spark, sf_dir):
         [(qid, t) for qid, *ts in _BM25_QUERIES for t in ts],
         "query_id STRING, term STRING",
     )
-    tok = d.select(
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    # normalize+tokenize+explode is the corpus-heavy stage and feeds
+    # BOTH the dl and tf branches — run it N-wide even off a
+    # single-row-group input (r6; see ensure_min_parallelism)
+    tok = ensure_min_parallelism(d.select("doc_id", "text")).select(
         "doc_id", F.explode(X.tokens(X.normalize_text("text"))).alias("term")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE tokenize pass: both the doc-length side and the tf side
+    # derive from the same postings aggregate, whose exchange Catalyst
+    # reuses (ReusedExchange) — the old shape hung dl and tf off `tok`
+    # directly, so the corpus was tokenized TWICE (r6; at organic sf1
+    # tokenization was most of the 8 s wall). The postings relation is
+    # the inverted index: |distinct (doc, term)| rows, map-side
+    # combined before the shuffle.
+    # localCheckpoint: postings feeds THREE consumers (dl→stats
+    # broadcast, dfreq broadcast, the scoring join) and broadcast
+    # subtrees don't share exchange reuse — unpinned, the
+    # tokenize+shuffle chain ran once per consumer (measured r6).
+    postings = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    tf = (
-        tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = postings.join(
+        F.broadcast(q.select("term").distinct()), "term", "left_semi"
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (

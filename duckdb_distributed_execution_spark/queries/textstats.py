@@ -154,11 +154,19 @@ def contamination_ngram_overlap(spark, sf_dir):
     BROADCAST — the corpus-side explode never shuffles."""
     from duckdb_distributed_execution_spark.operators import dedup as D
 
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
     d = load(spark, sf_dir, "documents")["documents"]
-    sh = d.select(
+    # N-wide shingle compute (single-row-group inputs scan at 1-2
+    # tasks), pinned once: the bench branch broadcasts and broadcast
+    # subtrees don't share exchange reuse, so unpinned the corpus was
+    # re-shingled per branch (measured r6)
+    sh = ensure_min_parallelism(d.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(D.word_shingles(F.col("text"), _SHINGLE_N)).alias("s"),
-    )
+    ).localCheckpoint()
     bench = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("s").alias("g"))
