@@ -103,12 +103,21 @@ def ingest_funnel_by_source(spark, sf_dir):
         .limit(1)
         .first()["ppl"]
     )
-    base = d.select(
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    # quality/fingerprint HOFs run N-wide (single-row-group inputs
+    # scan at 1-2 tasks — r6), n_words is computed HERE so the pinned
+    # relation below never materializes the text column (the r6
+    # profile showed the checkpoint writing the full corpus text:
+    # 10 s of the funnel's 20 s was this one phase).
+    base = ensure_min_parallelism(d.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
-        "text",
         X.quality_score("text").alias("quality"),
         X.fingerprint("text").alias("fp"),
+        F.size(F.split("text", " ")).alias("n_words"),
     )
     rn = keyed_row_number(
         base.select("doc_id", "source"), ["source"], ["doc_id"], id_col="rn"
@@ -151,7 +160,7 @@ def ingest_funnel_by_source(spark, sf_dir):
             )
             .otherwise(0)
             .alias("f_ppl"),
-            F.size(F.split("text", " ")).alias("n_words"),
+            "n_words",
         )
     )
     return flags.groupBy("source").agg(

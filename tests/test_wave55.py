@@ -102,3 +102,22 @@ def test_calibration_bins_partition_the_corpus(spark):
     by_bucket = sorted(rows, key=lambda r: r["bucket"])
     means = [r["mean_score"] for r in by_bucket]
     assert means == sorted(means)
+
+
+def test_ensure_min_parallelism(spark):
+    """No-op on well-partitioned inputs; repartitions up to
+    defaultParallelism otherwise (the r6 guard for single-row-group
+    parquet scans that would serialize CPU-heavy stages)."""
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    widened = ensure_min_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+
+    wide = spark.range(0, 1000).repartition(target + 4)
+    same = ensure_min_parallelism(wide)
+    assert same is wide, "well-partitioned input must pass through"
