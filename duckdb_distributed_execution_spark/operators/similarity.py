@@ -71,11 +71,15 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cid_col: str = "cid",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """IVF index build: assign every corpus vector to its nearest
     centroid (argmin squared-L2, centroid id as tie-break). Centroids
-    broadcast; the corpus never shuffles except the tiny argmin
-    window keyed by vector id. Returns (id, cid, dist)."""
+    broadcast; the corpus never shuffles except the argmin aggregate
+    keyed by vector id. Returns (id, cid, dist); with ``carry_vec``
+    the vector column rides through the aggregate too (FIRST of a
+    vid-functionally-dependent column — r6: saves ivf_topk and the
+    RAG serving path a whole corpus⋈assignment shuffle join)."""
     # r6 plan surgery, arithmetic-preserving: (1) the self-dots of
     # sq_l2's expansion are hoisted — ⟨v,v⟩ once per corpus ROW and
     # ⟨c,c⟩ once per centroid instead of once per (row, centroid)
@@ -106,16 +110,91 @@ def ivf_assign(
     dist = (
         F.col("__vv") - F.lit(2.0) * dot_product(F.col("__v"), F.col("__cv"))
     ) + F.col("__cc")
-    return (
-        v.join(F.broadcast(c))
-        .select("__vid", F.struct(dist.alias("dist"), F.col("__cid")).alias("__s"))
-        .groupBy("__vid")
-        .agg(F.min("__s").alias("__m"))
-        .select(
-            F.col("__vid").alias(id_col),
-            F.col("__m.__cid").alias(cid_col),
-            F.col("__m.dist").alias("dist"),
-        )
+    paired = v.join(F.broadcast(c)).select(
+        "__vid",
+        F.struct(dist.alias("dist"), F.col("__cid")).alias("__s"),
+        *(["__v"] if carry_vec else []),
+    )
+    aggs = [F.min("__s").alias("__m")]
+    if carry_vec:
+        aggs.append(F.first("__v").alias("__fv"))
+    out_cols = [
+        F.col("__vid").alias(id_col),
+        F.col("__m.__cid").alias(cid_col),
+        F.col("__m.dist").alias("dist"),
+    ]
+    if carry_vec:
+        out_cols.append(F.col("__fv").alias(vec_col))
+    return paired.groupBy("__vid").agg(*aggs).select(*out_cols)
+
+
+def ivf_assign_numpy(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Corpus-side IVF assignment as ONE numpy matmul per Arrow batch
+    — no per-pair interpreted folds, no shuffle at all (the argmin is
+    per-row). Returns (id, cid, dist, vec): the vector always rides
+    along, since every consumer of a numpy-assigned corpus (ivf_topk
+    member side, the RAG serving path) needs it next.
+
+    Determinism contract (the kcenter convention,
+    operators/linalg.py): d² via the oracle's exact expansion
+    ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩, quantized to ⌊d²·1e6+.5⌋ BEFORE the
+    argmin, ties to the lowest centroid id — mirrored by
+    ``ORDER BY CAST(floor(dist*1e6+0.5) AS BIGINT), cid`` in the IVF
+    oracles (queries/vectors.py::_IVF_ASSIGN). numpy's pairwise dot
+    summation can differ from DuckDB's sequential fold in last ulps;
+    the quantization makes a flipped pick a measure-zero boundary
+    event rather than a live hazard, and the oracle hash would catch
+    it loudly."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    cent = sorted(
+        ((r[cid_col], list(r[vec_col])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.asarray([c[0] for c in cent], dtype=np.int64)
+    C = np.asarray([c[1] for c in cent], dtype=np.float64)
+    cc = np.einsum("ij,ij->i", C, C)
+    dt = dict(corpus.dtypes)
+    b = corpus.sparkSession.sparkContext.broadcast((cids, C, cc))
+
+    def fn(batches):
+        k_ids, K, k_cc = b.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            vv = np.einsum("ij,ij->i", V, V)
+            D = vv[:, None] - 2.0 * (V @ K.T) + k_cc[None, :]
+            DQ = np.floor(D * quant + 0.5).astype(np.int64)
+            j = np.argmin(DQ, axis=1)  # first minimum = lowest cid
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    cid_col: k_ids[j],
+                    "dist": D[np.arange(n), j],
+                    vec_col: pdf[vec_col].values,
+                }
+            )
+
+    return ensure_min_parallelism(
+        corpus.select(id_col, vec_col)
+    ).mapInPandas(
+        fn,
+        schema=f"{id_col} {dt[id_col]}, {cid_col} long, dist double, "
+        f"{vec_col} {dt[vec_col]}",
     )
 
 
@@ -150,7 +229,13 @@ def ivf_assign_n(
         F.col("__vv") - F.lit(2.0) * dot_product(F.col("__v"), F.col("__cv"))
     ) + F.col("__cc")
     dists = v.join(F.broadcast(c)).select("__vid", "__cid", pdist.alias("dist"))
-    w = Window.partitionBy("__vid").orderBy(F.col("dist").asc(), F.col("__cid"))
+    # quantized ordering — identical to the oracle's and to the numpy
+    # corpus-side assignment, so query-side probes and corpus cells
+    # can never disagree at a near-tie (r6)
+    w = Window.partitionBy("__vid").orderBy(
+        F.floor(F.col("dist") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        F.col("__cid"),
+    )
     return (
         dists.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
@@ -177,14 +262,15 @@ def ivf_topk(
     plain equi-join. Each corpus vector lives in exactly one cell and
     the probed cells are distinct, so no (query, neighbor) pair is
     generated twice."""
-    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cid"
-    )
-    member = corpus.select(
+    # numpy corpus assignment (one matmul per Arrow batch, quantized
+    # argmin mirrored by the oracle ordering) delivers
+    # (id, cid, vec) with no shuffle and no interpreted folds (r6)
+    member = ivf_assign_numpy(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
+        "cid",
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col)).alias("__cn"),
-    ).join(cells, on="neighbor_id")
+    )
     q_cells = ivf_assign_n(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cid"
     )

@@ -718,8 +718,10 @@ def date_part_extract(spark, sf_dir):
                   v
            FROM vecs CROSS JOIN cents),
     assign AS (SELECT vec_id, cid, v,
-                      ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cid) AS rn
+                      ROW_NUMBER() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY CAST(floor(dist * 1000000.0 + 0.5)
+                                      AS BIGINT), cid) AS rn
                FROM d0),
     cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
     q AS (SELECT vec_id AS qid, cid, v AS qe FROM cells
@@ -760,7 +762,9 @@ def rag_retrieval_topk(spark, sf_dir):
         ensure_min_parallelism,
         l2_norm,
     )
-    from duckdb_distributed_execution_spark.operators.similarity import ivf_assign
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign_numpy,
+    )
 
     t = load(spark, sf_dir, "embeddings", "documents")
     e = t["embeddings"]
@@ -768,15 +772,18 @@ def rag_retrieval_topk(spark, sf_dir):
         F.col("vec_id").alias("cid"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= 8)
-    cells = ivf_assign(corpus, cents).select("vec_id", "cid")
-    # pinned: member feeds the broadcast query branch AND the scoring
-    # join — unpinned, the whole ivf_assign chain re-ran per consumer
+    # numpy assignment delivers (vec_id, cid, embedding) in one
+    # matmul pass — no shuffle, no interpreted folds; pinned because
+    # member feeds the broadcast query branch AND the scoring join
     # (r6; broadcast subtrees don't share exchange reuse)
-    member = ensure_min_parallelism(
-        corpus.join(cells, on="vec_id").select(
-            "vec_id", "cid", "embedding", l2_norm(F.col("embedding")).alias("n")
+    member = (
+        ivf_assign_numpy(corpus, cents)
+        .select(
+            "vec_id", "cid", "embedding",
+            l2_norm(F.col("embedding")).alias("n"),
         )
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
     q = member.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("qid"),
         "cid",

@@ -252,10 +252,19 @@ _IVF_ASSIGN = """
                  v
           FROM vecs CROSS JOIN cents),
     assign AS (SELECT vec_id, cid, v,
-                      ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cid) AS rn
+                      ROW_NUMBER() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY CAST(floor(dist * 1000000.0 + 0.5)
+                                      AS BIGINT), cid) AS rn
                FROM d)
 """
+# ^ the assignment rank compares QUANTIZED distances (⌊d²·1e6+.5⌋,
+# cid tiebreak) — the engine's numpy corpus assignment and its JVM
+# query-side probe rank use the identical ordering, so a last-ulp
+# summation-order wobble between numpy and DuckDB's sequential fold
+# cannot flip a cell pick except exactly at a quantization boundary
+# (the kcenter convention; residual risk documented in
+# operators/similarity.py::ivf_assign_numpy).
 
 
 @register(
@@ -271,7 +280,9 @@ def ann_ivf_cells(spark, sf_dir):
     (centroids = a deterministic seed subset standing in for k-means
     output; the assignment argmin is the oracle-checked part — swap
     in trained centroids and nothing else changes)."""
-    from duckdb_distributed_execution_spark.operators.similarity import ivf_assign
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign_numpy,
+    )
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     cents = e.filter(F.col("vec_id") < 8).select(
@@ -279,7 +290,7 @@ def ann_ivf_cells(spark, sf_dir):
     )
     corpus = e.filter(F.col("vec_id") >= 8)
     return (
-        ivf_assign(corpus, cents)
+        ivf_assign_numpy(corpus, cents)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
