@@ -182,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline53,
         pipeline54,
         pipeline55,
+        pipeline56,
         textstats,
         tpch,
         vectors,

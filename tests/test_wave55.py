@@ -121,3 +121,28 @@ def test_ensure_min_parallelism(spark):
     wide = spark.range(0, 1000).repartition(target + 4)
     same = ensure_min_parallelism(wide)
     assert same is wide, "well-partitioned input must pass through"
+
+
+def test_split_leakage_audit_naive_split_leaks(spark):
+    """A per-document hash split must show non-zero near-dup pairs
+    crossing the split (the eval-leak hazard the audit exists for),
+    and every leak count must be bounded by its pair count."""
+    rows = all_queries()["split_leakage_audit"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    assert sum(r["n_cross_split"] for r in rows) > 0, (
+        "naive split shows no leakage — audit or data broken"
+    )
+    for r in rows:
+        assert 0 <= r["n_cross_split"] <= r["n_neardup_pairs"]
+        assert 0.0 <= r["leakage_rate"] <= 1.0
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    rows = all_queries()["cluster_safe_split"].fn(spark, SF_ORACLE).collect()
+    assert {r["split"] for r in rows} == {"train", "heldout"}
+    assert sum(r["n_docs"] for r in rows) == 500  # partitions the corpus
+    for r in rows:
+        assert r["n_cross_split_pairs"] == 0, (
+            "cluster-keyed split must make cross-split near-dup pairs "
+            "impossible by construction"
+        )

@@ -166,6 +166,8 @@ def main() -> None:
             "histogram_equidepth",
             "preference_margin_quantiles",
             "reward_calibration_bins",
+            "cluster_safe_split",                 # 1-row leak-count bcast
+                                                  # × 2-row split summary
         ) or name.startswith("ann_")              # tiny-broadcast × corpus
 
         smells = []
