@@ -405,6 +405,9 @@ def text_lang_id(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
+    # (r6 probe: an ensure_min_parallelism guard here bought nothing —
+    # this query is row-output-bound at toy scale, not compute-bound,
+    # so the narrow shuffle was pure cost and was reverted.)
     d = load(spark, sf_dir, "documents")["documents"]
     return d.select("doc_id", X.fingerprint("text").alias("fp"))
 
