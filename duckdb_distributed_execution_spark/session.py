@@ -496,7 +496,18 @@ class Engine:
         self._attach_managed(name, path)
 
     def _attach_managed(self, name: str, path: str) -> None:
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        """Register the live version of a managed table as its temp
+        view. The view reads the MANIFEST-listed files explicitly, so
+        staged-but-uncommitted files and crash orphans in the same
+        directory are invisible to every query."""
+        m = self._adopt_manifest(path)
+        files = [os.path.join(path, f) for f in m["files"]]
+        df = (
+            self.spark.read.parquet(*files)
+            if files
+            else self.spark.read.parquet(path)
+        )
+        df.createOrReplaceTempView(name)
         self._tables[name] = RegisteredTable(name, path, "parquet", managed=True)
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
@@ -524,38 +535,65 @@ class Engine:
                 del store[k]
         self._not_null -= {k for k in self._not_null if k[0] == name}
 
-    @staticmethod
-    def _dir_bytes(path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
-
     # Small managed tables compact to one file so a scan is a single
     # task — the analog of the reference's small-table bypass
     # (task_partitioner.cpp:14-21: < 1 row group ⇒ one DELEGATED task).
     _COMPACT_BYTES = 64 * 1024 * 1024
 
-    def _rewrite(self, name: str, df: DataFrame, op: str = "rewrite") -> None:
+    def _rewrite(self, name: str, df: DataFrame, op: str = "rewrite",
+                 compact: bool = True) -> None:
         """Copy-on-write rewrite of a managed table (Spark parquet
         tables are immutable; ALTER/DELETE rewrite — same approach a
         lakehouse format takes). The pre-rewrite state is snapshotted
-        first (hardlinks, no data copy) for time travel — see the
-        version-history section below."""
+        first (hardlinks, no data copy) for time travel, the new files
+        are fully materialized BEFORE the old version is touched, and
+        the swap itself is one atomic manifest rename — a concurrent
+        reader sees the complete old table or the complete new one."""
         t = self._tables[name]
         if not t.managed:
             raise ValueError(
                 f"table {name!r} is an external registered table; "
                 "ALTER/DELETE require a managed table"
             )
-        if self._dir_bytes(t.path) < self._COMPACT_BYTES:
+        if compact and self._live_bytes(name) < self._COMPACT_BYTES:
             df = df.coalesce(1)
         self._snapshot(name, op)
-        tmp = t.path + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(t.path, ignore_errors=True)
-        os.rename(tmp, t.path)
+        m = self._adopt_manifest(t.path)
+        new = self._ingest_files(t.path, df, m["version"] + 1)
+        old = list(m["files"])
+        self._commit_manifest(t.path, new, op)
+        for f in old:  # post-commit GC (inodes live on in the snapshot)
+            try:
+                os.remove(os.path.join(t.path, f))
+            except OSError:
+                pass
+        self._attach_managed(name, t.path)
+
+    def _live_bytes(self, name: str) -> int:
+        """Total bytes of the manifest-listed live files — the policy
+        input for small-table compaction (orphans and in-flight staged
+        files must not count)."""
+        total = 0
+        for p in self._managed_files(name):
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        return total
+
+    def _append_files(self, name: str, df: DataFrame, op: str,
+                      snapshot: bool = True) -> None:
+        """Atomic append: the new files land under the next version's
+        names first, then ONE manifest rename makes them visible — a
+        reader never sees a partially-written append (the old
+        mode('append') write exposed in-progress part files to
+        directory-listing readers)."""
+        t = self._tables[name]
+        if snapshot:
+            self._snapshot(name, op)
+        m = self._adopt_manifest(t.path)
+        new = self._ingest_files(t.path, df, m["version"] + 1)
+        self._commit_manifest(t.path, m["files"] + new, op)
         self._attach_managed(name, t.path)
 
     # ALTER TABLE family — parity with GenerateAlterTableSQL
@@ -711,10 +749,8 @@ class Engine:
                     f"duplicate key {keycols} on {name}: "
                     f"{tuple(dup[0])[:-1]!r}"
                 )
-        if self._dir_bytes(t.path) >= self._COMPACT_BYTES:
-            self._snapshot(name, "insert")
-            aligned.write.mode("append").parquet(t.path)
-            self._attach_managed(name, t.path)
+        if self._live_bytes(name) >= self._COMPACT_BYTES:
+            self._append_files(name, aligned, "insert")
         else:
             self._rewrite(name, target.unionByName(aligned), op="insert")
 
@@ -886,65 +922,200 @@ class Engine:
     def drop_not_null(self, name: str, col: str) -> None:
         self._not_null.discard((name, col))
 
-    # -- file-pruned copy-on-write DML (round-5 verdict task 2) --------
+    # -- manifest-committed, file-pruned copy-on-write DML -------------
+    # (file pruning: round-5 verdict task 2; atomic manifest commit:
+    #  round-6 verdict task 1)
     #
-    # A managed table is a directory of immutable parquet files, so
-    # DELETE/UPDATE need only rewrite the FILES that contain matching
-    # rows. Finding them is one distributed probe scan that groups the
-    # predicate's matches by Spark's `_metadata.file_path` — exact
-    # runtime pruning for ANY predicate (a static zone-map analysis
-    # handles only pushable conjunctions), and the probe itself is
-    # pruned by parquet footer min/max + pushdown where the predicate
-    # allows (optimize_zorder clustering makes that pruning sharp).
-    # The matched-row count falls out of the same single pass, fixing
-    # the old count() + rewrite + count() triple scan.
+    # A managed table is a directory of immutable parquet data files
+    # plus ONE pointer file, ``_manifest.json``, listing the files that
+    # make up the current version. Readers resolve the manifest; every
+    # mutation first writes NEW data files into the directory (invisible
+    # — not yet referenced), then commits by atomically renaming a
+    # fresh manifest over the old one (POSIX rename), and only then
+    # unlinks superseded data files. A reader therefore always sees a
+    # COMPLETE version — old or new, never a directory mid-swap — and a
+    # crash at any point leaves the table consistent: before the rename
+    # the old manifest still points at intact files; after it the new
+    # version is live; stray files from a crashed writer are invisible
+    # orphans (``vacuum_orphans`` reclaims them). This is the miniature
+    # of the manifest/transaction-log commit Delta and Iceberg use at
+    # 100 TB; the round-6 layout (remove matched files, THEN rename
+    # replacements in) had a window where a concurrent reader saw rows
+    # missing and a crash left them missing.
+    #
+    # DELETE/UPDATE still rewrite ONLY the files that contain matching
+    # rows: one distributed probe scan groups the predicate's matches
+    # by Spark's `_metadata.file_path` — exact runtime pruning for ANY
+    # predicate, itself pruned by parquet footer min/max + pushdown
+    # where the predicate allows (optimize_zorder makes that sharp).
+    # The matched-row count falls out of the same single pass.
+
+    _MANIFEST = "_manifest.json"
+
+    def _manifest_file(self, path: str) -> str:
+        return os.path.join(path, self._MANIFEST)
+
+    def _read_manifest(self, path: str) -> dict | None:
+        mp = self._manifest_file(path)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as fh:
+            return json.load(fh)
+
+    def _adopt_manifest(self, path: str) -> dict:
+        """Manifest for a directory that predates one (legacy layout or
+        an externally-written parquet dir, e.g. a fresh CTAS): adopt
+        the current ``*.parquet`` listing as the initial version."""
+        m = self._read_manifest(path)
+        if m is not None:
+            return m
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(path, f))
+        )
+        return self._commit_manifest(path, files, "adopt")
+
+    def _commit_manifest(self, path: str, files: list[str], op: str) -> dict:
+        """THE commit point of every mutation: one atomic rename makes
+        ``files`` the table's live version. fsync before the rename so
+        a crash can't surface a manifest whose bytes never hit disk."""
+        prev = self._read_manifest(path)
+        m = {
+            "version": (prev["version"] + 1) if prev else 0,
+            "op": op,
+            "files": sorted(files),
+            "ts": time.time(),
+        }
+        tmp = self._manifest_file(path) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_file(path))
+        return m
 
     def _managed_files(self, name: str) -> list[str]:
+        """Live data files of a managed table — manifest-resolved,
+        realpath-normalized (symlinked warehouses compare equal to the
+        URL-decoded absolute paths Spark's _metadata.file_path emits)."""
         t = self._tables[name]
-        return sorted(
-            os.path.join(t.path, f)
-            for f in os.listdir(t.path)
-            if f.endswith(".parquet") and os.path.isfile(os.path.join(t.path, f))
-        )
+        base = os.path.realpath(t.path)
+        m = self._adopt_manifest(t.path)
+        return [os.path.join(base, f) for f in m["files"]]
+
+    def _ingest_files(self, path: str, df: DataFrame, version: int) -> list[str]:
+        """Materialize ``df`` as new data files INSIDE the table
+        directory but OUTSIDE the manifest — staged in a scratch dir,
+        then renamed in under fresh version-prefixed names. Invisible
+        to every reader until a manifest commit references them."""
+        tmp = path + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        if not parts:
+            # zero-partition result (AQE collapses an empty relation to
+            # no write tasks): persist ONE schema-bearing empty file so
+            # the manifest never goes empty and scans keep their schema
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(tmp)
+            parts = sorted(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+        out = []
+        for fn in parts:
+            # part-file names carry fresh UUIDs; the version prefix
+            # guards the (astronomically unlikely) collision with a
+            # kept file and makes rewrite provenance greppable.
+            new = f"v{version}-{fn}"
+            os.rename(os.path.join(tmp, fn), os.path.join(path, new))
+            out.append(new)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out
 
     def _matched_files(self, name: str, condition: str) -> tuple[list[str], int]:
         """ONE probe scan → (local paths of the table's parquet files
         holding rows where ``condition`` is TRUE, total matched rows)."""
         from urllib.parse import unquote, urlparse
 
-        t = self._tables[name]
+        live = self._managed_files(name)
         rows = (
-            self.spark.read.parquet(t.path)
+            self.spark.read.parquet(*live)
             .filter(F.expr(condition))
             .groupBy(F.col("_metadata.file_path").alias("__f"))
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        paths = sorted(unquote(urlparse(r["__f"]).path) for r in rows)
+        paths = sorted(
+            os.path.realpath(unquote(urlparse(r["__f"]).path)) for r in rows
+        )
         return paths, sum(r["__n"] for r in rows)
 
     def _replace_files(self, name: str, op: str, matched: list[str],
                        replacement: DataFrame) -> None:
         """Snapshot, then swap ONLY ``matched`` files for the files of
-        ``replacement`` — every other file stays byte-identical on
-        disk (the time-travel snapshot hardlinks them, no copy)."""
+        ``replacement`` — every other file stays byte-identical on disk
+        (the time-travel snapshot hardlinks them, no copy). The swap is
+        one atomic manifest rename; superseded files are unlinked only
+        after the commit (their inodes survive in the snapshot)."""
         t = self._tables[name]
-        version = self._snapshot(name, op)
-        tmp = t.path + "__tmp"
-        replacement.write.mode("overwrite").parquet(tmp)
-        for p in matched:
-            os.remove(p)
-        for fn in os.listdir(tmp):
-            if fn.endswith(".parquet"):
-                # part-file names carry fresh UUIDs; the version prefix
-                # guards the (astronomically unlikely) collision with a
-                # kept file and makes rewrite provenance greppable.
-                os.rename(
-                    os.path.join(tmp, fn),
-                    os.path.join(t.path, f"v{version}-{fn}"),
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._snapshot(name, op)
+        m = self._adopt_manifest(t.path)
+        new = self._ingest_files(t.path, replacement, m["version"] + 1)
+        base = os.path.realpath(t.path)
+        matched_set = {os.path.realpath(p) for p in matched}
+        kept = [
+            f for f in m["files"]
+            if os.path.join(base, f) not in matched_set
+        ]
+        self._commit_manifest(t.path, kept + new, op)
+        for p in sorted(matched_set):  # post-commit GC
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         self._attach_managed(name, t.path)
+
+    def adopt_external_files(self, name: str) -> int:
+        """Commit any *.parquet files an OUT-OF-BAND writer dropped
+        into the managed table's directory (trickle ingest by an
+        external job — the Hive-style dir-table pattern) into the
+        manifest, making them visible in one atomic commit. Returns
+        the number of files adopted. Only for externally-written
+        files: after a CRASHED engine writer, run ``vacuum_orphans``
+        first — adopting a crashed mutation's staged or superseded
+        files would resurrect replaced rows."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError("adopt_external_files requires a managed table")
+        m = self._adopt_manifest(t.path)
+        known = set(m["files"])
+        new = sorted(
+            f for f in os.listdir(t.path)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(t.path, f))
+            and f not in known
+        )
+        if new:
+            self._commit_manifest(t.path, m["files"] + new, "adopt")
+            self._attach_managed(name, t.path)
+        return len(new)
+
+    def vacuum_orphans(self, name: str) -> int:
+        """Remove data files in the table directory that the manifest
+        does not reference (left by a writer that crashed between
+        staging and commit, or between commit and GC). Safe at any
+        time: readers only ever resolve manifest-listed files."""
+        t = self._tables[name]
+        if not t.managed:
+            raise ValueError("vacuum_orphans requires a managed table")
+        live = {os.path.basename(p) for p in self._managed_files(name)}
+        n = 0
+        for f in os.listdir(t.path):
+            p = os.path.join(t.path, f)
+            if (f.endswith(".parquet") and os.path.isfile(p)
+                    and f not in live):
+                os.remove(p)
+                n += 1
+        return n
 
     def delete_from(self, name: str, condition: str) -> int:
         """DELETE FROM name WHERE condition — applies the *true*
@@ -1065,11 +1236,17 @@ class Engine:
         as summarize())."""
         import pyarrow.parquet as pq
 
+        t = self._tables.get(name)
+        if t is None or not t.managed:
+            raise ValueError(
+                f"table_files requires a managed table, got {name!r}"
+            )
         rows = []
         for p in self._managed_files(name):
             md = pq.ParquetFile(p).metadata
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            skip: set[str] = set()
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -1078,10 +1255,20 @@ class Engine:
                     if st is None or not st.has_min_max:
                         continue
                     cname = col.path_in_schema
-                    if cname not in mins or st.min < mins[cname]:
-                        mins[cname] = st.min
-                    if cname not in maxs or st.max > maxs[cname]:
-                        maxs[cname] = st.max
+                    if cname in skip:
+                        continue
+                    try:
+                        if cname not in mins or st.min < mins[cname]:
+                            mins[cname] = st.min
+                        if cname not in maxs or st.max > maxs[cname]:
+                            maxs[cname] = st.max
+                    except TypeError:
+                        # mixed physical types across row groups (e.g.
+                        # bytes vs str after a schema change) — zone
+                        # map unavailable rather than a crash
+                        skip.add(cname)
+                        mins.pop(cname, None)
+                        maxs.pop(cname, None)
             base = (os.path.basename(p), md.num_rows, os.path.getsize(p))
             cols = sorted(set(mins) | set(maxs))
             if not cols:
@@ -1208,9 +1395,7 @@ class Engine:
             F.col("__fp").alias("fp"),
             F.lit(batch_id).cast("bigint").alias("first_seen_batch"),
         )
-        t = self._tables[registry]
-        admitted.write.mode("append").parquet(t.path)
-        self._attach_managed(registry, t.path)
+        self._append_files(registry, admitted, "dedup_ingest", snapshot=False)
         return survivors.drop("__fp")
 
     # ------------------------------------------------------------------
@@ -1647,8 +1832,7 @@ class Engine:
         target = self.spark.table(name)
         df = read(self.spark, path, fmt=fmt, schema=target.schema, **options)
         n = df.count()
-        df.write.mode("append").parquet(t.path)
-        self._attach_managed(name, t.path)
+        self._append_files(name, df, "copy", snapshot=False)
         return n
 
     def reattach_warehouse(self) -> list[str]:
@@ -1703,7 +1887,11 @@ class Engine:
         k = max(existing, default=-1) + 1
         dst = os.path.join(base, f"v{k}")
         os.makedirs(dst)
-        for f in os.listdir(t.path):
+        # Link only the MANIFEST-listed live files: crash orphans and
+        # staged-but-uncommitted files in the table directory must not
+        # leak into the snapshot (table_at_version reads this dir).
+        m = self._adopt_manifest(t.path)
+        for f in m["files"]:
             src = os.path.join(t.path, f)
             if not os.path.isfile(src):
                 continue
@@ -1776,23 +1964,16 @@ class Engine:
         t = self._tables[name]
         if not t.managed:
             raise ValueError("compact_table requires a managed table")
-
-        def _nfiles(p: str) -> int:
-            return sum(
-                1 for dp, _, fs in os.walk(p)
-                for f in fs if f.endswith(".parquet")
-            )
-
-        before = _nfiles(t.path)
-        n = max(1, -(-self._dir_bytes(t.path) // target_file_bytes))
-        df = self.table(name).repartition(n)
-        self._snapshot(name, "compact")
-        tmp = t.path + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(t.path, ignore_errors=True)
-        os.rename(tmp, t.path)
-        self._attach_managed(name, t.path)
-        return {"files_before": before, "files_after": _nfiles(t.path)}
+        before = len(self._managed_files(name))
+        n = max(1, -(-self._live_bytes(name) // target_file_bytes))
+        self._rewrite(
+            name, self.table(name).repartition(n), op="compact",
+            compact=False,
+        )
+        return {
+            "files_before": before,
+            "files_after": len(self._managed_files(name)),
+        }
 
     # ------------------------------------------------------------------
     # Incremental rollups — persisted mergeable aggregate state

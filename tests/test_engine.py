@@ -360,7 +360,10 @@ def test_compact_table(engine, spark):
         spark.range(i * 100, (i + 1) * 100).select(
             F.col("id"), (F.col("id") * 1.5).alias("v")
         ).repartition(4).write.mode("append").parquet(path)
-    engine._attach_managed(name, path)
+    # Out-of-band files are invisible until explicitly adopted into
+    # the table manifest (one atomic commit — r7 manifest protocol).
+    adopted = engine.adopt_external_files(name)
+    assert adopted >= 20
     before_sum = engine.execute(
         f"SELECT SUM(id) AS s, COUNT(*) AS c FROM {name}"
     )[0]
