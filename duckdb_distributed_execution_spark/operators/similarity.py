@@ -110,9 +110,20 @@ def ivf_assign(
     dist = (
         F.col("__vv") - F.lit(2.0) * dot_product(F.col("__v"), F.col("__cv"))
     ) + F.col("__cc")
+    # r7 (ADVICE): the argmin key is the QUANTIZED distance
+    # ⌊d²·1e6+.5⌋ with cid tie-break — the same convention as
+    # ivf_assign_n / ivf_assign_numpy and the SQL oracles, so a
+    # corpus assigned here can be mixed with quantized query-side
+    # probes without near-tie disagreement. Raw dist rides along as
+    # a payload field ((qdist, cid) is already unique per vid).
     paired = v.join(F.broadcast(c)).select(
         "__vid",
-        F.struct(dist.alias("dist"), F.col("__cid")).alias("__s"),
+        F.struct(
+            F.floor(dist * F.lit(1e6) + F.lit(0.5)).cast("long")
+            .alias("qdist"),
+            F.col("__cid"),
+            dist.alias("dist"),
+        ).alias("__s"),
         *(["__v"] if carry_vec else []),
     )
     aggs = [F.min("__s").alias("__m")]
@@ -1125,7 +1136,10 @@ def hard_negative_topk_numpy(
     Zero-norm corpus vectors are DROPPED (cosine undefined → NaN →
     pruned by the isfinite mask); oracles must mirror the exclusion
     (e.g. list_dot_product(cv,cv) > 0) because DuckDB sorts NaN as
-    the largest double (ADVICE r5)."""
+    the largest double (ADVICE r5). A zero-norm ANCHOR likewise
+    yields all-NaN sims and therefore zero output rows — callers
+    should pre-filter anchors (pipeline49 does) and oracles carry the
+    symmetric av-norm guard (ADVICE r6)."""
     import numpy as np
     import pandas as pd
 

@@ -32,7 +32,10 @@ _ORACLE_COSINE = """
     oracle=f"""
     WITH a AS (SELECT vec_id AS anchor_id, label AS albl,
                       CAST(embedding AS DOUBLE[]) AS av
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < 8
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
          c AS (SELECT vec_id AS neighbor_id, label,
                       CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings),
@@ -56,15 +59,19 @@ def ann_hard_negative_mining(spark, sf_dir):
     applied BEFORE the per-batch prune, so a masked-out same-label
     vector can never displace a real candidate. The corpus never
     shuffles; the rank window sees anchors × k × n_batches rows.
-    Zero-norm corpus vectors (cosine undefined → NaN) are excluded on
-    BOTH sides: the engine's isfinite prune drops them, and the oracle
-    carries the matching list_dot_product(cv,cv) > 0 predicate —
-    without it DuckDB sorts NaN as the largest double and a degenerate
-    embedding would rank FIRST (ADVICE r5)."""
+    Zero-norm vectors (cosine undefined → NaN) are excluded on BOTH
+    sides and BOTH roles: corpus side via the engine's isfinite prune
+    and the oracle's list_dot_product(cv,cv) > 0 predicate (ADVICE
+    r5 — DuckDB sorts NaN as the largest double, so a degenerate
+    embedding would rank FIRST), anchor side via the collect-time
+    norm filter and the matching av guard (ADVICE r6 — a zero-norm
+    anchor makes every sim NaN: the engine would emit no rows for it
+    while the unguarded oracle would rank NaN first)."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     anchors = [
         (r["vec_id"], r["label"], [float(x) for x in r["embedding"]])
         for r in e.filter(F.col("vec_id") < 8).collect()
+        if any(x != 0.0 for x in r["embedding"])
     ]
     return hard_negative_topk_numpy(
         e, anchors, id_col="vec_id", vec_col="embedding",

@@ -579,23 +579,59 @@ def test_simhash_pairs_wide_signature(spark):
 
 
 def test_connected_components_chain_converges(spark):
-    """Pointer-jumping regression: a 1000-link chain (diameter 1000)
-    must converge within the default iteration budget — O(log d)
-    rounds with label compression, where plain hash-min propagation
-    needs d rounds and times out."""
+    """Worst-case depth regression: a 1000-link chain (diameter 1000)
+    must converge within the default iteration budget — the
+    large-star/small-star alternation (r7) needs O(log² n) rounds
+    (11 measured here, pinned with slack), where plain hash-min
+    propagation needs d rounds and times out."""
     from pyspark.sql import functions as F
 
-    from duckdb_distributed_execution_spark.operators.graph import (
-        connected_components,
-    )
+    from duckdb_distributed_execution_spark.operators import graph as G
 
     chain = spark.range(999).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    cc = connected_components(chain, max_iterations=30)
+    cc = G.connected_components(chain, max_iterations=30)
     assert cc.select("comp").distinct().count() == 1
     assert cc.count() == 1000
     assert cc.agg(F.min("comp")).first()[0] == 0
+    assert G.last_round_count <= 14, (
+        f"1000-chain took {G.last_round_count} rounds — the alternation "
+        "should be logarithmic in component depth"
+    )
+
+
+def test_connected_components_round_count_shallow(spark):
+    """The round-count pin behind the r7 graph-family speedup: real
+    near-dup pair graphs are star-shaped/shallow, and the alternation
+    must finish them in a handful of rounds (measured at sf0.1:
+    cluster_safe_split converges in 4 rounds / 6.7 s Spark wall vs
+    ~25 s for the round-6 hash-min+jump loop, identical outputs —
+    selfcheck hashes unchanged). A hub star converges in ONE round;
+    a two-level boilerplate family in ≤ 3."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.operators import graph as G
+
+    star = spark.range(1, 100).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    cc = {r.node: r.comp for r in G.connected_components(star).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 100
+    assert G.last_round_count == 1
+
+    # two-level tree: 0-(1..9), i-(10i..10i+9) — depth 2
+    lvl1 = spark.range(1, 10).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    lvl2 = spark.range(10, 100).select(
+        (F.col("id") / 10).cast("long").alias("id_a"),
+        F.col("id").alias("id_b"),
+    )
+    cc2 = G.connected_components(lvl1.union(lvl2))
+    assert cc2.select("comp").distinct().collect()[0][0] == 0
+    assert cc2.count() == 100
+    assert G.last_round_count <= 3
 
 
 def test_ngram_jaccard_unblocked_raises(spark):
