@@ -37,21 +37,16 @@ def tfidf_rank(
     tf · ln(n_docs/df) summed per doc, rounded to 4 decimals before
     ranking, ties broken on doc id."""
     from duckdb_distributed_execution_spark.operators.text import (
-        normalize_text,
-        tokens,
+        tokens_exploded_arrow,
     )
 
-    from duckdb_distributed_execution_spark.functions import (
-        ensure_min_parallelism,
-    )
-
-    # run the tokenize/explode corpus stage N-wide even off a
-    # single-row-group input (r6; see ensure_min_parallelism)
-    tok = ensure_min_parallelism(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select(
+    # Arrow-kernel tokenize (r7 — java.util.regex dominated the sf1
+    # wall; parity argument in tokens_exploded_arrow), N-wide even
+    # off a single-row-group input.
+    tok = tokens_exploded_arrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         "doc_id",
-        F.explode(tokens(normalize_text(text_col))).alias("term"),
+        text_col,
     )
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     # pinned: tf feeds the dfreq BROADCAST branch and the scoring

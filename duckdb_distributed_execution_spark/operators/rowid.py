@@ -277,3 +277,54 @@ def keyed_row_number(
         .withColumn(id_col, F.col("__off") + F.row_number().over(w))
         .drop("__b", "__off")
     )
+
+
+def keyed_kth_smallest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-key k-th smallest ``order_col`` value — the scalable form
+    of a ``rn <= k`` quota check for small k: a row is among its
+    key's first k (by a UNIQUE order column) iff
+    ``order_col <= kth``, so the quota never needs per-row ranks at
+    all. Returns (key_cols..., kth) with kth NULL when the key has
+    fewer than k rows (caller treats as "no cut" — every row passes).
+
+    Plan: two-level partial top-k. Each Arrow batch keeps its own k
+    smallest per key (state bounded by |keys-in-batch|·k, one narrow
+    pass, no shuffle); the combine shuffles only the survivors
+    (≤ batches·k rows per key) and sorts that bounded list per key.
+    Compare keyed_row_number: 3 passes (sample, counts, rank) and a
+    full-relation shuffle — right when every row needs its rank,
+    3× overkill when only the k-th THRESHOLD is consumed (measured:
+    the sf1 ingest funnel's quota stage). Exactness: any value among
+    a key's global k smallest is among its batch's k smallest, so the
+    survivor set always contains the true k-th."""
+    import pandas as pd  # noqa: F401 (documents the mapInPandas dep)
+
+    dt = dict(df.dtypes)
+
+    def keep_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(order_col)
+                .groupby(list(key_cols), sort=False)
+                .head(k)
+            )
+
+    schema = ", ".join(
+        f"{c} {dt[c]}" for c in (*key_cols, order_col)
+    )
+    survivors = df.select(*key_cols, order_col).mapInPandas(
+        keep_topk, schema=schema
+    )
+    lst = F.sort_array(F.collect_list(order_col))
+    return survivors.groupBy(*key_cols).agg(
+        F.when(
+            F.size(lst) >= k, F.element_at(lst, k)
+        ).alias("kth")
+    )

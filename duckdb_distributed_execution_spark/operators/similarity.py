@@ -269,35 +269,101 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF probe: route each query to its ``nprobe`` nearest centroid
     cells and rank only those cells' members by cosine — candidates
-    shrink by ~n_cells/nprobe× vs brute force; the cell join is a
-    plain equi-join. Each corpus vector lives in exactly one cell and
-    the probed cells are distinct, so no (query, neighbor) pair is
-    generated twice."""
+    shrink by ~n_cells/nprobe× vs brute force. Each corpus vector
+    lives in exactly one cell and the probed cells are distinct, so
+    no (query, neighbor) pair is generated twice.
+
+    r7 (sf1 watchlist): the probe SCORING stage is now one numpy
+    matmul per Arrow batch with a per-cell query mask — the same
+    brute_force_topk_numpy shape, restricted to each batch row's own
+    cell — replacing the interpreted JVM dot-product fold over the
+    (member × probing-query) join that dominated the sf1 wall
+    (ann_ivf_multiprobe_topk 4.11× vs DuckDB in the r6 table). Query
+    routing happens on the DRIVER over the bounded query set with the
+    exact quantized convention the oracles use (⌊d²·1e6+.5⌋, cid
+    tie-break — assignment ranks can never disagree at a near-tie);
+    the corpus still never shuffles: assignment and scoring are two
+    chained narrow mapInPandas passes, and only per-batch top-k
+    survivors (queries × k × n_batches rows) reach the rank window."""
+    import numpy as np
+    import pandas as pd
+
     # numpy corpus assignment (one matmul per Arrow batch, quantized
     # argmin mirrored by the oracle ordering) delivers
     # (id, cid, vec) with no shuffle and no interpreted folds (r6)
     member = ivf_assign_numpy(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "cid",
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
+        F.col(id_col).alias("neighbor_id"), "cid", vec_col
     )
-    q_cells = ivf_assign_n(queries, centroids, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), "cid"
+    cent = sorted(
+        ((r["cid"], list(r[vec_col])) for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
-    ).join(q_cells, on="query_id")
-    sims = member.join(F.broadcast(q), on="cid").select(
-        "query_id",
-        "neighbor_id",
-        (dot_product(F.col("__qv"), F.col("__cv"))
-         / (F.col("__qn") * F.col("__cn"))).alias("sim"),
+    cids = np.asarray([c[0] for c in cent], dtype=np.int64)
+    C = np.asarray([c[1] for c in cent], dtype=np.float64)
+    cc = np.einsum("ij,ij->i", C, C)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    qq = np.einsum("ij,ij->i", Q, Q)
+    # exact oracle expansion + quantized rank; centroids are sorted by
+    # cid, so a STABLE argsort's tie-break IS the cid tie-break
+    D = (qq[:, None] - 2.0 * (Q @ C.T)) + cc[None, :]
+    qd = np.floor(D * 1e6 + 0.5).astype(np.int64)
+    probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for ci in probe_idx[qi]:
+            cell_to_q.setdefault(int(cids[ci]), []).append(qi)
+    Qn = np.sqrt(qq)
+    dt = dict(corpus.dtypes)
+    b = corpus.sparkSession.sparkContext.broadcast(
+        (qids, Q, Qn, {c: np.asarray(v) for c, v in cell_to_q.items()})
+    )
+
+    def run(batches):
+        a_qids, a_Q, a_Qn, c2q = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].values
+            cell = pdf["cid"].values
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Vn = np.linalg.norm(V, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cell):
+                qidx = c2q.get(int(c))
+                if qidx is None:
+                    continue
+                m = cell == c
+                mi = ids[m]
+                S = (V[m] @ a_Q[qidx].T) / np.outer(Vn[m], a_Qn[qidx])
+                for jj, qi in enumerate(qidx):
+                    order = np.lexsort((mi, -S[:, jj]))[: min(k, len(mi))]
+                    out_q.append(np.full(len(order), a_qids[qi]))
+                    out_n.append(mi[order])
+                    out_s.append(S[order, jj])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = member.mapInPandas(
+        run,
+        schema=f"query_id long, neighbor_id {dt[id_col]}, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def lsh_topk(

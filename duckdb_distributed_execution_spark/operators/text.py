@@ -31,6 +31,63 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+def tokens_exploded_arrow(df, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          term_col: str = "term"):
+    """The exploded (id, term) token relation — semantically IDENTICAL
+    to ``df.select(id, explode(tokens(normalize_text(text))))`` but
+    computed with Arrow compute kernels (RE2) in one mapInPandas pass
+    instead of java.util.regex inside codegen. Measured at organic
+    sf1: the JVM regex chain was ~2 s of bm25_retrieval_topk's 3.75 s
+    wall; the Arrow pass cuts the tokenize stage ~3×.
+
+    Parity argument (why RE2-vs-Java regex dialects cannot diverge):
+    the first replacement maps every char outside [a-z0-9 ] to a
+    space, so by the time the whitespace-collapse and split run, the
+    string contains only [a-z0-9 ] — the ``\\s`` dialect difference
+    (Java includes \\x0B, RE2 does not) is unreachable. Lowercasing
+    goes through Python ``str.lower()`` (full Unicode case mapping,
+    matching the JVM's — Arrow's utf8_lower uses SIMPLE mapping and
+    visibly diverges on expanding lowercases like 'İ' → 'i̇', which
+    contributes an extra 'i' token on the JVM path; pinned by
+    tests/test_arrow_text.py). Null texts drop their row (explode
+    semantics); empty/whitespace-only texts yield one empty term
+    (split("") → [""]), matching both the JVM form and the DuckDB
+    oracle's string_split."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    dt = dict(df.dtypes)
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            if not len(pdf):
+                continue
+            x = pa.array(pdf[text_col].str.lower(), type=pa.string())
+            x = pc.replace_substring_regex(x, "[^a-z0-9 ]", " ")
+            x = pc.replace_substring_regex(x, " +", " ")
+            x = pc.utf8_trim(x, " ")
+            toks = pc.split_pattern(x, " ")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ids = np.repeat(pdf[id_col].values, lens)
+            yield pd.DataFrame(
+                {id_col: ids, term_col: pc.list_flatten(toks).to_pandas()}
+            )
+
+    return ensure_min_parallelism(
+        df.select(id_col, text_col)
+    ).mapInPandas(run, schema=f"{id_col} {dt[id_col]}, {term_col} string")
+
+
 def normalize_text(col: Column | str) -> Column:
     """lower → strip non-alphanumerics → collapse whitespace → trim.
     The canonical form used by fingerprints and exact dedup."""
@@ -125,6 +182,109 @@ def oracle_quality_score(expr: str) -> str:
     )
 
 
+def doc_features_arrow(df, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       carry_cols: tuple[str, ...] = ()):
+    """One Arrow-batched pass computing the three per-doc features the
+    ingest funnel consumes — ``quality`` (= quality_score), ``fp``
+    (= fingerprint) and ``n_words`` (= size(split(text, ' '))) — with
+    byte-identical results to the JVM column expressions:
+
+    - normalization runs the same regex chain via Arrow kernels (the
+      RE2-vs-Java dialect difference is unreachable — see
+      tokens_exploded_arrow's parity argument);
+    - quality is the same double arithmetic in the same operation
+      order (IEEE-identical in numpy);
+    - fp is md5 over the same normalized bytes (hashlib hexdigest ==
+      Spark md5);
+    - a NULL text yields NULL features (Spark null propagation).
+
+    Why: the JVM form evaluates normalize_text ~4× and tokenize ~3×
+    per row (quality_score and stopword_count each re-derive them)
+    and the stopword filter is an interpreted higher-order function —
+    measured at organic sf1 this single fused pass replaces ~6 s of
+    the ingest funnel's base-stage wall (ADVICE-class hot path; the
+    oracle-facing semantics are pinned by the funnel's own oracle and
+    by test_operators' JVM-vs-Arrow equivalence test)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    sw = frozenset(STOPWORDS)
+    dt = dict(df.dtypes)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mask = pdf[text_col].notna().values
+            arr = pa.array(pdf[text_col][mask], type=pa.string())
+            # Python str.lower == JVM full case mapping (see
+            # tokens_exploded_arrow — Arrow's utf8_lower is the
+            # SIMPLE mapping and diverges on 'İ' etc.)
+            x = pa.array(
+                pdf[text_col][mask].str.lower(), type=pa.string()
+            )
+            x = pc.replace_substring_regex(x, "[^a-z0-9 ]", " ")
+            x = pc.replace_substring_regex(x, " +", " ")
+            x = pc.utf8_trim(x, " ")
+            toks = pc.split_pattern(x, " ")
+            n = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            uniq = np.empty(len(n))
+            swc = np.empty(len(n))
+            for i, lst in enumerate(toks.to_pylist()):
+                uniq[i] = len(set(lst))
+                swc[i] = sum(1 for t in lst if t in sw)
+            q = (
+                0.4 * np.minimum(1.0, n / 64.0)
+                + 0.3 * (uniq / n)
+                + 0.3 * (1.0 - swc / n)
+            )
+            fp = [
+                hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in x.to_pylist()
+            ]
+            nw = pc.count_substring(arr, " ").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64) + 1
+            out = {id_col: pdf[id_col].values}
+            for c in carry_cols:
+                out[c] = pdf[c].values
+            # object-dtype with None in the null slots → Arrow emits
+            # SQL NULLs (a float NaN would survive as NaN, which is
+            # not what Spark's null propagation produces)
+            quality = np.full(len(pdf), None, dtype=object)
+            quality[mask] = q
+            fpcol = np.full(len(pdf), None, dtype=object)
+            fpcol[mask] = fp
+            nwords = np.full(len(pdf), None, dtype=object)
+            nwords[mask] = nw
+            out["quality"] = quality
+            out["fp"] = fpcol
+            out["n_words"] = nwords
+            yield pd.DataFrame(out)
+
+    carry = "".join(f", {c} {dt[c]}" for c in carry_cols)
+    return ensure_min_parallelism(
+        df.select(id_col, *carry_cols, text_col)
+    ).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {dt[id_col]}{carry}, "
+            "quality double, fp string, n_words long"
+        ),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """N-gram/stopword language heuristic: English if the stopword
     ratio clears a threshold, else bucketed by mean token length
@@ -189,7 +349,18 @@ def bigram_ppl_scores(
 
     ws = ensure_min_parallelism(ws)
     tok = ws.select(F.explode("w").alias("t"))
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    # Pin the two reused relations (r7 — the sf1 funnel profile showed
+    # the CORPUS re-scanned once per consumer subtree, because ua, ub
+    # and tot are separate BROADCAST subtrees and broadcast subtrees
+    # don't share exchange reuse; bg likewise feeds both the
+    # bigram-count aggregate and the scoring join):
+    # uni is vocabulary-bounded (|vocab| rows) — pinning it makes
+    # ua/ub/tot metadata-cheap derivations instead of three more
+    # tokenize passes over the corpus. (Pinning the 2.7M-row bg
+    # relation as well was probed and REGRESSED at sf1: the eager
+    # materialization write costs more than the one saved re-explode,
+    # which AQE pipelines off the shared shuffle.)
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint()
     tot = uni.agg(F.sum("cu").alias("n"))
     bg = (
         ws.filter(F.size("w") >= 2)

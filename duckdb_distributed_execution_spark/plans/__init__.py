@@ -92,6 +92,11 @@ class PlanSummary:
     wholestage_codegen: bool | None
     n_codegen_stages: int       # distinct *(N) units; 0 when unknown
     is_adaptive: bool
+    # AQE propagated an empty relation through (part of) the final
+    # plan — joins/aggs legitimately run zero codegen stages then
+    # (a small-scale artifact, e.g. a selective join matching nothing
+    # at sf0.001; plancheck exempts these from the no-codegen smell).
+    has_empty_relation: bool = False
 
     @property
     def n_joins(self) -> int:
@@ -129,6 +134,7 @@ def _summarize_plan_string(plan: str) -> PlanSummary:
         wholestage_codegen=codegen,
         n_codegen_stages=n_cg,
         is_adaptive=is_adaptive,
+        has_empty_relation="EmptyRelation" in plan,
     )
 
 

@@ -159,9 +159,11 @@ def rag_hybrid_rrf(spark, sf_dir):
     # N-wide tokenize + one pinned postings pass (tf feeds the dfreq
     # broadcast AND the scoring join; broadcast subtrees don't share
     # exchange reuse — r6, same fix as bm25_retrieval_topk)
-    tok = ensure_min_parallelism(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    from duckdb_distributed_execution_spark.operators.text import (
+        tokens_exploded_arrow,
     )
+
+    tok = tokens_exploded_arrow(d, "doc_id", "text")
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")

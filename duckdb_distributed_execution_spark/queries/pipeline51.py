@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.operators.rowid import (
-    keyed_row_number,
+    keyed_kth_smallest,
 )
 from duckdb_distributed_execution_spark.queries import load, register
 from duckdb_distributed_execution_spark.queries.pipeline42 import (
@@ -81,8 +81,9 @@ _QMIN = 0.72
 )
 def ingest_funnel_by_source(spark, sf_dir):
     """Per-source survival counts through the four-stage ingest:
-    quota cap (first 20 per source — keyed_row_number, the
-    low-card hot-key rank), exact dedup (min-id per content
+    quota cap (first 20 per source — r7: a per-source k-th-smallest
+    threshold broadcast, keyed_kth_smallest, replacing the full
+    keyed_row_number rank), exact dedup (min-id per content
     fingerprint AMONG quota survivors — dedup order matters and is
     pinned), Gopher-ish quality floor, and the corpus-p90 perplexity
     cut, plus the surviving token mass. One corpus pass computes all
@@ -103,30 +104,34 @@ def ingest_funnel_by_source(spark, sf_dir):
         .limit(1)
         .first()["ppl"]
     )
-    from duckdb_distributed_execution_spark.functions import (
-        ensure_min_parallelism,
-    )
-
-    # quality/fingerprint HOFs run N-wide (single-row-group inputs
-    # scan at 1-2 tasks — r6), n_words is computed HERE so the pinned
-    # relation below never materializes the text column (the r6
+    # ONE fused Arrow pass for quality/fp/n_words (r7 — the JVM column
+    # form re-ran normalize ~4× and tokenize ~3× per row with an
+    # interpreted stopword filter; byte-identical outputs, see
+    # doc_features_arrow). n_words is computed in the same pass so the
+    # pinned relation below never materializes the text column (the r6
     # profile showed the checkpoint writing the full corpus text:
     # 10 s of the funnel's 20 s was this one phase).
-    base = ensure_min_parallelism(d.select("doc_id", "source", "text")).select(
-        "doc_id",
-        "source",
-        X.quality_score("text").alias("quality"),
-        X.fingerprint("text").alias("fp"),
-        F.size(F.split("text", " ")).alias("n_words"),
+    base = X.doc_features_arrow(d, "doc_id", "text", carry_cols=("source",))
+    # Quota check WITHOUT per-row ranks (r7): "rn <= QUOTA by doc_id
+    # within source" ⟺ "doc_id <= the source's QUOTA-th smallest
+    # doc_id" (doc_id is unique), and the per-source thresholds are a
+    # |sources|-row broadcast from one bounded partial-top-k pass —
+    # keyed_row_number's 3 passes and its doc-keyed shuffle join were
+    # ~2 s of the sf1 funnel wall serving only this boolean.
+    thr = keyed_kth_smallest(
+        d.select("source", "doc_id"), ["source"], "doc_id", _QUOTA
     )
-    rn = keyed_row_number(
-        base.select("doc_id", "source"), ["source"], ["doc_id"], id_col="rn"
-    ).select("doc_id", "rn")
+    in_quota = F.col("kth").isNull() | (F.col("doc_id") <= F.col("kth"))
     # b feeds both keepfp and flags; pinning it avoids re-running the
-    # quality/fingerprint HOFs over the whole corpus a second time.
-    b = base.join(rn, "doc_id").localCheckpoint()
+    # quality/fingerprint pass over the whole corpus a second time.
+    b = (
+        base.join(F.broadcast(thr), "source", "left")
+        .withColumn("in_quota", in_quota)
+        .drop("kth")
+        .localCheckpoint()
+    )
     keepfp = (
-        b.filter(F.col("rn") <= _QUOTA)
+        b.filter(F.col("in_quota"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"))
     )
@@ -135,16 +140,16 @@ def ingest_funnel_by_source(spark, sf_dir):
         .join(ppl, "doc_id", "left")
         .select(
             "source",
-            F.when(F.col("rn") <= _QUOTA, 1).otherwise(0).alias("f_quota"),
+            F.when(F.col("in_quota"), 1).otherwise(0).alias("f_quota"),
             F.when(
-                (F.col("rn") <= _QUOTA)
+                F.col("in_quota")
                 & (F.col("keep_id") == F.col("doc_id")),
                 1,
             )
             .otherwise(0)
             .alias("f_exact"),
             F.when(
-                (F.col("rn") <= _QUOTA)
+                F.col("in_quota")
                 & (F.col("keep_id") == F.col("doc_id"))
                 & (F.col("quality") >= _QMIN),
                 1,
@@ -152,7 +157,7 @@ def ingest_funnel_by_source(spark, sf_dir):
             .otherwise(0)
             .alias("f_quality"),
             F.when(
-                (F.col("rn") <= _QUOTA)
+                F.col("in_quota")
                 & (F.col("keep_id") == F.col("doc_id"))
                 & (F.col("quality") >= _QMIN)
                 & F.coalesce(F.col("ppl") <= F.lit(cut), F.lit(False)),

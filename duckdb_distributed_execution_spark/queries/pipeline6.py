@@ -199,11 +199,11 @@ def bm25_retrieval_topk(spark, sf_dir):
     )
 
     # normalize+tokenize+explode is the corpus-heavy stage and feeds
-    # BOTH the dl and tf branches — run it N-wide even off a
-    # single-row-group input (r6; see ensure_min_parallelism)
-    tok = ensure_min_parallelism(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(X.tokens(X.normalize_text("text"))).alias("term")
-    )
+    # BOTH the dl and tf branches — Arrow-kernel tokenize (r7: the
+    # java.util.regex chain was ~2 s of the sf1 wall; see
+    # tokens_exploded_arrow for the parity argument), N-wide even off
+    # a single-row-group input.
+    tok = X.tokens_exploded_arrow(d, "doc_id", "text")
     # ONE tokenize pass: both the doc-length side and the tf side
     # derive from the same postings aggregate, whose exchange Catalyst
     # reuses (ReusedExchange) — the old shape hung dl and tf off `tok`

@@ -1,0 +1,135 @@
+"""Arrow-kernel text operators (r7 sf1-watchlist surgery) must be
+EXACTLY equivalent to the JVM column expressions they replace — not
+just oracle-parity at one sf, but row-for-row identical on adversarial
+inputs (unicode, empty, whitespace-only, null, regex metacharacters).
+The parity argument (why RE2-vs-java.util.regex dialects cannot
+diverge after the first [^a-z0-9 ]→space replacement) lives in
+operators/text.py::tokens_exploded_arrow; these tests enforce it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_distributed_execution_spark.operators import text as X
+
+ADVERSARIAL = [
+    (1, "Hello, World!  multiple   spaces"),
+    (2, ""),
+    (3, "   "),
+    (4, None),
+    (5, "ALL-CAPS&SYMBOLS###"),
+    (6, "tabs\tand\nnewlines\x0bvertical"),
+    (7, "unicode Éclair ß İstanbul KK kelvin"),
+    (8, "regex .*+?[]{}()|^$ metachars"),
+    (9, "a"),
+    (10, "numbers 123 mixed a1b2"),
+    (11, "the a of and to in is it on for stopwords"),
+    (12, "x" * 500),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ADVERSARIAL, "doc_id LONG, text STRING")
+
+
+def test_tokens_exploded_arrow_matches_jvm(spark, docs):
+    jvm = docs.select(
+        "doc_id",
+        F.explode(X.tokens(X.normalize_text("text"))).alias("term"),
+    )
+    arrow = X.tokens_exploded_arrow(docs, "doc_id", "text")
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+
+
+def test_tokens_exploded_arrow_on_real_corpus(spark):
+    """Same check over the driver corpus — volume + real distribution."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jvm = d.select(
+        "doc_id",
+        F.explode(X.tokens(X.normalize_text("text"))).alias("term"),
+    )
+    arrow = X.tokens_exploded_arrow(d, "doc_id", "text")
+    assert jvm.count() == arrow.count()
+    assert jvm.exceptAll(arrow).limit(1).count() == 0
+    assert arrow.exceptAll(jvm).limit(1).count() == 0
+
+
+def test_doc_features_arrow_matches_jvm(spark, docs):
+    jvm = docs.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fp"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    ).collect()
+    arrow = X.doc_features_arrow(docs, "doc_id", "text").collect()
+    j = {r["doc_id"]: r for r in jvm}
+    a = {r["doc_id"]: r for r in arrow}
+    assert set(j) == set(a)
+    for k in j:
+        assert j[k]["fp"] == a[k]["fp"], k
+        # quality must be BIT-identical (same IEEE op order), not close
+        assert j[k]["quality"] == a[k]["quality"], k
+        if j[k]["text" if False else "n_words"] is not None:
+            assert j[k]["n_words"] == a[k]["n_words"], k
+
+
+def test_doc_features_arrow_on_real_corpus(spark):
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jvm = d.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        X.fingerprint("text").alias("fp"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    arrow = X.doc_features_arrow(d, "doc_id", "text")
+    assert jvm.exceptAll(arrow).limit(1).count() == 0
+    assert arrow.exceptAll(jvm).limit(1).count() == 0
+
+
+def test_keyed_kth_smallest_matches_window(spark):
+    """keyed_kth_smallest == the k-th value of ROW_NUMBER ordering,
+    across batch boundaries and under-k keys."""
+    from duckdb_distributed_execution_spark.operators.rowid import (
+        keyed_kth_smallest,
+    )
+
+    df = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            # scattered, unique order values
+            ((F.col("id") * 131) % 1009).alias("v"),
+        )
+        .union(spark.createDataFrame([(99, 5), (99, 3)], "k LONG, v LONG"))
+        .repartition(8)
+    )
+    got = {
+        r["k"]: r["kth"]
+        for r in keyed_kth_smallest(df, ["k"], "v", 20).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("v")
+    want_rows = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 20)
+        .collect()
+    )
+    want = {r["k"]: r["v"] for r in want_rows}
+    for k in got:
+        assert got[k] == want.get(k), k  # None for under-k keys
+    assert got[99] is None, "under-k key must report no threshold"
+    # the quota equivalence the funnel relies on: v <= kth ⟺ rn <= 20
+    thr = keyed_kth_smallest(df, ["k"], "v", 20)
+    quota = df.join(thr, "k", "left").filter(
+        F.col("kth").isNull() | (F.col("v") <= F.col("kth"))
+    )
+    rn20 = df.withColumn("rn", F.row_number().over(w)).filter("rn <= 20")
+    assert quota.count() == rn20.count()
+    assert quota.select("k", "v").exceptAll(
+        rn20.select("k", "v")
+    ).count() == 0

@@ -184,7 +184,11 @@ def main() -> None:
             smells.append(f"shuffles={s.n_shuffle_exchanges}>{budget}")
         if s.n_sortmerge_joins > 2:
             smells.append(f"smj={s.n_sortmerge_joins}")
-        if args.execute and s.n_codegen_stages == 0 and s.n_joins + int(s.has_partial_agg) > 0:
+        if (args.execute and s.n_codegen_stages == 0
+                and s.n_joins + int(s.has_partial_agg) > 0
+                and not s.has_empty_relation):
+            # empty-relation-collapsed plans (AQE propagates an empty
+            # join side at tiny sf) legitimately run zero codegen
             smells.append("no-codegen")
         cg = "?" if s.wholestage_codegen is None else str(s.n_codegen_stages)
         line = (
