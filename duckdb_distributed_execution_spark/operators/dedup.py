@@ -105,6 +105,36 @@ def oracle_word_shingles(expr: str, n: int) -> str:
     )
 
 
+def array_shingles(arr: Column, n: int, sep: str = " ") -> Column:
+    """Distinct n-gram shingles of an ARBITRARY token array (the
+    array-input generalization of word_shingles — same zip-shift
+    construction, same trailing-null filtering). Used where the token
+    stream is NOT whitespace words — e.g. BPE token sequences in the
+    tokenizer-aware contamination screen (pipeline57)."""
+    if n == 1:
+        return F.array_distinct(arr)
+    acc = arr
+    for k in range(1, n):
+        shifted = F.slice(
+            arr, k + 1, F.greatest(F.size(arr) - F.lit(k), F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+
+
+def oracle_array_shingles(list_expr: str, n: int, sep: str = " ") -> str:
+    """DuckDB mirror of :func:`array_shingles` over a list expression
+    (bound once via the 1-element list_transform trick — see
+    oracle_word_shingles)."""
+    if n == 1:
+        return f"list_distinct({list_expr})"
+    return (
+        f"list_distinct(flatten(list_transform([{list_expr}], "
+        f"w -> list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice(w, i, i + {n - 1}), '{sep}')))))"
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard of two DISTINCT-element arrays. |a∪b| is computed as
     |a|+|b|−|a∩b| — one set operation per pair instead of two (the

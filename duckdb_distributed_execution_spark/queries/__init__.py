@@ -183,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline54,
         pipeline55,
         pipeline56,
+        pipeline57,
         textstats,
         tpch,
         vectors,
