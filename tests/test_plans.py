@@ -192,6 +192,37 @@ def test_headline_shuffle_budget(spark, name):
     )
 
 
+# Post-AQE EXECUTED-plan pins for the same headline queries (round-7
+# verdict task 2): the final adaptive plan's shuffle count must equal
+# the compiled pin (AQE may only eliminate shuffles, never add — a
+# mismatch means either a plan regression or a counter bug), and every
+# headline query must run with REAL whole-stage-codegen stages.
+HEADLINE_EXECUTED = {
+    # name: (post-AQE shuffles, min codegen stages; measured r7)
+    "agg_pricing_summary": (1, 2),
+    "join_multi_star": (1, 6),
+    "sessionize_window_sql": (1, 4),
+    "dedup_minhash_lsh": (3, 7),
+    "tpch_q9_partsupp": (2, 9),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_EXECUTED))
+def test_headline_executed_plan(spark, name):
+    df = all_queries()[name].fn(spark, SF_SMOKE)
+    s = summarize_executed(df)
+    shuf, min_cg = HEADLINE_EXECUTED[name]
+    assert s.n_shuffle_exchanges == shuf, (
+        f"{name}: executed plan has {s.n_shuffle_exchanges} shuffles, "
+        f"pinned {shuf}"
+    )
+    assert s.wholestage_codegen is True
+    assert s.n_codegen_stages >= min_cg, (
+        f"{name}: only {s.n_codegen_stages} codegen stages "
+        f"(pinned ≥ {min_cg}) — a hot path fell out of codegen"
+    )
+
+
 def test_shuffle_counter_sees_aqe_plans(spark):
     """The regression the round-5 verdict found: agg_pricing_summary
     visibly contains an Exchange, but under AQE the formatted plan
