@@ -27,9 +27,7 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_avg_rounded,
 )
 from duckdb_distributed_execution_spark.operators.text import (
-    normalize_text,
     oracle_normalize,
-    tokens,
 )
 from duckdb_distributed_execution_spark.queries import load, register
 

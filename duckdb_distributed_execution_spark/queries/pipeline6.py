@@ -194,10 +194,6 @@ def bm25_retrieval_topk(spark, sf_dir):
         [(qid, t) for qid, *ts in _BM25_QUERIES for t in ts],
         "query_id STRING, term STRING",
     )
-    from duckdb_distributed_execution_spark.functions import (
-        ensure_min_parallelism,
-    )
-
     # normalize+tokenize+explode is the corpus-heavy stage and feeds
     # BOTH the dl and tf branches — Arrow-kernel tokenize (r7: the
     # java.util.regex chain was ~2 s of the sf1 wall; see
