@@ -273,8 +273,8 @@ def ivf_topk(
     lives in exactly one cell and the probed cells are distinct, so
     no (query, neighbor) pair is generated twice.
 
-    r7 (sf1 watchlist): the probe SCORING stage is now one numpy
-    matmul per Arrow batch with a per-cell query mask — the same
+    r7 (sf1 watchlist): the probe SCORING stage is one numpy matmul
+    per Arrow batch with a per-cell query mask — the same
     brute_force_topk_numpy shape, restricted to each batch row's own
     cell — replacing the interpreted JVM dot-product fold over the
     (member × probing-query) join that dominated the sf1 wall
@@ -282,29 +282,53 @@ def ivf_topk(
     routing happens on the DRIVER over the bounded query set with the
     exact quantized convention the oracles use (⌊d²·1e6+.5⌋, cid
     tie-break — assignment ranks can never disagree at a near-tie);
-    the corpus still never shuffles: assignment and scoring are two
-    chained narrow mapInPandas passes, and only per-batch top-k
-    survivors (queries × k × n_batches rows) reach the rank window."""
+    the corpus still never shuffles, and assignment + scoring are now
+    FUSED into a single mapInPandas pass (second r7 cut: two chained
+    Arrow stages paid the serialize/deserialize round trip on the
+    full (id, cid, vec) corpus twice — the fused pass assigns the
+    batch with the same quantized argmin, then scores it, so the
+    corpus crosses the Arrow boundary once and only per-batch top-k
+    survivors (queries × k × n_batches rows) reach the rank window.
+    The assignment arithmetic is byte-for-byte the ivf_assign_numpy
+    kernel (exact ⟨v,v⟩−2⟨v,c⟩+⟨c,c⟩ expansion, ⌊d²·1e6+.5⌋ argmin,
+    first-minimum = lowest cid)."""
     import numpy as np
     import pandas as pd
 
-    # numpy corpus assignment (one matmul per Arrow batch, quantized
-    # argmin mirrored by the oracle ordering) delivers
-    # (id, cid, vec) with no shuffle and no interpreted folds (r6)
-    member = ivf_assign_numpy(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cid", vec_col
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
     )
+
+    # ONE driver job fetches BOTH bounded sides (centroids + query
+    # set) — they are usually two filters of the same scan, and two
+    # sequential collect() jobs paid the per-job floor twice (a
+    # measurable slice of the toy-scale wall; at 100 TB it's two
+    # cluster round trips instead of one).
+    tagged = centroids.select(
+        F.lit(1).alias("__side"),
+        F.col("cid").cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+    ).unionByName(
+        queries.select(
+            F.lit(2).alias("__side"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+    )
+    rows = tagged.collect()
     cent = sorted(
-        ((r["cid"], list(r[vec_col])) for r in centroids.collect()),
+        ((r["__id"], list(r["__v"])) for r in rows if r["__side"] == 1),
         key=lambda t: t[0],
     )
     cids = np.asarray([c[0] for c in cent], dtype=np.int64)
     C = np.asarray([c[1] for c in cent], dtype=np.float64)
     cc = np.einsum("ij,ij->i", C, C)
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qrows = [
+        (r["__id"], list(r["__v"])) for r in rows if r["__side"] == 2
+    ]
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray(
-        [[float(x) for x in r[vec_col]] for r in qrows], dtype=np.float64
+        [[float(x) for x in r[1]] for r in qrows], dtype=np.float64
     )
     qq = np.einsum("ij,ij->i", Q, Q)
     # exact oracle expansion + quantized rank; centroids are sorted by
@@ -319,18 +343,34 @@ def ivf_topk(
     Qn = np.sqrt(qq)
     dt = dict(corpus.dtypes)
     b = corpus.sparkSession.sparkContext.broadcast(
-        (qids, Q, Qn, {c: np.asarray(v) for c, v in cell_to_q.items()})
+        (
+            qids,
+            Q,
+            Qn,
+            {c: np.asarray(v) for c, v in cell_to_q.items()},
+            cids,
+            C,
+            cc,
+        )
     )
 
     def run(batches):
-        a_qids, a_Q, a_Qn, c2q = b.value
+        a_qids, a_Q, a_Qn, c2q, k_ids, K, k_cc = b.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf["neighbor_id"].values
-            cell = pdf["cid"].values
+            ids = pdf[id_col].values
             V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            Vn = np.linalg.norm(V, axis=1)
+            # inline corpus assignment — same kernel as
+            # ivf_assign_numpy (exact expansion, quantized argmin,
+            # first minimum = lowest cid)
+            vv = np.einsum("ij,ij->i", V, V)
+            DA = vv[:, None] - 2.0 * (V @ K.T) + k_cc[None, :]
+            j = np.argmin(
+                np.floor(DA * 1e6 + 0.5).astype(np.int64), axis=1
+            )
+            cell = k_ids[j]
+            Vn = np.sqrt(vv)
             out_q, out_n, out_s = [], [], []
             for c in np.unique(cell):
                 qidx = c2q.get(int(c))
@@ -354,7 +394,9 @@ def ivf_topk(
                 }
             )
 
-    cand = member.mapInPandas(
+    cand = ensure_min_parallelism(
+        corpus.select(id_col, vec_col)
+    ).mapInPandas(
         run,
         schema=f"query_id long, neighbor_id {dt[id_col]}, sim double",
     )
