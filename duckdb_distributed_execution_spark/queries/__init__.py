@@ -184,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline55,
         pipeline56,
         pipeline57,
+        pipeline58,
         textstats,
         tpch,
         vectors,
