@@ -1,10 +1,11 @@
-"""Crash-atomic, reader-consistent DML commits (round-6 verdict #1).
+"""Crash-atomic, reader-consistent DML commits (round-6 verdict #1;
+commit point re-based on the round-8 manifest CAS — verdict r7 #1).
 
-Every mutation of a managed table commits by atomically renaming a
-fresh ``_manifest.json`` over the old one; new data files are staged
-into the directory BEFORE the commit (unreferenced, invisible) and
-superseded files are unlinked only AFTER it. These tests prove the
-two properties that layout buys:
+Every mutation of a managed table commits by atomically publishing a
+version-numbered manifest file via link(2) (manifest.try_commit); new
+data files are staged into the directory BEFORE the commit
+(unreferenced, invisible) and superseded files are unlinked only
+AFTER it. These tests prove the two properties that layout buys:
 
 * **Crash atomicity** — a writer that dies at ANY step (injected by
   monkeypatching the commit/GC syscalls) leaves the live table
@@ -57,11 +58,27 @@ def _make_table(spark, eng, name, n_batches=3):
         eng.insert_into(name, batch)
 
 
+def _read_latest_manifest(path: str) -> dict:
+    """Independent manifest resolution, sharing no code with the
+    engine: highest-numbered ``_manifest-v*.json`` (the round-8 CAS
+    commit log), falling back to the legacy ``_manifest.json``."""
+    import re
+
+    versions = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(path)
+        for m in [re.fullmatch(r"_manifest-v(\d+)\.json", f)]
+        if m
+    )
+    name = versions[-1][1] if versions else "_manifest.json"
+    with open(os.path.join(path, name)) as fh:
+        return json.load(fh)
+
+
 def _resolve_external(path: str) -> tuple[int, int]:
     """What a second PROCESS sees: read the manifest, scan exactly the
     files it lists with an engine that shares nothing with Spark."""
-    with open(os.path.join(path, "_manifest.json")) as fh:
-        m = json.load(fh)
+    m = _read_latest_manifest(path)
     files = [os.path.join(path, f) for f in m["files"]]
     cnt, s = duckdb.sql(
         "SELECT COUNT(*), COALESCE(SUM(k), 0) FROM read_parquet($f)",
@@ -75,21 +92,22 @@ class _Boom(RuntimeError):
 
 
 def test_crash_before_commit_preserves_old_version(spark, eng, monkeypatch):
-    """Writer dies AT the commit point (manifest rename): the staged
-    replacement files are already on disk, but the live table — both
-    through the engine and through an external resolver — is the
-    complete OLD version. Recovery is optional housekeeping."""
+    """Writer dies AT the commit point (the link(2) CAS publishing
+    the next version file): the staged replacement files are already
+    on disk, but the live table — both through the engine and through
+    an external resolver — is the complete OLD version. Recovery is
+    optional housekeeping."""
     _make_table(spark, eng, "ac_pre")
     path = eng._tables["ac_pre"].path
 
-    real_replace = os.replace
+    real_link = os.link
 
-    def exploding_replace(src, dst):
-        if dst.endswith("_manifest.json"):
+    def exploding_link(src, dst, **kw):
+        if "_manifest-v" in os.path.basename(dst):
             raise _Boom("crash at commit point")
-        return real_replace(src, dst)
+        return real_link(src, dst, **kw)
 
-    monkeypatch.setattr(os, "replace", exploding_replace)
+    monkeypatch.setattr(os, "link", exploding_link)
     with pytest.raises(_Boom):
         eng.delete_from("ac_pre", "k BETWEEN 120 AND 140")
     monkeypatch.undo()
@@ -176,14 +194,14 @@ def test_append_is_atomic(spark, eng, monkeypatch):
     _make_table(spark, eng, "ac_app", n_batches=1)
     path = eng._tables["ac_app"].path
 
-    real_replace = os.replace
+    real_link = os.link
 
-    def exploding_replace(src, dst):
-        if dst.endswith("_manifest.json"):
+    def exploding_link(src, dst, **kw):
+        if "_manifest-v" in os.path.basename(dst):
             raise _Boom("crash at append commit")
-        return real_replace(src, dst)
+        return real_link(src, dst, **kw)
 
-    monkeypatch.setattr(os, "replace", exploding_replace)
+    monkeypatch.setattr(os, "link", exploding_link)
     extra = spark.range(1000, 1100).select(
         F.col("id").alias("k"), F.lit("new").alias("v")
     )
