@@ -75,11 +75,20 @@ def main() -> None:
     # of one small query, but never hit the same query in all three
     # passes minutes apart). Each timed run is the full plan
     # (scan → compute → noop sink), nothing cached.
+    # Subset runs ($SPARK_GRAFT_QUERIES) warm twice: a short cohort
+    # doesn't amortize JIT/codegen the way the full 17-query pass does
+    # — the first heavy query of a 4-query spot-pair was measured 3×
+    # its full-set row purely from warm-up (round-7 verdict, What's
+    # wrong #3). Two warm passes put subset timings on the same
+    # steady-state footing as full-set rows.
+    warm_passes = 2 if sel else 1
     timings: dict[str, float] = {n: float("inf") for n in headline}
-    for name in headline:
-        specs[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    for _ in range(warm_passes):
+        for name in headline:
+            spark.catalog.clearCache()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     spark.catalog.clearCache()
     for _ in range(3):
         for name in headline:

@@ -15,8 +15,16 @@ bucket gradient is independent of partitioning and summation order;
 weight updates are integer arithmetic on nanos; the only float ops
 (sigmoid, the /n normalization) are single IEEE expressions evaluated
 in identical order on both engines. T driver-side rounds therefore
-replay bit-identically in a DuckDB oracle's unrolled MATERIALIZED CTE
-chain.
+replay identically in a DuckDB oracle's unrolled MATERIALIZED CTE
+chain — with ONE caveat the integer discipline cannot remove: exp()
+is a transcendental, and neither the JVM's nor DuckDB's libm is
+correctly rounded, so a 1-ulp sigmoid divergence CAN flip a
+floor(+0.5) quantization landing exactly on a .5 boundary and cascade
+through later rounds. This is the same measure-zero boundary hazard
+documented for ivf_assign_numpy (similarity.py) — never observed on
+the pinned corpora, caught loudly by the oracle value-hash if it ever
+fires, but it is a probabilistic-zero property, not an IEEE identity
+guarantee (the +/−/× terms ARE exact; only exp carries ulp risk).
 
 Scale shape: the feature relation is corpus-sized and stays
 distributed (pinned once, reused by every round); each round is one

@@ -348,20 +348,34 @@ def bigram_ppl_scores(
     )
 
     ws = ensure_min_parallelism(ws)
-    tok = ws.select(F.explode("w").alias("t"))
-    # Pin the two reused relations (r7 — the sf1 funnel profile showed
-    # the CORPUS re-scanned once per consumer subtree, because ua, ub
-    # and tot are separate BROADCAST subtrees and broadcast subtrees
-    # don't share exchange reuse; bg likewise feeds both the
-    # bigram-count aggregate and the scoring join):
-    # uni is vocabulary-bounded (|vocab| rows) — pinning it makes
-    # ua/ub/tot metadata-cheap derivations instead of three more
-    # tokenize passes over the corpus. (Pinning the 2.7M-row bg
-    # relation as well was probed and REGRESSED at sf1: the eager
-    # materialization write costs more than the one saved re-explode,
-    # which AQE pipelines off the shared shuffle.)
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint()
+    # r8 funnel surgery, part 1 — ONE counting pass instead of two.
+    # The corpus used to be tokenized+exploded once for unigram counts
+    # and again for bigram counts (each re-pays scan+split: measured
+    # ~1.4 s and ~1.2 s at organic sf1, the r7 uni localCheckpoint
+    # pinned the result but not the second pass). Emitting
+    # (token, next-or-NULL) per POSITION folds both into one explode +
+    # one grouped shuffle: c(a) = Σ_b c(a,b) where NULL b marks "a was
+    # a document's last token", so the unigram relation derives from
+    # the pinned grouped result (distinct-bigrams + vocab rows —
+    # bounded) instead of a second corpus pass. try_element_at is the
+    # ANSI-safe out-of-bounds → NULL next-token probe.
+    cnt = (
+        ws.select(
+            F.expr(
+                "explode(transform(w, (x, i) -> "
+                "struct(x AS a, try_element_at(w, i + 2) AS b)))"
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint()
+    )
+    uni = cnt.groupBy("a").agg(F.sum("cab").alias("cu")).withColumnRenamed(
+        "a", "t"
+    )
     tot = uni.agg(F.sum("cu").alias("n"))
+    bgc = cnt.filter(F.col("b").isNotNull())
     bg = (
         ws.filter(F.size("w") >= 2)
         .select(
@@ -373,7 +387,18 @@ def bigram_ppl_scores(
         )
         .select("__id", "p.a", "p.b")
     )
-    bgc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    # r8 funnel surgery, part 2 — the scoring join used to shuffle the
+    # FULL corpus bigram stream on its (a,b) string key — the single
+    # largest exchange in the LM subtree. The per-bigram logprob
+    # relation lp is DISTINCT-bigram-bounded (≪ the stream for
+    # natural text, vocab²-capped), so when the pinned count relation
+    # is broadcastable, ship lp to the stream side instead of
+    # shuffling the stream to lp — the kmeans-centroid / IVF-LUT
+    # pattern (the corpus never crosses an exchange it doesn't need).
+    # Above the gate the plan falls back to the shuffle join, which is
+    # the right 100 TB shape when the distinct-bigram relation itself
+    # is corpus-sized. The quantized integer results are identical on
+    # both paths (same lpq per (a,b)).
     ua = F.broadcast(uni.select(F.col("t").alias("a"), F.col("cu").alias("ca")))
     ub = F.broadcast(uni.select(F.col("t").alias("b"), F.col("cu").alias("cb")))
     p = F.lit(lam) * (
@@ -381,16 +406,19 @@ def bigram_ppl_scores(
     ) + F.lit(1.0 - lam) * (
         F.col("cb").cast("double") / F.col("n").cast("double")
     )
-    scored = (
-        bg.join(bgc, ["a", "b"])
-        .join(ua, "a")
+    lp = (
+        bgc.join(ua, "a")
         .join(ub, "b")
         .crossJoin(F.broadcast(tot))
         .select(
-            "__id",
+            "a",
+            "b",
             F.round(F.log(p) * F.lit(scale)).cast("long").alias("lpq"),
         )
     )
+    if cnt.count() <= 10_000_000:  # cnt is pinned — counting is free
+        lp = F.broadcast(lp)
+    scored = bg.join(lp, ["a", "b"]).select("__id", "lpq")
     nll = -(F.sum("lpq") / F.lit(scale)) / F.count(F.lit(1))
     return scored.groupBy("__id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -11,7 +11,18 @@ asymmetry on the record with ONE timed pass per engine (no best-of-3
     python tools/probe_semantic_sf10.py [--sf-dir /tmp/dde_sf10]
     python tools/probe_semantic_sf10.py --skip-duckdb   # engine only
     python tools/probe_semantic_sf10.py --duckdb-timeout 7200
-"""
+
+Protocol note (one honest asymmetry): Spark gets one untimed warm
+pass (JVM JIT + codegen compilation — fixed cost that vanishes at
+scale) before its timed pass, while DuckDB is timed on a single cold
+evaluation. For a multi-hour-vs-seconds complexity-class comparison
+this is immaterial; for anything tighter use tools/ab_table.py, whose
+pairing warms both sides symmetrically.
+
+``--duckdb-timeout SECONDS`` interrupts the oracle after the budget
+(duckdb.interrupt from a watchdog thread) and records
+``duckdb_timed_out`` with the elapsed floor — so the multi-hour side
+of the asymmetry can be demonstrated without burning the hours."""
 
 from __future__ import annotations
 
@@ -35,6 +46,11 @@ def main() -> None:
     ap.add_argument("--query", default="semantic_dedup_seeded")
     ap.add_argument("--skip-duckdb", action="store_true")
     ap.add_argument("--skip-spark", action="store_true")
+    ap.add_argument(
+        "--duckdb-timeout", type=float, default=None, metavar="SECONDS",
+        help="interrupt the DuckDB oracle after this many seconds and "
+             "record duckdb_timed_out=true (elapsed becomes a floor)",
+    )
     args = ap.parse_args()
 
     from duckdb_distributed_execution_spark.queries import all_queries
@@ -56,8 +72,13 @@ def main() -> None:
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
-        # one warm pass (JIT/codegen), one timed pass — matches the
-        # DuckDB side's single timed evaluation
+        # one untimed warm pass (JVM JIT + codegen), one timed pass.
+        # The DuckDB side is a single cold evaluation — an asymmetry
+        # in DuckDB's favor-free direction is impossible to claim, so
+        # it is documented (module docstring) rather than hidden; for
+        # the complexity-class argument this probe exists to make, a
+        # few seconds of JIT warm-up vs a multi-hour quadratic oracle
+        # is noise.
         spec.fn(spark, args.sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -70,6 +91,8 @@ def main() -> None:
         spark.stop()
 
     if not args.skip_duckdb:
+        import threading
+
         import duckdb
 
         con = duckdb.connect()
@@ -79,9 +102,21 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
                 f"'{os.path.join(args.sf_dir, t + '.parquet')}')"
             )
+        watchdog = None
+        if args.duckdb_timeout:
+            watchdog = threading.Timer(args.duckdb_timeout, con.interrupt)
+            watchdog.daemon = True
+            watchdog.start()
         t0 = time.perf_counter()
-        con.execute(spec.oracle).fetchall()
-        out["duckdb_sec"] = round(time.perf_counter() - t0, 3)
+        try:
+            con.execute(spec.oracle).fetchall()
+            out["duckdb_sec"] = round(time.perf_counter() - t0, 3)
+        except duckdb.InterruptException:
+            out["duckdb_sec"] = round(time.perf_counter() - t0, 3)
+            out["duckdb_timed_out"] = True
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
 
     print(json.dumps(out))
 
