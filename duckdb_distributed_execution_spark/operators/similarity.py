@@ -266,6 +266,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 1,
+    graph_edges: int | None = None,
 ) -> DataFrame:
     """IVF probe: route each query to its ``nprobe`` nearest centroid
     cells and rank only those cells' members by cosine — candidates
@@ -335,7 +336,26 @@ def ivf_topk(
     # cid, so a STABLE argsort's tie-break IS the cid tie-break
     D = (qq[:, None] - 2.0 * (Q @ C.T)) + cc[None, :]
     qd = np.floor(D * 1e6 + 0.5).astype(np.int64)
-    probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    if graph_edges is None:
+        probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    else:
+        # GRAPH routing (wave 59): the probe set is the query's ENTRY
+        # cell plus that cell's precomputed graph neighbors — the
+        # cluster-graph / HNSW-layer-0 pattern real retrieval stacks
+        # use. The index-build artifact is the centroid k-NN graph
+        # (each centroid's ``graph_edges`` nearest OTHER centroids by
+        # the same quantized d², cid tie-break); at query time the
+        # expansion is a table lookup, not a distance rank — unlike
+        # nprobe multiprobe, the runner-up cells come from the GRAPH
+        # (build-time, query-independent), so adding recall never
+        # re-ranks centroids per query. Entry ∉ its own neighbor list
+        # by construction, so the probe set is duplicate-free.
+        DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
+        qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
+        np.fill_diagonal(qdc, np.iinfo(np.int64).max)
+        nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
+        entry = np.argmin(qd, axis=1)  # first-min = lowest cid
+        probe_idx = np.concatenate([entry[:, None], nbrs[entry]], axis=1)
     cell_to_q: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         for ci in probe_idx[qi]:

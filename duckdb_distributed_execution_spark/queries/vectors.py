@@ -374,6 +374,68 @@ def ann_ivf_multiprobe_topk(spark, sf_dir):
 
 
 @register(
+    "ann_graph_routed_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    cg AS (
+      SELECT src, dst FROM (
+        SELECT a.cid AS src, b.cid AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.cid
+                 ORDER BY CAST(floor(
+                   ((list_dot_product(a.cv, a.cv)
+                     - 2.0 * list_dot_product(a.cv, b.cv))
+                    + list_dot_product(b.cv, b.cv)) * 1000000.0 + 0.5)
+                   AS BIGINT), b.cid) AS rn
+        FROM cents a JOIN cents b ON a.cid <> b.cid)
+      WHERE rn <= 2),
+    entry AS (SELECT vec_id AS query_id, cid, v AS qv
+              FROM assign WHERE vec_id < 13 AND rn = 1),
+    probe AS (
+      SELECT query_id, cid FROM entry
+      UNION
+      SELECT e.query_id, g.dst AS cid FROM entry e JOIN cg g ON g.src = e.cid),
+    qv AS (SELECT query_id, qv FROM entry),
+    sims AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS sim
+      FROM probe p JOIN qv q USING (query_id) JOIN cells c ON p.cid = c.cid)
+    SELECT query_id, neighbor_id, CAST(rn2 AS INTEGER) AS rank, ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM sims)
+    WHERE rn2 <= 5
+    """,
+)
+def ann_graph_routed_topk(spark, sf_dir):
+    """Graph-routed ANN (wave 59): the index build adds a centroid
+    k-NN GRAPH (each centroid's 2 nearest other centroids, same
+    quantized-d² convention as the assignment); a query probes its
+    entry cell plus the entry's graph neighbors — the cluster-graph /
+    HNSW-layer-0 routing real retrieval stacks use. Unlike nprobe
+    multiprobe (runner-up cells re-ranked per query), the expansion
+    set is a build-time table lookup: at 100 TB the graph is
+    |centroids|×R and broadcasts with the centroids, queries never
+    rank the centroid set beyond their single argmin, and the corpus
+    side stays the one fused assign+score Arrow pass."""
+    from duckdb_distributed_execution_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    out = ivf_topk(corpus, queries, cents, k=5, graph_edges=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
     "ann_ivf_recall_eval",
     oracle=f"""
     WITH {_IVF_ASSIGN},
