@@ -296,13 +296,18 @@ def oracle_minhash_lsh_sql(
     verify_threshold: float = 0.4,
     max_bucket: int = 256,
     final_select: str | None = None,
+    base_where: str | None = None,
 ) -> str:
     """Full DuckDB mirror of ``minhash_lsh_pairs`` — same base hash,
     affine family, banding, bucket-size cap, and hashed-shingle
     Jaccard verification, so the banded candidate generation itself is
     oracle-checked (not just the signature math). ``final_select``
     overrides the trailing SELECT (the CTEs base/sig/bands/ok_buckets/
-    cand/sh/j stay available) — used by the selectivity gate query."""
+    cand/sh/j stay available) — used by the selectivity gate query.
+    ``base_where`` filters the base relation — used by the token-gram
+    variant to drop shingle-less docs exactly like the engine's
+    explode does (an all-NULL signature would otherwise band into one
+    spurious shared bucket)."""
     coeffs = minhash_coeffs(num_hashes)
     n_bands = num_hashes // band_size
     mh_cols = ", ".join(
@@ -320,12 +325,13 @@ def oracle_minhash_lsh_sql(
         )
         for b in range(n_bands)
     )
+    where_sql = f" WHERE {base_where}" if base_where else ""
     return f"""
     WITH base AS (
       SELECT doc_id,
              list_transform({shingles_expr},
                             s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS bh
-      FROM documents),
+      FROM documents{where_sql}),
     sig AS (SELECT doc_id, {mh_cols} FROM base),
     bands AS ({band_selects}),
     ok_buckets AS (
@@ -360,10 +366,16 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.4,
     max_bucket: int = 256,
     candidates_only: bool = False,
+    shingles: Column | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection:
     shingle → k min-hashes → bands of ``band_size`` → same-band-bucket
     candidate pairs → exact Jaccard verification ≥ threshold.
+
+    ``shingles`` overrides the default word-shingle column with any
+    array<string> expression over the input row — the wave-60
+    token-space variant passes BPE-token n-grams, reusing this whole
+    pipeline (signatures, banding, cap, verify) unchanged.
 
     Candidate pairs come from one groupBy on the band bucket
     (collect_list of doc ids, pairs unrolled bucket-locally) rather
@@ -391,11 +403,16 @@ def minhash_lsh_pairs(
     # → 1.73 s at sf0.1), and lineage survives, so losing a cached
     # executor block at cluster scale means recompute, not job death.
     para = df.sparkSession.sparkContext.defaultParallelism
+    shingle_col = (
+        shingles
+        if shingles is not None
+        else word_shingles(F.col(text_col), shingle_n)
+    )
     exploded = (
         df.repartition(para, id_col)
         .select(
             F.col(id_col).alias("doc"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+            F.explode(shingle_col).alias("s"),
         )
         .select("doc", minhash_base(F.col("s")).alias("h"))
     )

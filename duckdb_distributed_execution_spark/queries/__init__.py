@@ -185,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline56,
         pipeline57,
         pipeline58,
+        pipeline60,
         textstats,
         tpch,
         vectors,
