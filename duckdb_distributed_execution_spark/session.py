@@ -549,6 +549,17 @@ class Engine:
         return SqlDefault(d["v"]) if d["kind"] == "sql" else d["v"]
 
     def _persist_catalog(self) -> None:
+        """Write the catalog atomically (fsync'd temp + rename). Scope
+        is deliberately narrower than the DATA commits: the manifest
+        CAS serializes concurrent writers PER TABLE, but the catalog
+        records one engine's whole registry, so two engines doing DDL
+        against the same warehouse at the same instant is last-writer-
+        wins on the catalog FILE (their tables' data commits still
+        never collide). That matches the reference's model — one
+        duckling server owns its catalog — and DDL is operator-driven,
+        not pipeline-driven; merging divergent catalogs (Iceberg's
+        multi-table commit problem) is out of scope and documented
+        rather than half-solved."""
         cat = {
             "catalog_version": 1,
             "ts": time.time(),
