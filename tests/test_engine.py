@@ -584,8 +584,12 @@ def test_copy_from_and_warehouse_recovery(engine, spark, tmp_path):
 
     eng2 = Engine(spark, num_workers=2, warehouse=engine._warehouse)
     try:
-        recovered = eng2.reattach_warehouse()
-        assert "cf_t" in recovered
+        # r8: the persistent catalog restores the table at CONSTRUCTION
+        # (tests/test_persistent_catalog.py); reattach_warehouse stays
+        # as the layout-scan recovery for catalog-less warehouses and
+        # must be a no-op when the catalog already got there
+        assert "cf_t" in eng2.list_tables()
+        assert eng2.reattach_warehouse() == []
         assert eng2.execute("SELECT COUNT(*) FROM cf_t")[0][0] == 25
     finally:
         eng2._tables.clear()  # don't let eng2.close() delete the shared warehouse
