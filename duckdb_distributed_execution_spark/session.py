@@ -834,6 +834,8 @@ class Engine:
         t = self._tables[old]
         if not t.managed:
             raise ValueError("rename requires a managed table")
+        if self.table_exists(new):
+            raise ValueError(f"table {new!r} already exists")
         new_path = self._managed_path(new)
         os.rename(t.path, new_path)
         if os.path.isdir(self._snapshot_dir(old)):
@@ -844,6 +846,24 @@ class Engine:
         self.spark.catalog.dropTempView(old)
         del self._tables[old]
         self._attach_managed(new, new_path)
+        # Constraint bookkeeping follows the table (r8: previously the
+        # defaults/NOT NULL/CHECK/PK/ENUM entries stayed keyed under
+        # the old name, so enforcement silently lapsed after a rename
+        # — and the persistent catalog would have made the lapse
+        # durable).
+        for store in (self._defaults, self._enums):
+            for (tn, col) in [k for k in store if k[0] == old]:
+                store[(new, col)] = store.pop((tn, col))
+        renamed_nn = {(new, c) for (tn, c) in self._not_null if tn == old}
+        self._not_null = {
+            k for k in self._not_null if k[0] != old
+        } | renamed_nn
+        for store in (self._keys, self._checks, self._foreign):
+            if old in store:
+                store[new] = store.pop(old)
+        for iname, e in list(self._indexes.items()):
+            if e.table == old:
+                self._indexes[iname] = IndexEntry(iname, new, e.columns)
 
     @_ddl
     def alter_column_type(self, name: str, col: str, type_str: str) -> None:

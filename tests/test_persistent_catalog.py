@@ -136,6 +136,34 @@ def test_drops_and_renames_persist(spark, warehouse):
         e3.close()
 
 
+def test_rename_migrates_constraints(spark, warehouse):
+    """rename_table must carry defaults / NOT NULL / CHECK / PK / ENUM
+    / index bookkeeping to the new name (previously it silently lost
+    them — and the persistent catalog would have made the lapse
+    durable), in-session AND across a catalog reload."""
+    _build(spark, warehouse)
+    e = Engine(spark, num_workers=4, warehouse=warehouse)
+    e.rename_table("pc_t", "pc_renamed")
+    e.close()
+
+    e2 = Engine(spark, num_workers=4, warehouse=warehouse)
+    try:
+        with pytest.raises(ValueError, match="(?i)check"):
+            e2.insert_values("pc_renamed", [(9, -1, "neg", None)])
+        with pytest.raises(ValueError, match="(?i)not null|null"):
+            e2.insert_values("pc_renamed", [(9, 1, None, None)])
+        with pytest.raises(ValueError, match="(?i)unique|duplicate|key"):
+            e2.insert_values("pc_renamed", [(1, 99, "dup", None)])
+        with pytest.raises(ValueError, match="ENUM domain"):
+            e2.insert_values("pc_renamed", [(9, 1, "x", "angry")])
+        e2.insert_values("pc_renamed", [(9, 1)], columns=["id", "v"])
+        row = e2.table("pc_renamed").filter("id = 9").collect()[0]
+        assert row["tag"] == "none", "DEFAULT must follow the rename"
+        assert [i.table for i in e2.list_indexes()] == ["pc_renamed"]
+    finally:
+        e2.close()
+
+
 def test_close_preserves_explicit_warehouse(spark, warehouse):
     _build(spark, warehouse)
     # close() ran inside _build — the warehouse must still be there
