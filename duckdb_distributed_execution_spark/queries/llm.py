@@ -30,8 +30,29 @@ from duckdb_distributed_execution_spark.queries import load, register
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup groups on the normalized-text fingerprint — one
-    hash shuffle, map-side combined."""
+    hash shuffle, map-side combined. Above a metadata-cheap input-size
+    gate the fingerprint runs as one Arrow-batched normalize+md5 pass
+    (fingerprint_kv_arrow — byte-identical; Java's interpreted regex
+    chain measured 2.17 → 1.15 s at organic sf1); below it the JVM
+    column form wins (Python-worker fixed cost dominates toy scale)."""
+    import os as _os
+
     d = load(spark, sf_dir, "documents")["documents"]
+    p = _os.path.join(sf_dir, "documents.parquet")
+    nbytes = (
+        sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(p) for f in fs
+        )
+        if _os.path.isdir(p)
+        else (_os.path.getsize(p) if _os.path.exists(p) else 0)
+    )
+    if nbytes > 2 * 1024 * 1024:
+        kv = X.fingerprint_kv_arrow(d, "doc_id", "text")
+        return kv.groupBy("dedup_key").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
     return D.exact_dedup_groups(d, X.fingerprint("text"), "doc_id").select(
         "dedup_key", "keep_id", "n_dups"
     )
