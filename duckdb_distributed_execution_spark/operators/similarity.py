@@ -258,6 +258,56 @@ def ivf_assign_n(
     )
 
 
+def _route_probes(Q, qq, C, cc, nprobe, graph_edges):
+    """Per-query probe-cell indices under the shared quantized
+    convention (exact oracle expansion + ⌊d²·1e6+.5⌋ rank; centroids
+    are sorted by cid, so a STABLE argsort's tie-break IS the cid
+    tie-break). Two routing modes, one convention:
+
+    * nprobe (graph_edges None): the query's ``nprobe`` nearest cells.
+    * GRAPH routing (wave 59): the probe set is the query's ENTRY
+      cell plus that cell's precomputed graph neighbors — the
+      cluster-graph / HNSW-layer-0 pattern real retrieval stacks use.
+      The index-build artifact is the centroid k-NN graph (each
+      centroid's ``graph_edges`` nearest OTHER centroids by the same
+      quantized d², cid tie-break); at query time the expansion is a
+      table lookup, not a distance rank — unlike nprobe multiprobe,
+      the runner-up cells come from the GRAPH (build-time, query-
+      independent), so adding recall never re-ranks centroids per
+      query. Entry ∉ its own neighbor list by construction, so the
+      probe set is duplicate-free."""
+    import numpy as np
+
+    D = (qq[:, None] - 2.0 * (Q @ C.T)) + cc[None, :]
+    qd = np.floor(D * 1e6 + 0.5).astype(np.int64)
+    if graph_edges is None:
+        return np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
+    qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
+    np.fill_diagonal(qdc, np.iinfo(np.int64).max)
+    nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
+    entry = np.argmin(qd, axis=1)  # first-min = lowest cid
+    return np.concatenate([entry[:, None], nbrs[entry]], axis=1)
+
+
+def centroid_graph_edges(C, cc, graph_edges: int):
+    """The persisted form of the wave-59 index-build artifact:
+    (src_idx, dst_idx, rank) rows of each centroid's ``graph_edges``
+    nearest other centroids — the same quantized ranking
+    _route_probes walks at query time."""
+    import numpy as np
+
+    DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
+    qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
+    np.fill_diagonal(qdc, np.iinfo(np.int64).max)
+    nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
+    return [
+        (int(i), int(j), r + 1)
+        for i in range(len(C))
+        for r, j in enumerate(nbrs[i])
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -332,30 +382,7 @@ def ivf_topk(
         [[float(x) for x in r[1]] for r in qrows], dtype=np.float64
     )
     qq = np.einsum("ij,ij->i", Q, Q)
-    # exact oracle expansion + quantized rank; centroids are sorted by
-    # cid, so a STABLE argsort's tie-break IS the cid tie-break
-    D = (qq[:, None] - 2.0 * (Q @ C.T)) + cc[None, :]
-    qd = np.floor(D * 1e6 + 0.5).astype(np.int64)
-    if graph_edges is None:
-        probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
-    else:
-        # GRAPH routing (wave 59): the probe set is the query's ENTRY
-        # cell plus that cell's precomputed graph neighbors — the
-        # cluster-graph / HNSW-layer-0 pattern real retrieval stacks
-        # use. The index-build artifact is the centroid k-NN graph
-        # (each centroid's ``graph_edges`` nearest OTHER centroids by
-        # the same quantized d², cid tie-break); at query time the
-        # expansion is a table lookup, not a distance rank — unlike
-        # nprobe multiprobe, the runner-up cells come from the GRAPH
-        # (build-time, query-independent), so adding recall never
-        # re-ranks centroids per query. Entry ∉ its own neighbor list
-        # by construction, so the probe set is duplicate-free.
-        DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
-        qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
-        np.fill_diagonal(qdc, np.iinfo(np.int64).max)
-        nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
-        entry = np.argmin(qd, axis=1)  # first-min = lowest cid
-        probe_idx = np.concatenate([entry[:, None], nbrs[entry]], axis=1)
+    probe_idx = _route_probes(Q, qq, C, cc, nprobe, graph_edges)
     cell_to_q: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         for ci in probe_idx[qi]:
@@ -417,6 +444,113 @@ def ivf_topk(
     cand = ensure_min_parallelism(
         corpus.select(id_col, vec_col)
     ).mapInPandas(
+        run,
+        schema=f"query_id long, neighbor_id {dt[id_col]}, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_serve_topk(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    k: int = 5,
+    nprobe: int = 1,
+    graph_edges: int | None = None,
+) -> DataFrame:
+    """Top-k serving from a PRE-ASSIGNED cell table (wave 61 — the
+    persisted-index path): unlike ivf_topk, the corpus is NOT
+    re-assigned per query batch — ``cells`` already carries
+    (id, cid, vec) from the index build, so serving is: route the
+    bounded query set driver-side (same quantized convention +
+    optional graph routing via _route_probes), push ``cid IN probed``
+    into the cells SCAN (the cells table is written cid-sorted at
+    build time, so parquet row-group min/max stats prune unprobed
+    cells' row groups — at 100 TB the scan reads only the probed
+    cells' files), then ONE masked numpy matmul per Arrow batch with
+    the same stable lexsort top-k as ivf_topk. Scoring arithmetic is
+    identical to ivf_topk's, so build+serve equals assign+probe
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    cent = sorted(
+        ((r[cid_col], list(r[vec_col])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.asarray([c[0] for c in cent], dtype=np.int64)
+    C = np.asarray([c[1] for c in cent], dtype=np.float64)
+    cc = np.einsum("ij,ij->i", C, C)
+    qrows = [
+        (r[id_col], list(r[vec_col]))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qq = np.einsum("ij,ij->i", Q, Q)
+    probe_idx = _route_probes(Q, qq, C, cc, nprobe, graph_edges)
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for ci in probe_idx[qi]:
+            cell_to_q.setdefault(int(cids[ci]), []).append(qi)
+    probed = sorted(cell_to_q)
+    Qn = np.sqrt(qq)
+    dt = dict(cells.dtypes)
+    b = cells.sparkSession.sparkContext.broadcast(
+        (qids, Q, Qn, {c: np.asarray(v) for c, v in cell_to_q.items()})
+    )
+
+    def run(batches):
+        a_qids, a_Q, a_Qn, c2q = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].values
+            cell = pdf[cid_col].values
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cell):
+                qidx = c2q.get(int(c))
+                if qidx is None:
+                    continue
+                m = cell == c
+                mi = ids[m]
+                S = (V[m] @ a_Q[qidx].T) / np.outer(Vn[m], a_Qn[qidx])
+                for jj, qi in enumerate(qidx):
+                    order = np.lexsort((mi, -S[:, jj]))[: min(k, len(mi))]
+                    out_q.append(np.full(len(order), a_qids[qi]))
+                    out_n.append(mi[order])
+                    out_s.append(S[order, jj])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    # the serve-time scan: ONLY probed cells — this filter reaches the
+    # parquet scan (cells is cid-sorted at build time, so row-group
+    # stats prune everything else)
+    scan = cells.select(id_col, cid_col, vec_col).filter(
+        F.col(cid_col).isin([int(c) for c in probed])
+    )
+    cand = ensure_min_parallelism(scan).mapInPandas(
         run,
         schema=f"query_id long, neighbor_id {dt[id_col]}, sim double",
     )

@@ -135,6 +135,8 @@ class Engine:
         self._matviews: dict[str, str] = {}
         # rollup name → (group_cols, specs) for incremental maintenance
         self._rollups: dict[str, tuple[list[str], dict]] = {}
+        # persisted ANN index name → build metadata (wave 61)
+        self._vector_indexes: dict[str, dict] = {}
         from duckdb_distributed_execution_spark import (
             ensure_worker_pythonpath,
         )
@@ -595,6 +597,7 @@ class Engine:
                 name: {"group_cols": gc, "specs": specs}
                 for name, (gc, specs) in self._rollups.items()
             },
+            "vector_indexes": self._vector_indexes,
         }
         os.makedirs(self._warehouse, exist_ok=True)
         tmp = self._catalog_file() + f".tmp.{os.getpid()}"
@@ -674,6 +677,7 @@ class Engine:
                     r["group_cols"],
                     {k: tuple(v) for k, v in r["specs"].items()},
                 )
+            self._vector_indexes.update(cat.get("vector_indexes", {}))
         finally:
             self._catalog_loading = False
         self.catalog_load_warnings = warnings
@@ -1908,6 +1912,151 @@ class Engine:
             out, t.ms,
         )
         return out
+
+    # -- persisted vector index (wave 61) -------------------------------
+    # Build ONCE, serve MANY: ann_topk(method='ivf') re-trains and
+    # re-assigns the corpus on every call — correct, but a serving
+    # workload (RAG, retrieval eval, hard-negative mining) asks the
+    # same index thousands of times. create_vector_index persists the
+    # IVF(+centroid-graph) build as managed tables (manifest-committed,
+    # snapshot-versioned, catalog-recorded — they inherit ALL the
+    # round-8 durability machinery), and vector_search serves from
+    # them: queries route driver-side, the cells scan reads ONLY the
+    # probed cells (the cells table is written cid-SORTED, so parquet
+    # row-group min/max stats prune the rest), scoring is the same
+    # masked numpy kernel as ivf_topk. A second session on the same
+    # warehouse serves the index with zero rebuild.
+
+    def create_vector_index(
+        self,
+        name: str,
+        table: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 8,
+        graph_edges: int = 2,
+        centroids: DataFrame | None = None,
+    ) -> dict:
+        """Build + persist an ANN index over a registered corpus
+        table: ``{name}__centroids`` (cid, vec), ``{name}__cells``
+        (id, cid, dist, vec — cid-sorted for row-group pruning) and
+        ``{name}__graph`` (src, dst, rank — the wave-59 routing
+        artifact). Centroids default to the deterministic Lloyd's
+        k-means (kmeans_train); pass ``centroids=`` to bring your
+        own. Returns the recorded metadata."""
+        from duckdb_distributed_execution_spark.operators import (
+            similarity as S,
+        )
+
+        if name in self._vector_indexes:
+            raise ValueError(f"vector index {name!r} already exists")
+        corpus = self.spark.table(table)
+        cents = (
+            centroids
+            if centroids is not None
+            else S.kmeans_train(corpus, n_cells, id_col, vec_col)
+        )
+        cents = cents.select(
+            F.col("cid").cast("long").alias("cid"), F.col(vec_col)
+        )
+        cpath = self._managed_path(f"{name}__centroids")
+        cents.coalesce(1).write.mode("overwrite").parquet(cpath)
+        self._attach_managed(f"{name}__centroids", cpath)
+
+        assigned = S.ivf_assign_numpy(corpus, cents, id_col, vec_col)
+        # cid-sorted layout: the serve-time `cid IN probes` filter
+        # prunes unprobed cells' row groups via parquet min/max stats
+        apath = self._managed_path(f"{name}__cells")
+        assigned.sort("cid").write.mode("overwrite").parquet(apath)
+        self._attach_managed(f"{name}__cells", apath)
+
+        import numpy as np
+
+        crows = sorted(
+            ((r["cid"], list(r[vec_col]))
+             for r in self.table(f"{name}__centroids").collect()),
+            key=lambda t: t[0],
+        )
+        cids = [c[0] for c in crows]
+        C = np.asarray([c[1] for c in crows], dtype=np.float64)
+        cc = np.einsum("ij,ij->i", C, C)
+        edges = [
+            (int(cids[i]), int(cids[j]), r)
+            for i, j, r in S.centroid_graph_edges(C, cc, graph_edges)
+        ]
+        gpath = self._managed_path(f"{name}__graph")
+        self.spark.createDataFrame(
+            edges, "src long, dst long, rank int"
+        ).coalesce(1).write.mode("overwrite").parquet(gpath)
+        self._attach_managed(f"{name}__graph", gpath)
+
+        meta = {
+            "table": table,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_cells": n_cells,
+            "graph_edges": graph_edges,
+        }
+        self._vector_indexes[name] = meta
+        self._persist_catalog()
+        return dict(meta)
+
+    def vector_search(
+        self,
+        name: str,
+        queries: DataFrame | str,
+        k: int = 5,
+        nprobe: int = 1,
+        use_graph: bool = False,
+    ) -> DataFrame:
+        """Serve top-k cosine neighbors from a PERSISTED index — no
+        corpus re-assignment, no centroid re-training; the scan reads
+        only the probed cells. ``use_graph`` routes entry-cell +
+        graph-neighbors (wave 59) instead of nprobe re-ranking.
+        Eager + stats-recorded."""
+        from duckdb_distributed_execution_spark.operators import (
+            similarity as S,
+        )
+
+        meta = self._vector_indexes.get(name)
+        if meta is None:
+            raise ValueError(f"vector index {name!r} does not exist")
+        q = (
+            self.spark.table(queries)
+            if isinstance(queries, str)
+            else queries
+        )
+        topk = S.ivf_serve_topk(
+            self.table(f"{name}__cells"),
+            q,
+            self.table(f"{name}__centroids"),
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+            k=k,
+            nprobe=nprobe,
+            graph_edges=meta["graph_edges"] if use_graph else None,
+        )
+        with Timer() as t:
+            out = topk.localCheckpoint(eager=True)
+        self.recorder.record(
+            f"VECTOR_SEARCH(index={name}, k={k}, "
+            f"{'graph' if use_graph else f'nprobe={nprobe}'})",
+            out, t.ms,
+        )
+        return out
+
+    def drop_vector_index(self, name: str, if_exists: bool = False) -> None:
+        if name not in self._vector_indexes:
+            if if_exists:
+                return
+            raise ValueError(f"vector index {name!r} does not exist")
+        for suffix in ("__centroids", "__cells", "__graph"):
+            self.drop_table(f"{name}{suffix}", if_exists=True)
+        del self._vector_indexes[name]
+        self._persist_catalog()
+
+    def list_vector_indexes(self) -> list[str]:
+        return sorted(self._vector_indexes)
 
     def retrieve(self, docs_table: str, queries: DataFrame | str,
                  k: int = 10, method: str = "hybrid", depth: int = 20,
