@@ -436,6 +436,56 @@ def ann_graph_routed_topk(spark, sf_dir):
 
 
 @register(
+    "ann_served_multiprobe_topk",
+    # identical semantics to ann_ivf_multiprobe_topk — same oracle —
+    # but the ENGINE path is the wave-61 serving kernel over a
+    # PRE-ASSIGNED cell relation (ivf_serve_topk), so the driver's
+    # correctness gate covers the persisted-index serve path, not
+    # just the online assign+probe path.
+    oracle=f"""
+    WITH {_IVF_ASSIGN},
+    cells AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cid, v AS qv
+           FROM assign WHERE vec_id < 13 AND rn <= 2),
+    sims AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM qp JOIN cells c ON qp.cid = c.cid)
+    SELECT query_id, neighbor_id, CAST(rn2 AS INTEGER) AS rank, ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM sims)
+    WHERE rn2 <= 5
+    """,
+)
+def ann_served_multiprobe_topk(spark, sf_dir):
+    """The persisted-index SERVE path (wave 61): the corpus is
+    assigned once (the index build's cells relation), then ivf_serve_
+    topk answers the query batch from the pre-assigned cells — no
+    re-assignment, scan filtered to probed cells. Same results as
+    ann_ivf_multiprobe_topk by construction (shared routing and
+    scoring kernels); this entry proves it against the oracle."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign_numpy,
+        ivf_serve_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    cells = ivf_assign_numpy(corpus, cents)
+    out = ivf_serve_topk(cells, queries, cents, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
     "ann_ivf_recall_eval",
     oracle=f"""
     WITH {_IVF_ASSIGN},
