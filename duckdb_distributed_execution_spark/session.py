@@ -2045,6 +2045,35 @@ class Engine:
         )
         return out
 
+    def vector_index_upsert(self, name: str, vectors: DataFrame) -> int:
+        """Incremental index maintenance: assign a NEW vector batch to
+        the persisted centroids (ivf_assign_numpy — the build kernel,
+        so placements are identical to a full rebuild) and append it
+        to the cells table through the manifest CAS — a BLIND append,
+        so concurrent upserts rebase and never lose a batch, and a
+        concurrent reader serves either the old or the new complete
+        version. Centroids are NOT retrained (the standard IVF serving
+        trade: placements stay optimal w.r.t. the trained centroids;
+        retrain+rebuild when drift warrants). Returns rows appended."""
+        from duckdb_distributed_execution_spark.operators import (
+            similarity as S,
+        )
+
+        meta = self._vector_indexes.get(name)
+        if meta is None:
+            raise ValueError(f"vector index {name!r} does not exist")
+        assigned = S.ivf_assign_numpy(
+            vectors, self.table(f"{name}__centroids"),
+            meta["id_col"], meta["vec_col"],
+        ).localCheckpoint()  # assign once; count + append read the pin
+        n = assigned.count()
+        # sorted within the batch: appended files keep per-file cid
+        # runs tight, so row-group pruning stays sharp for new data
+        self._append_files(
+            f"{name}__cells", assigned.sort("cid"), "vector_upsert"
+        )
+        return n
+
     def drop_vector_index(self, name: str, if_exists: bool = False) -> None:
         if name not in self._vector_indexes:
             if if_exists:

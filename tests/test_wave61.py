@@ -120,6 +120,39 @@ def test_serve_scan_pushes_cell_filter(spark, warehouse):
         e.close()
 
 
+def test_upsert_appends_through_cas_and_serves(spark, warehouse):
+    """Incremental maintenance: a new batch assigned with the build
+    kernel, appended via the manifest CAS (blind append), immediately
+    served — and equal to what a full rebuild over corpus+batch would
+    return (same centroids, so placements are identical)."""
+    e, corpus, queries = _setup(spark, warehouse)
+    try:
+        e.create_vector_index("vi", "vi_corpus", n_cells=4)
+        base = e.table("vi__cells").count()
+        new = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+            F.col("vec_id") < 8
+        ).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        n_new = new.count()
+        assert e.vector_index_upsert("vi", new) == n_new
+        assert e.table("vi__cells").count() == base + n_new
+
+        served = _pairs(e.vector_search("vi", queries, k=5, nprobe=2))
+        full = corpus.select("vec_id", "embedding").unionByName(new)
+        online = ivf_topk(
+            full, queries, e.table("vi__centroids"), k=5, nprobe=2
+        )
+        assert served == _pairs(online), (
+            "post-upsert serving must equal a full rebuild"
+        )
+        with pytest.raises(ValueError, match="does not exist"):
+            e.vector_index_upsert("nope", new)
+    finally:
+        e.drop_vector_index("vi", if_exists=True)
+        e.close()
+
+
 def test_drop_is_durable(spark, warehouse):
     e, corpus, queries = _setup(spark, warehouse)
     try:
