@@ -1229,8 +1229,17 @@ class Engine:
         """Materialize ``df`` as new data files INSIDE the table
         directory but OUTSIDE the manifest — staged in a scratch dir,
         then renamed in under fresh version-prefixed names. Invisible
-        to every reader until a manifest commit references them."""
-        tmp = path + "__tmp"
+        to every reader until a manifest commit references them.
+
+        The scratch dir is WRITER-UNIQUE (pid+uuid suffix — r8): with
+        the manifest CAS two processes may legitimately stage for the
+        same table at once, and a shared scratch path would let one
+        writer's mode('overwrite') delete the other's staged files
+        mid-flight. Crashed writers leave only uniquely-named scratch
+        dirs; ``vacuum_orphans`` sweeps them."""
+        import uuid as _uuid
+
+        tmp = f"{path}__tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         if not parts:
@@ -1346,6 +1355,13 @@ class Engine:
         if not t.managed:
             raise ValueError("vacuum_orphans requires a managed table")
         manifest.vacuum_tmp(t.path)
+        # stray writer-unique staging dirs (crashed mid-stage) live
+        # NEXT TO the table dir
+        parent = os.path.dirname(os.path.realpath(t.path))
+        stem = os.path.basename(os.path.realpath(t.path)) + "__tmp."
+        for d in os.listdir(parent):
+            if d.startswith(stem):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
         live = {os.path.basename(p) for p in self._managed_files(name)}
         n = 0
         for f in os.listdir(t.path):

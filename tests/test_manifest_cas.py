@@ -247,6 +247,72 @@ def test_two_engines_interleaved_inserts(spark):
         e1.close()
 
 
+def test_concurrent_staging_does_not_collide(spark):
+    """Two writers staging for the SAME table at the same time must
+    not clobber each other's scratch files (pre-r8 the scratch dir
+    was the shared ``{path}__tmp`` and a concurrent mode('overwrite')
+    deleted the other writer's staged parquet mid-flight). Staged
+    files are writer-unique; both ingests land intact."""
+    from duckdb_distributed_execution_spark import Engine
+
+    e = Engine(spark, num_workers=4)
+    try:
+        e.create_table("cas_stage", "k BIGINT")
+        path = e._tables["cas_stage"].path
+        results: dict[int, list[str]] = {}
+        errors: list[str] = []
+
+        def writer(tag):
+            try:
+                df = spark.range(tag * 100, tag * 100 + 50).select(
+                    F.col("id").alias("k")
+                ).repartition(4)
+                results[tag] = e._ingest_files(path, df, 90 + tag)
+            except Exception as exc:  # pragma: no cover
+                errors.append(repr(exc))
+
+        ts = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        # every staged file from BOTH writers exists and holds its
+        # writer's rows
+        import duckdb
+
+        for tag in (1, 2):
+            files = [os.path.join(path, f) for f in results[tag]]
+            assert all(os.path.isfile(p) for p in files), (tag, files)
+            got = duckdb.sql(
+                "SELECT COUNT(*), MIN(k), MAX(k) FROM read_parquet($f)",
+                params={"f": files},
+            ).fetchone()
+            assert got == (50, tag * 100, tag * 100 + 49), (tag, got)
+    finally:
+        e.drop_table("cas_stage", if_exists=True)
+        e.close()
+
+
+def test_vacuum_sweeps_stray_staging_dirs(spark):
+    from duckdb_distributed_execution_spark import Engine
+
+    e = Engine(spark, num_workers=4)
+    try:
+        e.create_table("cas_vac", "k BIGINT")
+        path = os.path.realpath(e._tables["cas_vac"].path)
+        stray = f"{path}__tmp.99999.deadbeef"
+        os.makedirs(stray)
+        with open(os.path.join(stray, "part-0.parquet"), "wb") as fh:
+            fh.write(b"not really parquet")
+        e.vacuum_orphans("cas_vac")
+        assert not os.path.exists(stray), "crashed-writer scratch swept"
+        assert e.table("cas_vac").count() == 0
+    finally:
+        e.drop_table("cas_vac", if_exists=True)
+        e.close()
+
+
 def test_engine_delete_conflicts_with_concurrent_commit(spark, monkeypatch):
     """A DELETE whose probe ran against a version that a concurrent
     writer then superseded must raise ConcurrentWriteError and apply
