@@ -2309,13 +2309,21 @@ class Engine:
             return -1
         base = self._snapshot_dir(name)
         os.makedirs(base, exist_ok=True)
-        existing = [
-            int(d[1:]) for d in os.listdir(base)
-            if d.startswith("v") and d[1:].isdigit()
-        ]
-        k = max(existing, default=-1) + 1
-        dst = os.path.join(base, f"v{k}")
-        os.makedirs(dst)
+        # mkdir is the CAS here (EEXIST = a concurrent snapshotter took
+        # this number — re-list and take the next; same discipline as
+        # the manifest commit, r8)
+        while True:
+            existing = [
+                int(d[1:]) for d in os.listdir(base)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            k = max(existing, default=-1) + 1
+            dst = os.path.join(base, f"v{k}")
+            try:
+                os.makedirs(dst)
+                break
+            except FileExistsError:
+                continue
         # Link only the MANIFEST-listed live files: crash orphans and
         # staged-but-uncommitted files in the table directory must not
         # leak into the snapshot (table_at_version reads this dir).

@@ -58,6 +58,11 @@ def test_no_copy_paste_oracle_twins():
         frozenset({"events_tumbling_window", "streaming_tumbling_counts"}),
         # batch Bloom decontamination vs its streaming screen twin
         frozenset({"contamination_bloom", "streaming_contamination_screen"}),
+        # online assign+probe (ivf_topk) vs the wave-61 persisted-index
+        # serve kernel (ivf_serve_topk over a pre-assigned cell
+        # relation) — same semantics by construction, different engine
+        # path, both oracle-gated
+        frozenset({"ann_ivf_multiprobe_topk", "ann_served_multiprobe_topk"}),
     }
     by_oracle: dict[str, list[str]] = collections.defaultdict(list)
     for name, spec in all_queries().items():
