@@ -2090,6 +2090,34 @@ class Engine:
         )
         return n
 
+    def vector_index_stream_upsert(self, name: str, vectors: DataFrame,
+                                   checkpoint: str | None = None):
+        """Streaming index maintenance: every micro-batch of a
+        STREAMING vector DataFrame is assigned + CAS-appended through
+        :meth:`vector_index_upsert` (foreachBatch — the standard
+        Structured-Streaming sink for transactional stores). Because
+        the append is a manifest-CAS blind append, a stream writer
+        coexists with concurrent batch upserts and readers: every
+        batch either lands completely or retries, and serving reads a
+        complete version throughout. Returns the started
+        StreamingQuery (caller awaits/stops it; pair with
+        ``trigger(availableNow=True)`` semantics by just letting the
+        source drain, as streaming tests here do)."""
+        if name not in self._vector_indexes:
+            raise ValueError(f"vector index {name!r} does not exist")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.vector_index_upsert(name, batch_df)
+
+        writer = vectors.writeStream.foreachBatch(sink).trigger(
+            availableNow=True
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
     def drop_vector_index(self, name: str, if_exists: bool = False) -> None:
         if name not in self._vector_indexes:
             if if_exists:

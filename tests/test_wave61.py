@@ -153,6 +153,41 @@ def test_upsert_appends_through_cas_and_serves(spark, warehouse):
         e.close()
 
 
+def test_stream_upsert_drains_into_index(spark, warehouse, tmp_path):
+    """Structured-Streaming maintenance: a file-source vector stream
+    drains through foreachBatch → vector_index_upsert (CAS appends);
+    after the availableNow drain the index serves the streamed
+    vectors exactly like batch-upserted ones."""
+    e, corpus, queries = _setup(spark, warehouse)
+    try:
+        e.create_vector_index("vi", "vi_corpus", n_cells=4)
+        base = e.table("vi__cells").count()
+        src = str(tmp_path / "vec_stream")
+        new = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+            F.col("vec_id") < 8
+        ).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+        )
+        new.write.parquet(src)
+        n_new = new.count()
+
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        q = e.vector_index_stream_upsert(
+            "vi", stream, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        assert e.table("vi__cells").count() == base + n_new
+        # streamed vectors are served
+        probe = new.limit(1)
+        got = e.vector_search("vi", probe, k=1)
+        row = got.collect()[0]
+        assert row["neighbor_id"] == probe.collect()[0]["vec_id"]
+        assert abs(row["sim"] - 1.0) < 1e-9, "self-match must rank first"
+    finally:
+        e.drop_vector_index("vi", if_exists=True)
+        e.close()
+
+
 def test_drop_is_durable(spark, warehouse):
     e, corpus, queries = _setup(spark, warehouse)
     try:
