@@ -176,6 +176,54 @@ def test_close_preserves_explicit_warehouse(spark, warehouse):
     assert not os.path.exists(tmp_wh)
 
 
+def test_catalog_across_real_processes(warehouse):
+    """The second-session claim at PROCESS level: a child interpreter
+    with its own SparkSession creates a constrained table and inserts;
+    a SECOND child interpreter restores the catalog, reads the data,
+    and still ENFORCES the constraint. (The in-process tests above
+    share one JVM; this is the restart story end-to-end.)"""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+    .appName("cat-proc")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from duckdb_distributed_execution_spark import Engine
+e = Engine(spark, num_workers=2, warehouse={warehouse!r})
+"""
+    writer = common + """
+e.create_table("pp_t", "id INTEGER PRIMARY KEY, v INTEGER NOT NULL")
+e.insert_values("pp_t", [(1, 10), (2, 20)])
+print("WROTE", e.table("pp_t").count())
+"""
+    reader = common + """
+assert e.catalog_load_warnings == [], e.catalog_load_warnings
+assert e.table("pp_t").count() == 2
+try:
+    e.insert_values("pp_t", [(3, None)])
+    print("FAIL constraint not enforced")
+except ValueError:
+    e.insert_values("pp_t", [(3, 30)])
+    print("READBACK", e.table("pp_t").count())
+"""
+    w = subprocess.run([sys.executable, "-c", writer],
+                       capture_output=True, text=True, timeout=300)
+    assert w.returncode == 0 and "WROTE 2" in w.stdout, w.stderr[-2000:]
+    r = subprocess.run([sys.executable, "-c", reader],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "READBACK 3" in r.stdout, (
+        r.stdout[-500:] + r.stderr[-2000:]
+    )
+
+
 def test_missing_backing_data_warns_not_fails(spark, warehouse, tmp_path):
     e = Engine(spark, num_workers=4, warehouse=warehouse)
     ext = str(tmp_path / "ext.parquet")
