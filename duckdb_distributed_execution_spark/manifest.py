@@ -60,6 +60,7 @@ __all__ = [
     "commit_append",
     "commit_exact",
     "list_versions",
+    "prune_watermark",
     "read_manifest",
     "try_commit",
 ]
@@ -67,11 +68,20 @@ __all__ = [
 POINTER = "_manifest.json"
 _VERSION_FMT = "_manifest-v{:012d}.json"
 _VERSION_RE = re.compile(r"_manifest-v(\d{1,18})\.json$")
+_PRUNED_FMT = "_pruned-v{:012d}.marker"
+_PRUNED_RE = re.compile(r"_pruned-v(\d{1,18})\.marker$")
 # Committed version files retained behind the latest one. A lagging
 # reader that resolved version N keeps working while up to KEEP newer
 # commits land (the standard lakehouse read-vs-retention window —
 # Delta's logRetentionDuration, here expressed in versions).
 KEEP_VERSIONS = 20
+# Age floor on pruning: version files younger than this are never
+# unlinked even when they fall KEEP_VERSIONS behind — the time half of
+# the reader-retention contract (Delta's logRetentionDuration proper).
+# A reader that resolved version N is guaranteed N stays readable for
+# at least this many seconds OR until KEEP_VERSIONS newer commits land,
+# whichever is LATER. Tests that exercise pruning set this to 0.
+PRUNE_MIN_AGE_SECONDS = 600.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -101,6 +111,26 @@ def list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def prune_watermark(path: str) -> int:
+    """Highest version number ever PRUNED in this directory, -1 if
+    none. Persisted as link(2)-created ``_pruned-v{N}.marker`` files
+    and resolved as the max, so the watermark is monotone by
+    construction — two racing pruners each publish their own marker
+    and the max wins; a marker is never replaced in place, so the
+    value can never regress the way a read-modify-write pointer
+    could."""
+    w = -1
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return w
+    for f in names:
+        m = _PRUNED_RE.fullmatch(f)
+        if m:
+            w = max(w, int(m.group(1)))
+    return w
+
+
 def read_manifest(path: str) -> dict | None:
     """Resolve the latest committed manifest: the highest-numbered
     version file, else the legacy single pointer file (a pre-CAS
@@ -125,7 +155,19 @@ def try_commit(path: str, files: list[str], op: str,
     The content is fully written and fsync'd in a temp file first;
     link(2) then creates the version name atomically (EEXIST = loss),
     so a committed version file is always complete and a crash at any
-    point leaves at most an invisible ``_manifest.tmp.*`` orphan."""
+    point leaves at most an invisible ``_manifest.tmp.*`` orphan.
+
+    A version number at or below the PRUNE WATERMARK is a loss even
+    if the name is free: pruning unlinked that version's file, which
+    would otherwise re-open the number for link(2) and let a stalled
+    loser (read base N, slept through >KEEP_VERSIONS commits) 'win' a
+    commit that never becomes latest — readers resolve max — while its
+    caller's post-commit GC deletes files the real latest still
+    references. The watermark is checked before staging AND re-checked
+    after the link (backing the link out on failure), closing the race
+    where pruning advances between check and link."""
+    if version <= prune_watermark(path):
+        return None
     m = {
         "version": version,
         "op": op,
@@ -143,6 +185,16 @@ def try_commit(path: str, files: list[str], op: str,
         os.unlink(tmp)
         return None
     os.unlink(tmp)
+    if version <= prune_watermark(path):
+        # Pruning advanced past us between the pre-check and the link.
+        # Our version file can never be the resolved max (the watermark
+        # is always > KEEP_VERSIONS behind a live latest), so backing
+        # it out is invisible to readers.
+        try:
+            os.unlink(version_file(path, version))
+        except OSError:
+            pass
+        return None
     # Make the directory entry itself durable (the rename-commit's
     # fsync-the-parent step, same reason).
     try:
@@ -239,15 +291,58 @@ def _refresh_pointer(path: str) -> None:
 
 def _prune_versions(path: str, latest: int) -> None:
     """Unlink committed version files more than KEEP_VERSIONS behind
-    ``latest``. Safe concurrently: version files are immutable, each
-    unlink targets a distinct name, and readers resolve the max —
-    which pruning never touches."""
+    ``latest`` AND older than PRUNE_MIN_AGE_SECONDS (both retention
+    clauses must expire). Before any unlink, the prune WATERMARK is
+    raised to the highest version about to go — watermark-first
+    ordering means a version number is retired before its name is ever
+    free for reuse, so try_commit's watermark check is sound even
+    against pruners that crash mid-sweep. Safe concurrently: version
+    files are immutable, each unlink targets a distinct name, readers
+    resolve the max (never touched), and the marker scheme makes the
+    watermark monotone under racing pruners."""
+    now = time.time()
+    doomed = []
     for v in list_versions(path):
-        if v < latest - KEEP_VERSIONS:
-            try:
-                os.unlink(version_file(path, v))
-            except OSError:
-                pass
+        if v >= latest - KEEP_VERSIONS:
+            continue
+        try:
+            age = now - os.path.getmtime(version_file(path, v))
+        except OSError:
+            continue
+        if age >= PRUNE_MIN_AGE_SECONDS:
+            doomed.append(v)
+    if not doomed:
+        return
+    new_w = max(doomed)
+    old_w = prune_watermark(path)
+    if new_w > old_w:
+        # publish the new watermark with the same create-if-absent
+        # primitive as commits (content irrelevant — the NAME is the
+        # value); EEXIST = another pruner already published it
+        tmp = os.path.join(
+            path, f"_manifest.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            fh.write("")
+        try:
+            os.link(tmp, os.path.join(path, _PRUNED_FMT.format(new_w)))
+        except FileExistsError:
+            pass
+        os.unlink(tmp)
+        # retire superseded markers (max is preserved: we only ever
+        # delete strictly below a marker that is already published)
+        for f in os.listdir(path):
+            m = _PRUNED_RE.fullmatch(f)
+            if m and int(m.group(1)) < new_w:
+                try:
+                    os.unlink(os.path.join(path, f))
+                except OSError:
+                    pass
+    for v in doomed:
+        try:
+            os.unlink(version_file(path, v))
+        except OSError:
+            pass
 
 
 def vacuum_tmp(path: str) -> int:

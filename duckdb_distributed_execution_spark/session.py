@@ -1344,32 +1344,65 @@ class Engine:
                 return adopted + len(new)
             # lost the CAS — a concurrent writer committed; re-diff
 
-    def vacuum_orphans(self, name: str) -> int:
+    def vacuum_orphans(self, name: str,
+                       min_age_seconds: float = 600.0) -> int:
         """Remove data files in the table directory that the manifest
         does not reference (left by a writer that crashed between
-        staging and commit, or between commit and GC). Safe at any
-        time: readers only ever resolve manifest-listed files. Also
-        sweeps ``_manifest.tmp.*`` orphans from writers that crashed
-        mid-commit (returned count stays data-files-only)."""
+        staging and commit, or between commit and GC). Also sweeps
+        ``_manifest.tmp.*`` orphans from writers that crashed
+        mid-commit (returned count stays data-files-only).
+
+        CONCURRENT-WRITER SAFE via two guards (Delta VACUUM's
+        retention model): (1) nothing younger than ``min_age_seconds``
+        is touched — a live writer's just-staged ``v{N}-part-*`` files
+        and ``{table}__tmp.*`` staging dirs are spared while its
+        commit is in flight; (2) the live-file set is RE-RESOLVED from
+        the manifest immediately before the unlink pass, so a blind
+        append that commits during candidate collection keeps its
+        files. ``min_age_seconds=0`` reclaims everything immediately
+        and is only safe when no other writer can be mid-commit
+        (single-writer recovery after a crash — the historical
+        behavior)."""
         t = self._tables[name]
         if not t.managed:
             raise ValueError("vacuum_orphans requires a managed table")
+        now = time.time()
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_seconds
+            except OSError:
+                return False   # vanished — someone else owns it
+
         manifest.vacuum_tmp(t.path)
         # stray writer-unique staging dirs (crashed mid-stage) live
         # NEXT TO the table dir
         parent = os.path.dirname(os.path.realpath(t.path))
         stem = os.path.basename(os.path.realpath(t.path)) + "__tmp."
         for d in os.listdir(parent):
-            if d.startswith(stem):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            dp = os.path.join(parent, d)
+            if d.startswith(stem) and _old_enough(dp):
+                shutil.rmtree(dp, ignore_errors=True)
+        candidates = []
         live = {os.path.basename(p) for p in self._managed_files(name)}
-        n = 0
         for f in os.listdir(t.path):
             p = os.path.join(t.path, f)
             if (f.endswith(".parquet") and os.path.isfile(p)
-                    and f not in live):
-                os.remove(p)
+                    and f not in live and _old_enough(p)):
+                candidates.append(f)
+        if not candidates:
+            return 0
+        # re-resolve: spare anything a concurrent commit just adopted
+        live = {os.path.basename(p) for p in self._managed_files(name)}
+        n = 0
+        for f in candidates:
+            if f in live:
+                continue
+            try:
+                os.remove(os.path.join(t.path, f))
                 n += 1
+            except OSError:
+                pass
         return n
 
     def delete_from(self, name: str, condition: str) -> int:

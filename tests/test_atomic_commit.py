@@ -124,7 +124,7 @@ def test_crash_before_commit_preserves_old_version(spark, eng, monkeypatch):
     assert eng.table("ac_pre").count() == 300
 
     # housekeeping + retry: the same mutation succeeds cleanly
-    assert eng.vacuum_orphans("ac_pre") == len(on_disk - live)
+    assert eng.vacuum_orphans("ac_pre", min_age_seconds=0) == len(on_disk - live)
     assert eng.delete_from("ac_pre", "k BETWEEN 120 AND 140") == 21
     assert _resolve_external(path)[0] == 279
 
@@ -155,7 +155,7 @@ def test_crash_after_commit_before_gc_shows_new_version(
     assert s == sum(range(300)) - sum(range(120, 141))
     eng._attach_managed("ac_post", path)
     assert eng.table("ac_post").count() == 279
-    assert eng.vacuum_orphans("ac_post") >= 1
+    assert eng.vacuum_orphans("ac_post", min_age_seconds=0) >= 1
     assert _resolve_external(path)[0] == 279
 
 
@@ -210,7 +210,7 @@ def test_append_is_atomic(spark, eng, monkeypatch):
     monkeypatch.undo()
 
     assert _resolve_external(path)[0] == 100
-    eng.vacuum_orphans("ac_app")
+    eng.vacuum_orphans("ac_app", min_age_seconds=0)
     eng.insert_into("ac_app", extra)
     assert _resolve_external(path)[0] == 200
 
@@ -273,3 +273,40 @@ def test_concurrent_reader_sees_only_complete_versions(spark, eng):
     # the vacuum race must be rare relative to clean resolutions
     assert retries["n"] <= len(observed)
     assert _resolve_external(path) == (200, running)
+
+
+def test_vacuum_retention_spares_live_writers_staging(spark, eng):
+    """Round-9 (ADVICE r8, medium): vacuum_orphans must not eat a LIVE
+    concurrent writer's work. Its default min_age_seconds retention
+    window (Delta VACUUM's model) spares anything recently written —
+    a just-staged ``v{N}-part-*`` file (renamed into the table dir,
+    commit still in flight) and a sibling ``{table}__tmp.*`` staging
+    dir — while min_age_seconds=0 (explicit single-writer recovery)
+    reclaims them."""
+    _make_table(spark, eng, "ac_ret", n_batches=1)
+    path = eng._tables["ac_ret"].path
+
+    # model a concurrent writer mid-commit: a staged-but-uncommitted
+    # data file inside the table dir + a staging dir next to it
+    staged = os.path.join(path, "v999-part-deadbeef.parquet")
+    spark.range(5).toPandas().to_parquet(staged)
+    stage_dir = os.path.realpath(path) + "__tmp.concurrent"
+    os.makedirs(stage_dir, exist_ok=True)
+    open(os.path.join(stage_dir, "marker"), "w").close()
+
+    try:
+        # default retention: young files/dirs survive
+        assert eng.vacuum_orphans("ac_ret") == 0
+        assert os.path.exists(staged)
+        assert os.path.isdir(stage_dir)
+        # table content untouched either way
+        assert eng.table("ac_ret").count() == 100
+
+        # explicit zero-retention recovery reclaims both
+        assert eng.vacuum_orphans("ac_ret", min_age_seconds=0) == 1
+        assert not os.path.exists(staged)
+        assert not os.path.isdir(stage_dir)
+        assert eng.table("ac_ret").count() == 100
+    finally:
+        import shutil
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -104,7 +104,8 @@ def test_stale_base_version_raises_and_applies_nothing(tmp_path):
     assert set(m["files"]) == {"a.parquet", "b.parquet"}
 
 
-def test_pointer_converges_and_old_versions_prune(tmp_path):
+def test_pointer_converges_and_old_versions_prune(tmp_path, monkeypatch):
+    monkeypatch.setattr(manifest, "PRUNE_MIN_AGE_SECONDS", 0.0)
     path = str(tmp_path)
     for i in range(manifest.KEEP_VERSIONS + 10):
         manifest.commit_append(path, [f"f{i}.parquet"], "append")
@@ -116,6 +117,66 @@ def test_pointer_converges_and_old_versions_prune(tmp_path):
     assert kept[0] >= latest - manifest.KEEP_VERSIONS
     # pruning never breaks resolution
     assert manifest.read_manifest(path)["version"] == latest
+    # the watermark records the highest pruned version, ready to
+    # reject any stalled loser targeting a retired number
+    assert manifest.prune_watermark(path) == kept[0] - 1
+
+
+def test_prune_age_floor_retains_young_versions(tmp_path, monkeypatch):
+    """Reader-retention contract, time half: versions behind
+    KEEP_VERSIONS but younger than PRUNE_MIN_AGE_SECONDS survive —
+    a reader that resolved version N mid-burst keeps its snapshot."""
+    monkeypatch.setattr(manifest, "PRUNE_MIN_AGE_SECONDS", 3600.0)
+    path = str(tmp_path)
+    for i in range(manifest.KEEP_VERSIONS + 10):
+        manifest.commit_append(path, [f"f{i}.parquet"], "append")
+    kept = manifest.list_versions(path)
+    assert kept[0] == 0                       # nothing pruned
+    assert manifest.prune_watermark(path) == -1
+    # the version-0 snapshot a lagging reader resolved is still openable
+    with open(manifest.version_file(path, 0)) as fh:
+        assert json.load(fh)["version"] == 0
+
+
+def test_stalled_loser_cannot_reuse_pruned_version(tmp_path, monkeypatch):
+    """The ADVICE-high scenario: a writer reads base version N, stalls
+    while >KEEP_VERSIONS commits land and pruning retires N+1's file,
+    then attempts commit_exact at N+1. Pre-fix, link(2) on the freed
+    name 'succeeded' — a phantom commit that never becomes latest,
+    whose caller then GC'd files the live manifest still referenced.
+    Post-fix the watermark rejects it: ConcurrentWriteError, nothing
+    applied, latest untouched."""
+    monkeypatch.setattr(manifest, "PRUNE_MIN_AGE_SECONDS", 0.0)
+    path = str(tmp_path)
+    manifest.commit_append(path, ["base.parquet"], "append")   # v0
+    stale_base = manifest.read_manifest(path)["version"]       # reads v0
+    for i in range(manifest.KEEP_VERSIONS + 10):               # the stall
+        manifest.commit_append(path, [f"w{i}.parquet"], "append")
+    latest = manifest.read_manifest(path)["version"]
+    assert manifest.prune_watermark(path) >= stale_base + 1    # v1 pruned
+    before = manifest.read_manifest(path)
+    with pytest.raises(ConcurrentWriteError):
+        manifest.commit_exact(path, ["phantom.parquet"], "delete",
+                              base_version=stale_base)
+    after = manifest.read_manifest(path)
+    assert after["version"] == latest
+    assert after["files"] == before["files"]
+    assert "phantom.parquet" not in after["files"]
+    # and no orphan version file was left behind at the stale number
+    assert stale_base + 1 not in manifest.list_versions(path)
+
+
+def test_stalled_append_rebases_past_watermark(tmp_path, monkeypatch):
+    """Blind appends are immune by construction: commit_append re-reads
+    latest each attempt, so even after pruning it lands above the
+    watermark and loses nothing."""
+    monkeypatch.setattr(manifest, "PRUNE_MIN_AGE_SECONDS", 0.0)
+    path = str(tmp_path)
+    for i in range(manifest.KEEP_VERSIONS + 10):
+        manifest.commit_append(path, [f"w{i}.parquet"], "append")
+    m = manifest.commit_append(path, ["late.parquet"], "append")
+    assert m["version"] > manifest.prune_watermark(path)
+    assert "late.parquet" in manifest.read_manifest(path)["files"]
 
 
 # ---------------------------------------------------------------------
@@ -305,7 +366,7 @@ def test_vacuum_sweeps_stray_staging_dirs(spark):
         os.makedirs(stray)
         with open(os.path.join(stray, "part-0.parquet"), "wb") as fh:
             fh.write(b"not really parquet")
-        e.vacuum_orphans("cas_vac")
+        e.vacuum_orphans("cas_vac", min_age_seconds=0)
         assert not os.path.exists(stray), "crashed-writer scratch swept"
         assert e.table("cas_vac").count() == 0
     finally:
