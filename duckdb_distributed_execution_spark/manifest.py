@@ -59,6 +59,7 @@ __all__ = [
     "adopt",
     "commit_append",
     "commit_exact",
+    "last_txn",
     "list_versions",
     "prune_watermark",
     "read_manifest",
@@ -147,10 +148,15 @@ def read_manifest(path: str) -> dict | None:
 
 
 def try_commit(path: str, files: list[str], op: str,
-               version: int) -> dict | None:
+               version: int, txns: dict | None = None) -> dict | None:
     """ONE compare-and-swap attempt: publish ``files`` as exactly
     ``version``. Returns the manifest on the win, None if that version
     number was already taken (lost race — re-read and rebase/abort).
+    ``txns`` is the application-transaction map ({app_id: last applied
+    transaction version} — Delta's SetTransaction action): each commit
+    stores the FULL map, so the latest manifest always answers "what
+    was the last batch app X applied?" without any log-history scan —
+    prune-safe by construction.
 
     The content is fully written and fsync'd in a temp file first;
     link(2) then creates the version name atomically (EEXIST = loss),
@@ -174,6 +180,8 @@ def try_commit(path: str, files: list[str], op: str,
         "files": sorted(files),
         "ts": time.time(),
     }
+    if txns:
+        m["txns"] = dict(txns)
     tmp = os.path.join(path, f"_manifest.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(m, fh)
@@ -211,14 +219,17 @@ def try_commit(path: str, files: list[str], op: str,
 
 
 def commit_exact(path: str, files: list[str], op: str,
-                 base_version: int | None) -> dict:
+                 base_version: int | None,
+                 txns: dict | None = None) -> dict:
     """Commit ``files`` as the version directly after ``base_version``
     (the version this mutation READ its state from; None = the table
     had no manifest). Any intervening commit makes the read stale →
     ConcurrentWriteError, nothing applied. This is the commit path for
-    every state-dependent mutation."""
+    every state-dependent mutation. Callers must pass the BASE
+    manifest's ``txns`` map through (rewrites otherwise erase stream
+    idempotence state, re-opening replayed batches after a compact)."""
     version = 0 if base_version is None else base_version + 1
-    m = try_commit(path, files, op, version)
+    m = try_commit(path, files, op, version, txns=txns)
     if m is None:
         cur = read_manifest(path)
         raise ConcurrentWriteError(
@@ -229,20 +240,47 @@ def commit_exact(path: str, files: list[str], op: str,
     return m
 
 
-def commit_append(path: str, new_files: list[str], op: str) -> dict:
+def commit_append(path: str, new_files: list[str], op: str,
+                  txn: tuple[str, int] | None = None) -> dict:
     """Commit ``new_files`` appended to the live file list, REBASING
     onto the winner and retrying if a concurrent commit lands first.
     Blind appends conflict with nothing: the staged files are fresh
     uniquely-named objects no other transaction references, so
     append-after-rebase preserves every concurrent commit's effect
-    (WriteSerializable append semantics)."""
+    (WriteSerializable append semantics).
+
+    ``txn=(app_id, txn_version)`` stamps this append as application
+    transaction ``txn_version`` of ``app_id`` ATOMICALLY with the data
+    (the idempotent-foreachBatch pattern): the rebase loop re-reads
+    the live txns map each attempt, and if the app's recorded version
+    is already >= txn_version the append is SKIPPED (files discarded
+    by the caller) and the live manifest returned — a replayed
+    micro-batch can never land twice even when the replay races a
+    fresh batch."""
     while True:
         cur = read_manifest(path)
         base = cur["files"] if cur else []
         version = (cur["version"] + 1) if cur else 0
-        m = try_commit(path, base + list(new_files), op, version)
+        txns = dict(cur.get("txns") or {}) if cur else {}
+        if txn is not None:
+            app, tv = txn
+            last = txns.get(app)
+            if last is not None and last >= tv:
+                return cur  # already applied — idempotent skip
+            txns[app] = tv
+        m = try_commit(path, base + list(new_files), op,
+                       version, txns=txns or None)
         if m is not None:
             return m
+
+
+def last_txn(path: str, app: str) -> int | None:
+    """Last applied transaction version for ``app`` (None = never) —
+    resolved from the latest manifest's carried txns map."""
+    m = read_manifest(path)
+    if not m:
+        return None
+    return (m.get("txns") or {}).get(app)
 
 
 def adopt(path: str) -> dict:

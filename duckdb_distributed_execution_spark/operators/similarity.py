@@ -258,7 +258,7 @@ def ivf_assign_n(
     )
 
 
-def _route_probes(Q, qq, C, cc, nprobe, graph_edges):
+def _route_probes(Q, qq, C, cc, nprobe, graph_edges, graph_nbrs=None):
     """Per-query probe-cell indices under the shared quantized
     convention (exact oracle expansion + ⌊d²·1e6+.5⌋ rank; centroids
     are sorted by cid, so a STABLE argsort's tie-break IS the cid
@@ -275,17 +275,27 @@ def _route_probes(Q, qq, C, cc, nprobe, graph_edges):
       the runner-up cells come from the GRAPH (build-time, query-
       independent), so adding recall never re-ranks centroids per
       query. Entry ∉ its own neighbor list by construction, so the
-      probe set is duplicate-free."""
+      probe set is duplicate-free.
+
+    ``graph_nbrs`` (r9) is a PRECOMPUTED (n_cells × graph_edges)
+    index-space neighbor array — the persisted ``{index}__graph``
+    build artifact, mapped cid→position by the caller. When provided,
+    graph routing is a pure table lookup (no centroid-pairwise
+    distance recompute at serve time), so serving always walks exactly
+    the edges the build committed."""
     import numpy as np
 
     D = (qq[:, None] - 2.0 * (Q @ C.T)) + cc[None, :]
     qd = np.floor(D * 1e6 + 0.5).astype(np.int64)
     if graph_edges is None:
         return np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
-    DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
-    qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
-    np.fill_diagonal(qdc, np.iinfo(np.int64).max)
-    nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
+    if graph_nbrs is not None:
+        nbrs = np.asarray(graph_nbrs, dtype=np.int64)
+    else:
+        DC = (cc[:, None] - 2.0 * (C @ C.T)) + cc[None, :]
+        qdc = np.floor(DC * 1e6 + 0.5).astype(np.int64)
+        np.fill_diagonal(qdc, np.iinfo(np.int64).max)
+        nbrs = np.argsort(qdc, axis=1, kind="stable")[:, :graph_edges]
     entry = np.argmin(qd, axis=1)  # first-min = lowest cid
     return np.concatenate([entry[:, None], nbrs[entry]], axis=1)
 
@@ -465,6 +475,7 @@ def ivf_serve_topk(
     k: int = 5,
     nprobe: int = 1,
     graph_edges: int | None = None,
+    graph_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """Top-k serving from a PRE-ASSIGNED cell table (wave 61 — the
     persisted-index path): unlike ivf_topk, the corpus is NOT
@@ -500,7 +511,22 @@ def ivf_serve_topk(
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qq = np.einsum("ij,ij->i", Q, Q)
-    probe_idx = _route_probes(Q, qq, C, cc, nprobe, graph_edges)
+    graph_nbrs = None
+    if graph_rows is not None and graph_edges is not None:
+        # persisted (src_cid, dst_cid, rank) rows → index-space
+        # neighbor array in rank order, mapped through the cid sort
+        pos = {int(c): i for i, c in enumerate(cids)}
+        by_src: dict[int, list[tuple[int, int]]] = {}
+        for src, dst, rank in graph_rows:
+            by_src.setdefault(pos[int(src)], []).append(
+                (int(rank), pos[int(dst)])
+            )
+        graph_nbrs = [
+            [j for _, j in sorted(by_src.get(i, []))[:graph_edges]]
+            for i in range(len(cids))
+        ]
+    probe_idx = _route_probes(Q, qq, C, cc, nprobe, graph_edges,
+                              graph_nbrs=graph_nbrs)
     cell_to_q: dict[int, list[int]] = {}
     for qi in range(len(qids)):
         for ci in probe_idx[qi]:

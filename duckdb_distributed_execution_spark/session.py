@@ -543,8 +543,30 @@ class Engine:
             json.dumps(v)
             return {"kind": "lit", "v": v}
         except TypeError:
-            # non-JSON literal (e.g. Decimal): round-trip as SQL text
-            return {"kind": "sql", "v": repr(v)}
+            pass
+        # non-JSON literal: round-trip as SQL text that Spark's
+        # F.expr can actually evaluate after a catalog reload —
+        # repr() would come back as e.g. "Decimal('1.5')" (a Python
+        # repr, not SQL) and break inserts in the restored session
+        import datetime
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            sign, digits, exp = v.as_tuple()
+            scale = max(0, -exp)
+            prec = max(len(digits), scale)
+            return {"kind": "sql",
+                    "v": f"CAST({v} AS DECIMAL({prec},{scale}))"}
+        if isinstance(v, datetime.datetime):
+            return {"kind": "sql", "v": f"TIMESTAMP '{v.isoformat(' ')}'"}
+        if isinstance(v, datetime.date):
+            return {"kind": "sql", "v": f"DATE '{v.isoformat()}'"}
+        if isinstance(v, (bytes, bytearray)):
+            return {"kind": "sql", "v": f"X'{bytes(v).hex()}'"}
+        raise TypeError(
+            f"unsupported default literal type {type(v).__name__!r}: "
+            "pass a JSON-encodable value or a SqlDefault expression"
+        )
 
     @staticmethod
     def _dec_default(d: dict):
@@ -777,7 +799,8 @@ class Engine:
         m = self._adopt_manifest(t.path)
         new = self._ingest_files(t.path, df, m["version"] + 1)
         old = list(m["files"])
-        self._commit_manifest(t.path, new, op, base_version=m["version"])
+        self._commit_manifest(t.path, new, op, base_version=m["version"],
+                              txns=m.get("txns"))
         for f in old:  # post-commit GC (inodes live on in the snapshot)
             try:
                 os.remove(os.path.join(t.path, f))
@@ -798,12 +821,18 @@ class Engine:
         return total
 
     def _append_files(self, name: str, df: DataFrame, op: str,
-                      snapshot: bool = True) -> None:
+                      snapshot: bool = True,
+                      txn: tuple[str, int] | None = None) -> bool:
         """Atomic append: the new files land under the next version's
         names first, then ONE manifest rename makes them visible — a
         reader never sees a partially-written append (the old
         mode('append') write exposed in-progress part files to
-        directory-listing readers)."""
+        directory-listing readers). ``txn=(app_id, version)`` makes
+        the append IDEMPOTENT per application transaction (replayed
+        streaming micro-batches commit at most once — the txns map
+        travels in the same manifest CAS as the file list). Returns
+        False when the txn was already applied (staged files are
+        unlinked, nothing committed)."""
         t = self._tables[name]
         if snapshot:
             self._snapshot(name, op)
@@ -811,8 +840,17 @@ class Engine:
         new = self._ingest_files(t.path, df, m["version"] + 1)
         # Blind append: rebases onto any concurrent commit and retries
         # (manifest.commit_append) — INSERTs never lose a race.
-        manifest.commit_append(t.path, new, op)
+        out = manifest.commit_append(t.path, new, op, txn=txn)
+        if txn is not None and not set(new) <= set(out["files"]):
+            # idempotent skip: this txn version was already applied
+            for f in new:
+                try:
+                    os.remove(os.path.join(t.path, f))
+                except OSError:
+                    pass
+            return False
         self._attach_managed(name, t.path)
+        return True
 
     # ALTER TABLE family — parity with GenerateAlterTableSQL
     # (src/utils/catalog_utils.cpp:23-84; test/sql/alter_table.test)
@@ -1209,12 +1247,17 @@ class Engine:
         return manifest.adopt(path)
 
     def _commit_manifest(self, path: str, files: list[str], op: str,
-                         base_version: int | None = None) -> dict:
+                         base_version: int | None = None,
+                         txns: dict | None = None) -> dict:
         """THE commit point of every state-dependent mutation: one CAS
         publishes ``files`` as the version after ``base_version`` (the
         version the mutation read its state from). A concurrent commit
-        in between raises ConcurrentWriteError with nothing applied."""
-        return manifest.commit_exact(path, files, op, base_version)
+        in between raises ConcurrentWriteError with nothing applied.
+        ``txns`` carries the base version's application-transaction
+        map forward (rewrites must never erase stream idempotence
+        state)."""
+        return manifest.commit_exact(path, files, op, base_version,
+                                     txns=txns)
 
     def _managed_files(self, name: str) -> list[str]:
         """Live data files of a managed table — manifest-resolved,
@@ -1297,7 +1340,8 @@ class Engine:
             if os.path.join(base, f) not in matched_set
         ]
         self._commit_manifest(t.path, kept + new, op,
-                              base_version=m["version"])
+                              base_version=m["version"],
+                              txns=m.get("txns"))
         for p in sorted(matched_set):  # post-commit GC
             try:
                 os.remove(p)
@@ -1338,7 +1382,8 @@ class Engine:
             if not new:
                 return adopted
             if manifest.try_commit(
-                t.path, m["files"] + new, "adopt", m["version"] + 1
+                t.path, m["files"] + new, "adopt", m["version"] + 1,
+                txns=m.get("txns"),
             ) is not None:
                 self._attach_managed(name, t.path)
                 return adopted + len(new)
@@ -1427,16 +1472,30 @@ class Engine:
         matched, n_deleted = self._matched_files(name, condition)
         if n_deleted == 0:
             return 0
+        # r9: propagate the delete to every vector index built over
+        # this table — capture the doomed ids BEFORE the files go
+        # (localCheckpoint pins them), tombstone after the commit
+        idx_deletes = []
+        for iname, imeta in self._vector_indexes.items():
+            if imeta["table"] == name:
+                idx_deletes.append((iname, (
+                    self.spark.read.parquet(*matched)
+                    .filter(F.expr(condition))
+                    .select(imeta["id_col"])
+                    .localCheckpoint()
+                )))
         all_files = self._managed_files(name)
         if set(matched) >= set(all_files):
             # every file holds matches — a full rewrite IS the minimum
             # (and keeps the small-table single-file compaction policy)
             self._rewrite(name, self.table(name).filter(keep), op="delete")
-            return n_deleted
-        self._replace_files(
-            name, "delete", matched,
-            self.spark.read.parquet(*matched).filter(keep),
-        )
+        else:
+            self._replace_files(
+                name, "delete", matched,
+                self.spark.read.parquet(*matched).filter(keep),
+            )
+        for iname, ids in idx_deletes:
+            self.vector_index_delete(iname, ids)
         return n_deleted
 
     def update_table(self, name: str, set_exprs: dict[str, str],
@@ -2018,6 +2077,23 @@ class Engine:
         apath = self._managed_path(f"{name}__cells")
         assigned.sort("cid").write.mode("overwrite").parquet(apath)
         self._attach_managed(f"{name}__cells", apath)
+        # build-time assignment quality — the drift baseline
+        # vector_index_stats compares serving-time state against
+        build = self.table(f"{name}__cells").agg(
+            F.count(F.lit(1)).alias("n"),
+            # dist is the exact-expansion d² — clamp the tiny negative
+            # fp residue a zero-distance pair can leave before sqrt
+            F.avg(F.sqrt(F.greatest(F.col("dist"), F.lit(0.0)))).alias("md"),
+        ).collect()[0]
+
+        # tombstones: ids DELETEd from the index since the build —
+        # CAS-appended like upserts, anti-joined at serve time
+        id_type = dict(corpus.dtypes)[id_col]
+        tpath = self._managed_path(f"{name}__tombstones")
+        self.spark.createDataFrame([], f"{id_col} {id_type}").write.mode(
+            "overwrite"
+        ).parquet(tpath)
+        self._attach_managed(f"{name}__tombstones", tpath)
 
         import numpy as np
 
@@ -2045,6 +2121,8 @@ class Engine:
             "vec_col": vec_col,
             "n_cells": n_cells,
             "graph_edges": graph_edges,
+            "build_count": int(build["n"]),
+            "build_mean_dist": float(build["md"] or 0.0),
         }
         self._vector_indexes[name] = meta
         self._persist_catalog()
@@ -2061,8 +2139,14 @@ class Engine:
         """Serve top-k cosine neighbors from a PERSISTED index — no
         corpus re-assignment, no centroid re-training; the scan reads
         only the probed cells. ``use_graph`` routes entry-cell +
-        graph-neighbors (wave 59) instead of nprobe re-ranking.
-        Eager + stats-recorded."""
+        graph-neighbors (wave 59) from the PERSISTED ``{name}__graph``
+        table (r9 — the build artifact IS the serving lookup; routing
+        can never diverge from what the build committed) instead of
+        nprobe re-ranking. DELETEs are honored: cells are anti-joined
+        against the ``{name}__tombstones`` relation (broadcast — it is
+        id-only and delete-sized) before scoring, so a deleted id can
+        never appear in results even before a vacuum rewrites the
+        cells. Eager + stats-recorded."""
         from duckdb_distributed_execution_spark.operators import (
             similarity as S,
         )
@@ -2075,8 +2159,20 @@ class Engine:
             if isinstance(queries, str)
             else queries
         )
+        cells = self.table(f"{name}__cells")
+        if f"{name}__tombstones" in self._tables:
+            cells = cells.join(
+                F.broadcast(self.table(f"{name}__tombstones")),
+                meta["id_col"], "left_anti",
+            )
+        graph_rows = None
+        if use_graph:
+            graph_rows = [
+                (r["src"], r["dst"], r["rank"])
+                for r in self.table(f"{name}__graph").collect()
+            ]
         topk = S.ivf_serve_topk(
-            self.table(f"{name}__cells"),
+            cells,
             q,
             self.table(f"{name}__centroids"),
             id_col=meta["id_col"],
@@ -2084,6 +2180,7 @@ class Engine:
             k=k,
             nprobe=nprobe,
             graph_edges=meta["graph_edges"] if use_graph else None,
+            graph_rows=graph_rows,
         )
         with Timer() as t:
             out = topk.localCheckpoint(eager=True)
@@ -2094,7 +2191,8 @@ class Engine:
         )
         return out
 
-    def vector_index_upsert(self, name: str, vectors: DataFrame) -> int:
+    def vector_index_upsert(self, name: str, vectors: DataFrame,
+                            txn: tuple[str, int] | None = None) -> int:
         """Incremental index maintenance: assign a NEW vector batch to
         the persisted centroids (ivf_assign_numpy — the build kernel,
         so placements are identical to a full rebuild) and append it
@@ -2103,7 +2201,13 @@ class Engine:
         concurrent reader serves either the old or the new complete
         version. Centroids are NOT retrained (the standard IVF serving
         trade: placements stay optimal w.r.t. the trained centroids;
-        retrain+rebuild when drift warrants). Returns rows appended."""
+        retrain+rebuild when vector_index_stats says drift warrants).
+        ``txn=(app_id, version)`` makes the append idempotent (the
+        streaming-replay contract — see vector_index_stream_upsert).
+        Returns rows appended (0 when an already-applied txn was
+        skipped). Note: an id previously tombstoned by
+        vector_index_delete stays hidden until vector_index_vacuum —
+        delete marks the ID, not a row generation."""
         from duckdb_distributed_execution_spark.operators import (
             similarity as S,
         )
@@ -2118,13 +2222,15 @@ class Engine:
         n = assigned.count()
         # sorted within the batch: appended files keep per-file cid
         # runs tight, so row-group pruning stays sharp for new data
-        self._append_files(
-            f"{name}__cells", assigned.sort("cid"), "vector_upsert"
+        applied = self._append_files(
+            f"{name}__cells", assigned.sort("cid"), "vector_upsert",
+            txn=txn,
         )
-        return n
+        return n if applied else 0
 
     def vector_index_stream_upsert(self, name: str, vectors: DataFrame,
-                                   checkpoint: str | None = None):
+                                   checkpoint: str | None = None,
+                                   txn_app: str | None = None):
         """Streaming index maintenance: every micro-batch of a
         STREAMING vector DataFrame is assigned + CAS-appended through
         :meth:`vector_index_upsert` (foreachBatch — the standard
@@ -2132,17 +2238,32 @@ class Engine:
         the append is a manifest-CAS blind append, a stream writer
         coexists with concurrent batch upserts and readers: every
         batch either lands completely or retries, and serving reads a
-        complete version throughout. Returns the started
-        StreamingQuery (caller awaits/stops it; pair with
-        ``trigger(availableNow=True)`` semantics by just letting the
-        source drain, as streaming tests here do)."""
+        complete version throughout.
+
+        EXACTLY-ONCE under replay (r9, ADVICE r8): each micro-batch
+        commits with ``txn=(txn_app, batch_id)`` — the transaction
+        stamp travels in the SAME manifest CAS as the appended files
+        (Delta's SetTransaction/txnAppId pattern), so if the stream
+        dies after the append commits but before the checkpoint
+        acknowledges, the restarted query's replay of that batch_id is
+        detected inside the commit loop and skipped; no duplicate rows
+        can land. ``txn_app`` defaults to the checkpoint path (the
+        identity Structured Streaming itself keys batch_ids by); pass
+        an explicit app id when two logical streams share a
+        checkpoint-less setup. Returns the started StreamingQuery
+        (caller awaits/stops it; pair with ``trigger(availableNow=
+        True)`` semantics by just letting the source drain, as
+        streaming tests here do)."""
         if name not in self._vector_indexes:
             raise ValueError(f"vector index {name!r} does not exist")
+        app = txn_app or (f"stream_upsert:{checkpoint}" if checkpoint
+                          else f"stream_upsert:{name}")
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.vector_index_upsert(name, batch_df)
+            self.vector_index_upsert(name, batch_df,
+                                     txn=(app, int(batch_id)))
 
         writer = vectors.writeStream.foreachBatch(sink).trigger(
             availableNow=True
@@ -2151,12 +2272,114 @@ class Engine:
             writer = writer.option("checkpointLocation", checkpoint)
         return writer.start()
 
+    def vector_index_delete(self, name: str,
+                            ids: DataFrame | list) -> int:
+        """DELETE vectors from a persisted index by id: the ids are
+        CAS-appended to the ``{name}__tombstones`` relation (a BLIND
+        append — concurrent deletes, upserts, and readers all
+        interleave safely, the same WriteSerializable argument as
+        upserts) and every subsequent vector_search anti-joins them
+        out before scoring, so a deleted id is invisible IMMEDIATELY
+        and ATOMICALLY with the commit. The cells rows are reclaimed
+        physically by vector_index_vacuum. Called automatically by
+        delete_from when the corpus is a managed table backing this
+        index. Returns tombstones appended."""
+        meta = self._vector_indexes.get(name)
+        if meta is None:
+            raise ValueError(f"vector index {name!r} does not exist")
+        id_col = meta["id_col"]
+        if not isinstance(ids, DataFrame):
+            id_type = dict(self.table(f"{name}__cells").dtypes)[id_col]
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids], f"{id_col} {id_type}"
+            )
+        ids = ids.select(id_col).distinct().localCheckpoint()
+        n = ids.count()
+        if n:
+            self._append_files(f"{name}__tombstones", ids,
+                               "vector_delete", snapshot=False)
+        return n
+
+    def vector_index_vacuum(self, name: str) -> int:
+        """Physically apply accumulated tombstones: rewrite the cells
+        table minus tombstoned ids (cid-sorted again, so row-group
+        pruning stays sharp), then clear the tombstone relation. Both
+        rewrites are state-dependent manifest commits — a concurrent
+        upsert between the read and the cells commit raises
+        ConcurrentWriteError with nothing applied (re-run), never a
+        silent lost batch. Crash between the two commits is safe: the
+        tombstones are merely applied twice (anti-join of already-
+        removed ids is a no-op). Returns rows removed from cells."""
+        meta = self._vector_indexes.get(name)
+        if meta is None:
+            raise ValueError(f"vector index {name!r} does not exist")
+        id_col = meta["id_col"]
+        tomb = self.table(f"{name}__tombstones")
+        cells = self.table(f"{name}__cells")
+        kept = cells.join(F.broadcast(tomb), id_col, "left_anti")
+        before = cells.count()
+        kept = kept.sort("cid").localCheckpoint()
+        removed = before - kept.count()
+        if removed:
+            self._rewrite(f"{name}__cells", kept, op="vector_vacuum",
+                          compact=False)
+        self._rewrite(f"{name}__tombstones", tomb.limit(0),
+                      op="vector_vacuum")
+        return removed
+
+    def vector_index_stats(self, name: str) -> DataFrame:
+        """Index health / drift for the retrain decision the upsert
+        docstring defers to: live row count vs build, per-cell count
+        skew (max/mean — hot cells mean probes over-scan), tombstone
+        backlog, and mean assignment distance now vs at build time
+        (rising mean distance = the frozen centroids no longer fit the
+        data — the classic IVF retrain signal). One row."""
+        meta = self._vector_indexes.get(name)
+        if meta is None:
+            raise ValueError(f"vector index {name!r} does not exist")
+        id_col = meta["id_col"]
+        cells = self.table(f"{name}__cells")
+        if f"{name}__tombstones" in self._tables:
+            tomb = self.table(f"{name}__tombstones")
+            n_tomb = tomb.count()
+            cells = cells.join(F.broadcast(tomb), id_col, "left_anti")
+        else:
+            n_tomb = 0
+        per_cell = cells.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.sqrt(F.greatest(F.col("dist"), F.lit(0.0)))).alias("sd"),
+        )
+        agg = per_cell.agg(
+            F.sum("n").alias("live"),
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean_n"),
+            F.sum("sd").alias("sum_d"),
+            F.count(F.lit(1)).alias("occupied"),
+        ).collect()[0]
+        live = int(agg["live"] or 0)
+        mean_dist = (float(agg["sum_d"]) / live) if live else 0.0
+        bmd = float(meta.get("build_mean_dist") or 0.0)
+        return self.spark.createDataFrame(
+            [(
+                name, live, int(meta.get("build_count") or 0), n_tomb,
+                int(agg["occupied"] or 0), int(meta["n_cells"]),
+                float(agg["mx"] or 0.0) / float(agg["mean_n"] or 1.0),
+                mean_dist, bmd,
+                (mean_dist / bmd) if bmd else None,
+            )],
+            "index_name string, live_rows long, build_rows long, "
+            "tombstones long, occupied_cells long, n_cells long, "
+            "cell_skew double, mean_dist double, build_mean_dist double, "
+            "drift_ratio double",
+        )
+
     def drop_vector_index(self, name: str, if_exists: bool = False) -> None:
         if name not in self._vector_indexes:
             if if_exists:
                 return
             raise ValueError(f"vector index {name!r} does not exist")
-        for suffix in ("__centroids", "__cells", "__graph"):
+        for suffix in ("__centroids", "__cells", "__graph",
+                       "__tombstones"):
             self.drop_table(f"{name}{suffix}", if_exists=True)
         del self._vector_indexes[name]
         self._persist_catalog()

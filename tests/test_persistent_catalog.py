@@ -243,3 +243,40 @@ def test_missing_backing_data_warns_not_fails(spark, warehouse, tmp_path):
         )
     finally:
         e2.close()
+
+
+def test_non_json_defaults_survive_reload_as_valid_sql(spark, warehouse):
+    """ADVICE r8 (low): a Decimal/date/timestamp DEFAULT used to be
+    encoded as repr(v) ("Decimal('1.5')") — a Python repr, not SQL —
+    so the restored session's inserts exploded. Now each non-JSON
+    literal round-trips as evaluable SQL text, and unsupported types
+    are rejected AT DDL TIME rather than corrupting the catalog."""
+    import datetime
+    from decimal import Decimal
+
+    for n in ("pc_dec",):
+        spark.catalog.dropTempView(n)
+    e = Engine(spark, num_workers=4, warehouse=warehouse)
+    e.create_table(
+        "pc_dec",
+        "id INTEGER, price DECIMAL(8,2), d DATE, ts TIMESTAMP",
+    )
+    e.set_column_default("pc_dec", "price", Decimal("1.50"))
+    e.set_column_default("pc_dec", "d", datetime.date(2026, 8, 16))
+    e.set_column_default(
+        "pc_dec", "ts", datetime.datetime(2026, 8, 16, 12, 30, 0)
+    )
+    with pytest.raises(TypeError):
+        e.set_column_default("pc_dec", "id", object())
+    e.close()
+
+    e2 = Engine(spark, num_workers=4, warehouse=warehouse)
+    try:
+        e2.insert_values("pc_dec", [(1,)], columns=["id"])
+        row = e2.table("pc_dec").collect()[0]
+        assert row["price"] == Decimal("1.50")
+        assert row["d"] == datetime.date(2026, 8, 16)
+        assert row["ts"] == datetime.datetime(2026, 8, 16, 12, 30, 0)
+    finally:
+        e2.drop_table("pc_dec", if_exists=True)
+        e2.close()
