@@ -189,14 +189,18 @@ _TOK_ORACLE = (
 def tokens_per_lang_topk(spark, sf_dir):
     """Top-3 tokens per language — the grouped heavy-hitters shape
     (per-group vocabulary heads for language-specific stopword
-    mining). explode → grouped count → per-group window top-k: the
-    window input is |vocab per lang|, not |tokens|, because the count
-    aggregation (with map-side combine) runs first."""
+    mining). r9 surgery: tokenize + per-batch (lang, term) counting
+    are FUSED in one Arrow pass (grouped_token_counts_arrow — map-side
+    combine inside the Arrow batch), so the shuffle and the
+    Arrow→JVM boundary carry per-batch vocabularies, never the raw
+    ~200-tokens/doc stream the old explode plan materialized. The
+    final grouped SUM is exact; the window input is |vocab per lang|."""
     d = load(spark, sf_dir, "documents")["documents"]
-    tok = d.select(
-        "lang", F.explode(X.tokens(X.normalize_text("text"))).alias("term")
+    freq = (
+        X.grouped_token_counts_arrow(d, "lang")
+        .groupBy("lang", "term")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    freq = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
     return (
         freq.withColumn("rnk", F.row_number().over(w))

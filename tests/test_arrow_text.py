@@ -152,3 +152,46 @@ def test_keyed_kth_smallest_matches_window(spark):
     assert quota.select("k", "v").exceptAll(
         rn20.select("k", "v")
     ).count() == 0
+
+
+def test_grouped_token_counts_arrow_matches_jvm(spark, docs):
+    """r9: the fused tokenize+count kernel must produce EXACT counts —
+    summing its per-batch partials equals the JVM explode+groupBy on
+    the same adversarial inputs (group keyed by doc_id here to make
+    every edge row its own group)."""
+    jvm = (
+        docs.select(
+            "doc_id",
+            F.explode(X.tokens(X.normalize_text("text"))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arrow = (
+        X.grouped_token_counts_arrow(docs, "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+
+
+def test_grouped_token_counts_arrow_on_real_corpus(spark):
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jvm = (
+        d.select(
+            "lang",
+            F.explode(X.tokens(X.normalize_text("text"))).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    arrow = (
+        X.grouped_token_counts_arrow(d, "lang")
+        .groupBy("lang", "term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
