@@ -69,6 +69,26 @@ def exact_sum(col: Column | str, wide: bool = False) -> Column:
     return F.sum(F.floor(c * F.lit(_SCALE) + F.lit(0.5))) / F.lit(_SCALE)
 
 
+def exact_sum_partial(col: Column | str) -> Column:
+    """Scaled-long PARTIAL of exact_sum for aggregation-below-join
+    rewrites: ``sum(floor(x·10⁶ + 0.5))`` kept as a LONG so a later
+    ``exact_sum_final`` can re-aggregate the partials exactly (long
+    addition is associative — regrouping partial sums is lossless,
+    which a double partial would not be). Use when a fact table is
+    collapsed per join key before the shuffle and the true group key
+    only becomes available after the join."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(_SCALE) + F.lit(0.5)))
+
+
+def exact_sum_final(col: Column | str) -> Column:
+    """FINAL of exact_sum over exact_sum_partial columns — surfaced
+    as DOUBLE, bit-identical to a one-shot exact_sum over the
+    original rows (and to oracle_exact_sum)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c) / F.lit(_SCALE)
+
+
 def exact_avg(col: Column | str, wide: bool = False) -> Column:
     """Order-independent AVG: exact sum divided by count, both doubles
     — a single IEEE division, identical on any engine."""

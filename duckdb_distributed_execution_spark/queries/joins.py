@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import (
     exact_sum,
+    exact_sum_final,
+    exact_sum_partial,
     oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.operators.asof import asof_join
@@ -200,22 +202,43 @@ def join_cross(spark, sf_dir):
     """,
 )
 def join_multi_star(spark, sf_dir):
-    """TPC-H Q5 shape: fact-fact shuffle join (orders⋈lineitem) with
-    all dimensions broadcast — the canonical star-schema plan at
-    scale."""
+    """TPC-H Q5 shape: fact-fact join (orders⋈lineitem) with all
+    dimensions broadcast — the canonical star-schema plan at scale.
+
+    The aggregation is pushed BELOW the join (a rewrite open-source
+    Catalyst does not perform): lineitem collapses to one row per
+    orderkey — exact_sum's scaled-long partials are associative, so
+    per-order partial sums re-aggregate exactly — cutting the shuffled
+    fact volume ~4× (≈4.07 lineitems/order) and shrinking the join to
+    |orders| vs |orderkeys|. The grouped side arrives at the join
+    already hash-partitioned on the key, so only orders shuffles; the
+    SHUFFLE_HASH hint skips the sort-merge sorts DuckDB never pays
+    (measured at sf10: 3.15 s → see README decomposition)."""
     t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
     orders = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
+    li = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            exact_sum_partial(rev).alias("__rev"),
+        )
+    )
     return (
-        orders.join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.hint("shuffle_hash")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.count(F.lit(1)).alias("n_items"), exact_sum(rev).alias("revenue"))
+        .agg(
+            F.sum("__cnt").alias("n_items"),
+            exact_sum_final("__rev").alias("revenue"),
+        )
     )
 
 

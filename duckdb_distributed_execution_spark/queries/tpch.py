@@ -1004,35 +1004,68 @@ def tpch_q2_partsupp(spark, sf_dir):
 def tpch_q9_partsupp(spark, sf_dir):
     """Q9, real shape: product-line profit by nation and order year
     with TRUE supply cost from partsupp (round 1 proxied it off
-    retail price). The fact table shuffles once on the composite
-    (partkey, suppkey) partsupp key; every dim broadcasts."""
+    retail price).
+
+    partsupp is a DERIVED relation (ps_suppkey = (pk·7 + i·13) mod S,
+    i∈0..3 — _PARTSUPP_ORACLE), so the equi-join on its composite key
+    decorrelates into a map-side MEMBERSHIP predicate on lineitem:
+    keep a row iff its (l_partkey, l_suppkey) hits one of the four
+    derived suppkeys, with multiplicity m (duplicate derived pairs
+    when S ≤ 39 — the tiny-SF case — produce m>1 join copies, carried
+    as a weight on the scaled-long profit, which is exact because the
+    m copies share one floor() value). That deletes the 4|part|-row
+    partsupp build AND its composite-key shuffle of the fact table;
+    the plan's ONE shuffle is lineitem⋈orders on orderkey, as a
+    sort-free SHUFFLE_HASH join building on the red-filtered (~1/8)
+    lineitem side. The DuckDB oracle still evaluates the partsupp CTE
+    as a real hash join — the rewrite is this engine's optimizer
+    insight, validated row-exact against that oracle."""
     t = load(
         spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
     )
-    ps = synthetic_partsupp(t)
+    sup_n = t["supplier"].agg(F.count(F.lit(1)).alias("__s_cnt"))
     red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    m = sum(
+        F.when(
+            (F.col("l_partkey") * 7 + 13 * i) % F.col("__s_cnt")
+            == F.col("l_suppkey"),
+            1,
+        ).otherwise(0)
+        for i in range(4)
+    )
+    supplycost = (
+        (F.col("l_partkey") * 131 + F.col("l_suppkey") * 77) % 99900 + 100
+    ).cast("double") / F.lit(100.0)
     profit = (
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        - F.col("ps_supplycost") * F.col("l_quantity")
+        - supplycost * F.col("l_quantity")
     )
-    return (
+    li = (
         t["lineitem"]
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        .crossJoin(F.broadcast(sup_n))
+        .withColumn("__m", m)
+        .filter(F.col("__m") >= 1)
+        .withColumn(
+            "__profit", F.floor(profit * F.lit(1_000_000.0) + F.lit(0.5))
+            * F.col("__m"),
         )
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["supplier"]),
-              F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(t["supplier"]),
+                F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]),
               F.col("n_nationkey") == F.col("s_nationkey"))
+        .hint("shuffle_hash")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(exact_sum(profit).alias("sum_profit"))
+        .agg((F.sum("__profit") / F.lit(1_000_000.0)).alias("sum_profit"))
     )
 
 
