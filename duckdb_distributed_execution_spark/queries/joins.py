@@ -205,20 +205,41 @@ def join_multi_star(spark, sf_dir):
     """TPC-H Q5 shape: fact-fact join (orders⋈lineitem) with all
     dimensions broadcast — the canonical star-schema plan at scale.
 
-    The aggregation is pushed BELOW the join (a rewrite open-source
-    Catalyst does not perform): lineitem collapses to one row per
-    orderkey — exact_sum's scaled-long partials are associative, so
-    per-order partial sums re-aggregate exactly — cutting the shuffled
-    fact volume ~4× (≈4.07 lineitems/order) and shrinking the join to
-    |orders| vs |orderkeys|. The grouped side arrives at the join
-    already hash-partitioned on the key, so only orders shuffles; the
-    SHUFFLE_HASH hint skips the sort-merge sorts DuckDB never pays
-    (measured at sf10: 3.15 s → see README decomposition)."""
+    Two rewrites open-source Catalyst does not perform (no CBO stats):
+
+    1. Aggregation pushed BELOW the join: lineitem collapses to one
+       row per orderkey — exact_sum's scaled-long partials are
+       associative, so per-order partial sums re-aggregate exactly —
+       cutting the shuffled fact volume ~4× (≈4.07 lineitems/order).
+    2. The region cut pushed INTO the build side: customer joins its
+       broadcast snowflake (nation⋈region, filtered) FIRST, so the
+       orders build carries n_name and only region-surviving orders
+       (~40%) enter the fact join, and the customer broadcast shrinks
+       to the filtered (c_custkey, n_name) projection.
+
+    The grouped lineitem side arrives at the join already hash-
+    partitioned on the key; SHUFFLE_HASH skips the sort-merge sorts
+    DuckDB never pays. Measured same-session at sf10:
+    3.71 → 1.94 s (README floor decomposition has the per-stage
+    attribution; the bucketed-layout variant in
+    tools/probe_relational_floors.py shows the residual is agg/join
+    CPU, not shuffle — pre-bucketed facts do not improve it)."""
     t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
-    orders = t["orders"].filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "n_name")
     )
     li = (
         t["lineitem"]
@@ -231,9 +252,6 @@ def join_multi_star(spark, sf_dir):
     return (
         orders.hint("shuffle_hash")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum("__cnt").alias("n_items"),

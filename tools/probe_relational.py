@@ -62,6 +62,100 @@ def shj_join_multi_star(spark, sf_dir):
     )
 
 
+def _prefiltered_orders(spark, sf_dir):
+    """orders already carrying nation, with the region cut applied
+    BEFORE the fact join (manual join reorder Catalyst won't do
+    without CBO stats): build side shrinks ~60%, broadcast shrinks
+    1.5M -> 600k rows."""
+    from duckdb_distributed_execution_spark.queries import load
+
+    t = load(spark, sf_dir, "customer", "orders", "nation", "region")
+    region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "n_name")
+    )
+
+
+def pre_join_multi_star(spark, sf_dir):
+    """agg-below-join + the region cut pushed into the build side."""
+    from duckdb_distributed_execution_spark.functions import (
+        exact_sum_final,
+        exact_sum_partial,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    li = (
+        load(spark, sf_dir, "lineitem")["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            exact_sum_partial(rev).alias("__rev"),
+        )
+    )
+    return (
+        _prefiltered_orders(spark, sf_dir).hint("shuffle_hash")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("__cnt").alias("n_items"),
+            exact_sum_final("__rev").alias("revenue"),
+        )
+    )
+
+
+def raw_join_multi_star(spark, sf_dir):
+    """NO pre-agg: raw narrow lineitem probes the prefiltered orders
+    build (4.8M rows) in one shuffle-hash join."""
+    from duckdb_distributed_execution_spark.queries import load
+
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    li = load(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey",
+        F.floor(rev * F.lit(1_000_000.0) + F.lit(0.5)).alias("__rs"),
+    )
+    return (
+        _prefiltered_orders(spark, sf_dir).hint("shuffle_hash")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("__rs") / F.lit(1_000_000.0)).alias("revenue"),
+        )
+    )
+
+
+def fast_events_tumbling(spark, sf_dir):
+    """Arithmetic bucket + scaled-long sum instead of F.window +
+    decimal(28,6) accumulation."""
+    from duckdb_distributed_execution_spark.queries import load
+
+    ev = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    w_start = F.timestamp_micros(
+        (us - (us % F.lit(300_000_000))).cast("long")
+    )
+    return (
+        ev.groupBy(w_start.alias("w_start"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)))
+             / F.lit(1_000_000.0)).alias("sum_value"),
+        )
+    )
+
+
 def old_tpch_q9(spark, sf_dir):
     from duckdb_distributed_execution_spark.functions import exact_sum
     from duckdb_distributed_execution_spark.queries import load
@@ -109,7 +203,14 @@ def main() -> None:
     specs = all_queries()
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
     olds = {"join_multi_star": old_join_multi_star, "tpch_q9_partsupp": old_tpch_q9}
-    extras = {"join_multi_star": [("shj", shj_join_multi_star)]}
+    extras = {
+        "join_multi_star": [
+            ("shj", shj_join_multi_star),
+            ("pre", pre_join_multi_star),
+            ("raw", raw_join_multi_star),
+        ],
+        "events_tumbling_window": [("fast", fast_events_tumbling)],
+    }
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
