@@ -1404,6 +1404,141 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_serve_topk(
+    codes: DataFrame,
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    k: int = 5,
+    nprobe: int = 1,
+    rerank: int = 32,
+    graph_edges: int | None = None,
+    graph_rows: list[tuple] | None = None,
+) -> DataFrame:
+    """IVF-PQ serving (wave 62 — composes waves 48 + 61, the
+    production memory-bounded retrieval path): queries route to their
+    probed cells driver-side (the SAME quantized _route_probes
+    convention as ivf_topk/ivf_serve_topk, optional graph routing from
+    persisted graph rows), the probed cells are scanned from the
+    PQ-ENCODED codes relation (32× narrower than the float rows — at
+    100 TB only code bytes cross the wire), scored by asymmetric
+    distance against a per-query broadcast (sub, code) → partial-d²
+    LUT, and the top-``rerank`` ADC candidates per query are re-ranked
+    EXACTLY against their raw vectors from the cells relation.
+
+    Fully relational: broadcast probe map + broadcast LUT + one
+    grouped exact-sum over codes in probed cells + a rerank join that
+    touches ``|Q|·rerank`` raw vectors. ADC partials snap to 6 fixed
+    decimals (exact_sum) and the candidate cut orders by
+    (adist, neighbor_id), so the rerank set — and therefore the final
+    top-k — is engine-exact against the SQL oracle
+    (ann_ivf_pq_served_topk)."""
+    import numpy as np
+
+    from duckdb_distributed_execution_spark.functions import (
+        dot_product,
+        ensure_min_parallelism,
+        exact_sum,
+        l2_norm,
+    )
+
+    spark = codes.sparkSession
+    cent = sorted(
+        ((r[cid_col], list(r[vec_col])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cids = np.asarray([c[0] for c in cent], dtype=np.int64)
+    C = np.asarray([c[1] for c in cent], dtype=np.float64)
+    cc = np.einsum("ij,ij->i", C, C)
+    qrows = [
+        (r[id_col], list(r[vec_col]))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qq = np.einsum("ij,ij->i", Q, Q)
+    graph_nbrs = None
+    if graph_rows is not None and graph_edges is not None:
+        pos = {int(c): i for i, c in enumerate(cids)}
+        by_src: dict[int, list[tuple[int, int]]] = {}
+        for src, dst, rank in graph_rows:
+            by_src.setdefault(pos[int(src)], []).append(
+                (int(rank), pos[int(dst)])
+            )
+        graph_nbrs = [
+            [j for _, j in sorted(by_src.get(i, []))[:graph_edges]]
+            for i in range(len(cids))
+        ]
+    probe_idx = _route_probes(Q, qq, C, cc, nprobe, graph_edges,
+                              graph_nbrs=graph_nbrs)
+    qid_type = dict(queries.dtypes)[id_col]
+    pairs = [
+        (qrows[qi][0], int(cids[ci]))
+        for qi in range(len(qrows))
+        for ci in set(int(x) for x in probe_idx[qi])
+    ]
+    probe_df = spark.createDataFrame(
+        pairs, f"query_id {qid_type}, {cid_col} long"
+    )
+    probed = sorted({c for _, c in pairs})
+
+    # per-query LUT: (query_id, sub, code, pdist) — |Q|·m·K tiny rows
+    dsub = len(codebook.select("cv").first()["cv"])
+    msubs = codebook.agg(F.max("sub")).first()[0] + 1
+    qsub = pq_subvectors(queries, id_col, vec_col, msubs, dsub).select(
+        F.col("__id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    lut = qsub.join(F.broadcast(codebook.select("sub", "code", "cv")),
+                    on="sub").select(
+        "query_id", "sub", "code",
+        sq_l2(F.col("qv"), F.col("cv")).alias("pdist"),
+    )
+
+    # ADC over ONLY the probed cells (codes is cid-sorted at build
+    # time — the IN filter prunes row groups), fanned out per probing
+    # query by the broadcast probe map
+    cand_codes = (
+        ensure_min_parallelism(
+            codes.filter(F.col(cid_col).isin(probed))
+        )
+        .join(F.broadcast(probe_df), on=cid_col)
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(exact_sum("pdist").alias("adist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    cand = cand_codes.withColumn(
+        "__arn", F.row_number().over(wa)
+    ).filter(F.col("__arn") <= rerank)
+
+    # exact re-rank: |Q|·rerank raw vectors from the cells relation
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    raw = cells.filter(F.col(cid_col).isin(probed)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    sim = dot_product(F.col("__qv"), F.col("__nv")) / (
+        l2_norm(F.col("__qv")) * l2_norm(F.col("__nv"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(raw, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"), "adist")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim", "adist")
+    )
+
+
 def hard_negative_topk_numpy(
     corpus: DataFrame,
     anchors: list[tuple[int, int, list[float]]],

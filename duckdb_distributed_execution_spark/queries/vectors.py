@@ -26,6 +26,7 @@ from duckdb_distributed_execution_spark.functions import (
     l2_norm,
     oracle_exact_avg,
     oracle_exact_avg_rounded,
+    oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.queries import arr_str, load, register
 
@@ -482,6 +483,129 @@ def ann_served_multiprobe_topk(spark, sf_dir):
     out = ivf_serve_topk(cells, queries, cents, k=5, nprobe=2)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
+    "ann_ivf_pq_served_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 24),
+    subs AS (SELECT CAST(i AS INTEGER) AS sub FROM range(0, 8) t(i)),
+    cbv AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                   CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id >= 8 AND vec_id < 24),
+    cb AS (SELECT code, sub, list_slice(e, sub * 8 + 1, sub * 8 + 8) AS cv
+           FROM cbv CROSS JOIN subs),
+    d AS (SELECT vec_id, cid,
+                 (list_dot_product(e, e) - 2.0 * list_dot_product(e, cv))
+                   + list_dot_product(cv, cv) AS dist, e
+          FROM v CROSS JOIN cents),
+    assign AS (SELECT vec_id, cid, e,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY CAST(floor(dist * 1000000.0 + 0.5)
+                                      AS BIGINT), cid) AS rn
+               FROM d),
+    cells AS (SELECT vec_id, cid, e FROM assign WHERE rn = 1),
+    corp AS (SELECT vec_id, sub, list_slice(e, sub * 8 + 1, sub * 8 + 8) AS sv
+             FROM v CROSS JOIN subs),
+    encd AS (SELECT c.vec_id, c.sub, cb.code,
+                    (list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cv))
+                      + list_dot_product(cv, cv) AS dist
+             FROM corp c JOIN cb ON cb.sub = c.sub),
+    enc AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist, code) AS rn
+              FROM encd) WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, cid FROM assign
+           WHERE vec_id < 29 AND rn <= 2),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 29),
+    qsub AS (SELECT query_id, sub,
+                    list_slice(qe, sub * 8 + 1, sub * 8 + 8) AS qsv
+             FROM qv CROSS JOIN subs),
+    lut AS (SELECT query_id, q.sub, cb.code,
+                   (list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, cv))
+                     + list_dot_product(cv, cv) AS pdist
+            FROM qsub q JOIN cb ON cb.sub = q.sub),
+    scored AS (
+      SELECT l.query_id, e2.vec_id AS neighbor_id,
+             {oracle_exact_sum('pdist')} AS adist
+      FROM enc e2
+      JOIN cells cl ON cl.vec_id = e2.vec_id
+      JOIN qp ON qp.cid = cl.cid
+      JOIN lut l ON l.query_id = qp.query_id
+                AND l.sub = e2.sub AND l.code = e2.code
+      GROUP BY l.query_id, e2.vec_id),
+    cand AS (SELECT query_id, neighbor_id, adist FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adist, neighbor_id) AS arn
+               FROM scored)
+             WHERE arn <= 12),
+    sims AS (SELECT c.query_id, c.neighbor_id, c.adist,
+                    list_dot_product(q.qe, cl.e)
+                      / (sqrt(list_dot_product(q.qe, q.qe))
+                         * sqrt(list_dot_product(cl.e, cl.e))) AS sim
+             FROM cand c
+             JOIN qv q ON q.query_id = c.query_id
+             JOIN cells cl ON cl.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, CAST(rn2 AS INTEGER) AS rank,
+           ROUND(sim, 4) AS sim, ROUND(adist, 4) AS adist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn2
+          FROM sims)
+    WHERE rn2 <= 5
+    """,
+)
+def ann_ivf_pq_served_topk(spark, sf_dir):
+    """IVF-PQ serving (wave 62 — composes the wave-48 PQ-ADC scorer
+    with the wave-61 persisted-index layout): the corpus is IVF-
+    assigned once and PQ-encoded once (both build-time artifacts —
+    Engine.create_vector_index(pq_m=...) persists them as
+    ``{{name}}__cells`` / ``{{name}}__codes`` / ``{{name}}__codebook``);
+    a query batch routes to nprobe=2 cells, ADC-scores ONLY the
+    encoded rows of its probed cells against a broadcast LUT, and the
+    top-12 ADC candidates per query are re-ranked EXACTLY against
+    their raw vectors. This is the memory-bounded production serving
+    shape: at 100 TB the probe scan touches code bytes (32× narrower
+    than floats) and raw vectors are fetched for |Q|·rerank rows only.
+    ADC partials snap to 6 decimals and the candidate cut is
+    (adist, id)-ordered, so candidate set and final top-k are
+    engine-exact."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        ivf_assign_numpy,
+        ivf_pq_serve_topk,
+        pq_encode,
+        pq_subvectors,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    cb_src = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+    w = Window.orderBy("vec_id")
+    cb_ranked = cb_src.select(
+        (F.row_number().over(w) - 1).cast("int").alias("code"), "embedding"
+    )
+    cb = pq_subvectors(cb_ranked, "code", "embedding", 8, 8).select(
+        F.col("__id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 24)
+    queries = e.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 29))
+    cells = ivf_assign_numpy(corpus, cents)
+    codes = pq_encode(corpus, cb, m=8, dsub=8).join(
+        cells.select("vec_id", "cid"), on="vec_id"
+    )
+    out = ivf_pq_serve_topk(
+        codes, cells, queries, cents, cb, k=5, nprobe=2, rerank=12
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("sim", 4).alias("sim"), F.round("adist", 4).alias("adist"),
     )
 
 

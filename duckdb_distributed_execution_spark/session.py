@@ -2044,6 +2044,9 @@ class Engine:
         n_cells: int = 8,
         graph_edges: int = 2,
         centroids: DataFrame | None = None,
+        pq_m: int | None = None,
+        pq_codebook_k: int = 16,
+        pq_codebook: DataFrame | None = None,
     ) -> dict:
         """Build + persist an ANN index over a registered corpus
         table: ``{name}__centroids`` (cid, vec), ``{name}__cells``
@@ -2051,7 +2054,20 @@ class Engine:
         ``{name}__graph`` (src, dst, rank — the wave-59 routing
         artifact). Centroids default to the deterministic Lloyd's
         k-means (kmeans_train); pass ``centroids=`` to bring your
-        own. Returns the recorded metadata."""
+        own.
+
+        ``pq_m`` (wave 62) additionally persists the PRODUCT-
+        QUANTIZED form: ``{name}__codebook`` (sub, code, cv — by
+        default seeded from the ``pq_codebook_k`` lowest-id corpus
+        vectors' subvectors, the repo's deterministic convention;
+        pass ``pq_codebook=`` (sub, code, cv) to bring a trained
+        one) and ``{name}__codes`` (id, cid, sub, code — cid-sorted
+        like cells, so the serve-time probe filter prunes the same
+        row groups). vector_search(use_pq=True) then ADC-scores the
+        probed cells from codes (32× narrower than the float rows)
+        and re-ranks only the top candidates against cells — the
+        memory-bounded production serving path. Returns the recorded
+        metadata."""
         from duckdb_distributed_execution_spark.operators import (
             similarity as S,
         )
@@ -2115,6 +2131,52 @@ class Engine:
         ).coalesce(1).write.mode("overwrite").parquet(gpath)
         self._attach_managed(f"{name}__graph", gpath)
 
+        pq_dsub = None
+        if pq_m is not None:
+            from pyspark.sql import Window as W
+
+            dim = len(corpus.select(vec_col).first()[vec_col])
+            if dim % pq_m:
+                raise ValueError(
+                    f"pq_m={pq_m} does not divide the {dim}-dim vectors"
+                )
+            pq_dsub = dim // pq_m
+            if pq_codebook is None:
+                # deterministic seeded codebook: the pq_codebook_k
+                # lowest-id corpus vectors' subvectors (the repo's
+                # oracle convention — kmeans_train refines when a
+                # trained codebook is wanted; pass it via pq_codebook)
+                seed = (
+                    corpus.orderBy(id_col).limit(pq_codebook_k)
+                    .select(id_col, vec_col)
+                )
+                ranked = seed.select(
+                    (F.row_number().over(W.orderBy(id_col)) - 1)
+                    .cast("int").alias("code"),
+                    vec_col,
+                )
+                pq_codebook = S.pq_subvectors(
+                    ranked, "code", vec_col, pq_m, pq_dsub
+                ).select(
+                    F.col("__id").alias("code"), "sub",
+                    F.col("sv").alias("cv"),
+                )
+            cbpath = self._managed_path(f"{name}__codebook")
+            pq_codebook.select("sub", "code", "cv").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(cbpath)
+            self._attach_managed(f"{name}__codebook", cbpath)
+            codes = S.pq_encode(
+                corpus, self.table(f"{name}__codebook"),
+                id_col, vec_col, m=pq_m, dsub=pq_dsub,
+            ).join(
+                self.table(f"{name}__cells").select(id_col, "cid"),
+                on=id_col,
+            )
+            kpath = self._managed_path(f"{name}__codes")
+            codes.sort("cid").write.mode("overwrite").parquet(kpath)
+            self._attach_managed(f"{name}__codes", kpath)
+
         meta = {
             "table": table,
             "id_col": id_col,
@@ -2123,6 +2185,8 @@ class Engine:
             "graph_edges": graph_edges,
             "build_count": int(build["n"]),
             "build_mean_dist": float(build["md"] or 0.0),
+            "pq_m": pq_m,
+            "pq_dsub": pq_dsub,
         }
         self._vector_indexes[name] = meta
         self._persist_catalog()
@@ -2135,6 +2199,8 @@ class Engine:
         k: int = 5,
         nprobe: int = 1,
         use_graph: bool = False,
+        use_pq: bool = False,
+        rerank: int = 32,
     ) -> DataFrame:
         """Serve top-k cosine neighbors from a PERSISTED index — no
         corpus re-assignment, no centroid re-training; the scan reads
@@ -2171,21 +2237,49 @@ class Engine:
                 (r["src"], r["dst"], r["rank"])
                 for r in self.table(f"{name}__graph").collect()
             ]
-        topk = S.ivf_serve_topk(
-            cells,
-            q,
-            self.table(f"{name}__centroids"),
-            id_col=meta["id_col"],
-            vec_col=meta["vec_col"],
-            k=k,
-            nprobe=nprobe,
-            graph_edges=meta["graph_edges"] if use_graph else None,
-            graph_rows=graph_rows,
-        )
+        if use_pq:
+            if not meta.get("pq_m"):
+                raise ValueError(
+                    f"vector index {name!r} was built without pq_m — "
+                    "rebuild with create_vector_index(..., pq_m=...)"
+                )
+            codes = self.table(f"{name}__codes")
+            if f"{name}__tombstones" in self._tables:
+                codes = codes.join(
+                    F.broadcast(self.table(f"{name}__tombstones")),
+                    meta["id_col"], "left_anti",
+                )
+            topk = S.ivf_pq_serve_topk(
+                codes,
+                cells,
+                q,
+                self.table(f"{name}__centroids"),
+                self.table(f"{name}__codebook"),
+                id_col=meta["id_col"],
+                vec_col=meta["vec_col"],
+                k=k,
+                nprobe=nprobe,
+                rerank=rerank,
+                graph_edges=meta["graph_edges"] if use_graph else None,
+                graph_rows=graph_rows,
+            )
+        else:
+            topk = S.ivf_serve_topk(
+                cells,
+                q,
+                self.table(f"{name}__centroids"),
+                id_col=meta["id_col"],
+                vec_col=meta["vec_col"],
+                k=k,
+                nprobe=nprobe,
+                graph_edges=meta["graph_edges"] if use_graph else None,
+                graph_rows=graph_rows,
+            )
         with Timer() as t:
             out = topk.localCheckpoint(eager=True)
         self.recorder.record(
             f"VECTOR_SEARCH(index={name}, k={k}, "
+            f"{'pq+' if use_pq else ''}"
             f"{'graph' if use_graph else f'nprobe={nprobe}'})",
             out, t.ms,
         )
@@ -2226,6 +2320,25 @@ class Engine:
             f"{name}__cells", assigned.sort("cid"), "vector_upsert",
             txn=txn,
         )
+        if meta.get("pq_m"):
+            # PQ twin of the batch (wave 62). The two appends are
+            # separate manifest commits; each carries the SAME txn
+            # stamp, so a crash between them heals on replay (cells
+            # skips as already-applied, codes lands) — the streaming
+            # path's exactly-once loop re-runs this method with the
+            # same (app, batch_id).
+            codes = S.pq_encode(
+                assigned, self.table(f"{name}__codebook"),
+                meta["id_col"], meta["vec_col"],
+                m=meta["pq_m"], dsub=meta["pq_dsub"],
+            ).join(
+                assigned.select(meta["id_col"], "cid"),
+                on=meta["id_col"],
+            )
+            self._append_files(
+                f"{name}__codes", codes.sort("cid"), "vector_upsert",
+                txn=txn,
+            )
         return n if applied else 0
 
     def vector_index_stream_upsert(self, name: str, vectors: DataFrame,
@@ -2323,6 +2436,13 @@ class Engine:
         if removed:
             self._rewrite(f"{name}__cells", kept, op="vector_vacuum",
                           compact=False)
+            if meta.get("pq_m"):
+                codes = self.table(f"{name}__codes")
+                kept_codes = codes.join(
+                    F.broadcast(tomb), id_col, "left_anti"
+                ).sort("cid").localCheckpoint()
+                self._rewrite(f"{name}__codes", kept_codes,
+                              op="vector_vacuum", compact=False)
         self._rewrite(f"{name}__tombstones", tomb.limit(0),
                       op="vector_vacuum")
         return removed
@@ -2379,7 +2499,7 @@ class Engine:
                 return
             raise ValueError(f"vector index {name!r} does not exist")
         for suffix in ("__centroids", "__cells", "__graph",
-                       "__tombstones"):
+                       "__tombstones", "__codebook", "__codes"):
             self.drop_table(f"{name}{suffix}", if_exists=True)
         del self._vector_indexes[name]
         self._persist_catalog()
