@@ -174,10 +174,16 @@ def test_aqe_skew_join_split(spark, tmp_path):
 # never actually run.)
 HEADLINE_SHUFFLE_BUDGETS = {
     "agg_pricing_summary": 1,   # one partial→final agg exchange
-    "join_multi_star": 1,       # dims broadcast; only the fact aggregates
+    # r9 plans pin the SCALE-TRUE topology: the SHUFFLE_HASH hint
+    # keeps the fact join a shuffle join even at smoke scale (where
+    # AQE used to broadcast the tiny fact side and the old pins read
+    # 1/2) — what you see here is exactly the 100 TB exchange count.
+    "join_multi_star": 3,       # per-orderkey fact agg + orders join
+    #                             side + final nation agg
     "sessionize_window_sql": 1, # one keyed window exchange
     "dedup_minhash_lsh": 3,     # signature → band bucket → verify
-    "tpch_q9_partsupp": 2,      # dims broadcast; fact agg + synth partsupp
+    "tpch_q9_partsupp": 4,      # scalar supplier-count agg + both
+    #                             SHUFFLE_HASH sides + final agg
 }
 
 
@@ -198,12 +204,16 @@ def test_headline_shuffle_budget(spark, name):
 # mismatch means either a plan regression or a counter bug), and every
 # headline query must run with REAL whole-stage-codegen stages.
 HEADLINE_EXECUTED = {
-    # name: (post-AQE shuffles, min codegen stages; measured r7)
+    # name: (post-AQE shuffles, min codegen stages; measured r7,
+    # join_multi_star/tpch_q9_partsupp re-pinned r9 after the
+    # agg-below-join + decorrelated-partsupp surgery — see
+    # HEADLINE_SHUFFLE_BUDGETS for why the counts grew at SMOKE scale
+    # while the sf10 wall time halved)
     "agg_pricing_summary": (1, 2),
-    "join_multi_star": (1, 6),
+    "join_multi_star": (3, 8),
     "sessionize_window_sql": (1, 4),
     "dedup_minhash_lsh": (3, 7),
-    "tpch_q9_partsupp": (2, 9),
+    "tpch_q9_partsupp": (4, 9),
 }
 
 
