@@ -85,6 +85,45 @@ def arr_str(col):
 _LOAD_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a testdata table — the cardinality
+    statistic a production catalog would provide (ANALYZE / CBO).
+    Used by scale-gated plan decisions in the queries."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 0
+
+
+# Build sides whose parquet footprint exceeds this are far beyond any
+# sane broadcast budget (parquet->UnsafeRow expansion is ~3-5x), so
+# the fact join is pinned to the sort-free SHUFFLE_HASH form; below
+# it, the hint is withheld and AQE broadcasts or sort-merges as its
+# runtime stats dictate. File size stands in for catalog row stats —
+# the same signal a CBO join-strategy rule would read.
+SHUFFLE_HASH_GATE_BYTES = 64 * 1024 * 1024
+
+
+def shuffle_hash_if_big(
+    df: DataFrame, sf_dir: str, table: str,
+    threshold: int = SHUFFLE_HASH_GATE_BYTES,
+) -> DataFrame:
+    """Scale-gated join-strategy hint: SHUFFLE_HASH when ``table``'s
+    on-disk size says the build side cannot sensibly broadcast
+    (r9 — the unconditional hint cost sf0.1 ~2x on the star join by
+    forcing shuffles where AQE would broadcast the tiny build)."""
+    if table_bytes(sf_dir, table) > threshold:
+        return df.hint("shuffle_hash")
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Register the requested testdata tables as temp views (matching
     the oracle's pre-registered DuckDB view names) and return them.

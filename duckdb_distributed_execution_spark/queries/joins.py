@@ -20,7 +20,11 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.operators.asof import asof_join
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import (
+    load,
+    register,
+    shuffle_hash_if_big,
+)
 
 
 @register(
@@ -218,8 +222,9 @@ def join_multi_star(spark, sf_dir):
        to the filtered (c_custkey, n_name) projection.
 
     The grouped lineitem side arrives at the join already hash-
-    partitioned on the key; SHUFFLE_HASH skips the sort-merge sorts
-    DuckDB never pays. Measured same-session at sf10:
+    partitioned on the key; SHUFFLE_HASH (size-gated — withheld at
+    small SF where AQE's broadcast beats any shuffle join) skips the
+    sort-merge sorts DuckDB never pays. Measured same-session at sf10:
     3.71 → 1.94 s (README floor decomposition has the per-stage
     attribution; the bucketed-layout variant in
     tools/probe_relational_floors.py shows the residual is agg/join
@@ -250,7 +255,7 @@ def join_multi_star(spark, sf_dir):
         )
     )
     return (
-        orders.hint("shuffle_hash")
+        shuffle_hash_if_big(orders, sf_dir, "orders")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -21,7 +21,11 @@ from duckdb_distributed_execution_spark.functions import (
     exact_sum,
     oracle_exact_sum,
 )
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import (
+    load,
+    register,
+    shuffle_hash_if_big,
+)
 
 
 @register(
@@ -1017,7 +1021,8 @@ def tpch_q9_partsupp(spark, sf_dir):
     partsupp build AND its composite-key shuffle of the fact table;
     the plan's ONE shuffle is lineitem⋈orders on orderkey, as a
     sort-free SHUFFLE_HASH join building on the red-filtered (~1/8)
-    lineitem side. The DuckDB oracle still evaluates the partsupp CTE
+    lineitem side (size-gated: withheld at small SF where AQE's
+    broadcast wins). The DuckDB oracle still evaluates the partsupp CTE
     as a real hash join — the rewrite is this engine's optimizer
     insight, validated row-exact against that oracle."""
     t = load(
@@ -1051,12 +1056,14 @@ def tpch_q9_partsupp(spark, sf_dir):
             * F.col("__m"),
         )
     )
-    return (
+    li = (
         li.join(F.broadcast(t["supplier"]),
                 F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]),
               F.col("n_nationkey") == F.col("s_nationkey"))
-        .hint("shuffle_hash")
+    )
+    return (
+        shuffle_hash_if_big(li, sf_dir, "orders")
         .join(
             t["orders"].select("o_orderkey", "o_orderdate"),
             F.col("o_orderkey") == F.col("l_orderkey"),

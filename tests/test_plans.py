@@ -174,16 +174,16 @@ def test_aqe_skew_join_split(spark, tmp_path):
 # never actually run.)
 HEADLINE_SHUFFLE_BUDGETS = {
     "agg_pricing_summary": 1,   # one partial→final agg exchange
-    # r9 plans pin the SCALE-TRUE topology: the SHUFFLE_HASH hint
-    # keeps the fact join a shuffle join even at smoke scale (where
-    # AQE used to broadcast the tiny fact side and the old pins read
-    # 1/2) — what you see here is exactly the 100 TB exchange count.
-    "join_multi_star": 3,       # per-orderkey fact agg + orders join
-    #                             side + final nation agg
+    # r9 plans: SHUFFLE_HASH is SIZE-GATED (shuffle_hash_if_big) so
+    # at smoke scale the hint is withheld and AQE broadcasts the
+    # small build side — the counts below are the small-SF topology;
+    # at sf10 the gate adds the pinned shuffle join instead of sorts.
+    "join_multi_star": 2,       # per-orderkey fact agg + final agg
+    #                             (orders side broadcasts at this SF)
     "sessionize_window_sql": 1, # one keyed window exchange
     "dedup_minhash_lsh": 3,     # signature → band bucket → verify
-    "tpch_q9_partsupp": 4,      # scalar supplier-count agg + both
-    #                             SHUFFLE_HASH sides + final agg
+    "tpch_q9_partsupp": 2,      # scalar supplier-count agg + final
+    #                             agg (orders broadcasts at this SF)
 }
 
 
@@ -210,10 +210,10 @@ HEADLINE_EXECUTED = {
     # HEADLINE_SHUFFLE_BUDGETS for why the counts grew at SMOKE scale
     # while the sf10 wall time halved)
     "agg_pricing_summary": (1, 2),
-    "join_multi_star": (3, 8),
+    "join_multi_star": (2, 7),
     "sessionize_window_sql": (1, 4),
     "dedup_minhash_lsh": (3, 7),
-    "tpch_q9_partsupp": (4, 9),
+    "tpch_q9_partsupp": (2, 8),
 }
 
 
