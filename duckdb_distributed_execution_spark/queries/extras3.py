@@ -189,18 +189,39 @@ _TOK_ORACLE = (
 def tokens_per_lang_topk(spark, sf_dir):
     """Top-3 tokens per language — the grouped heavy-hitters shape
     (per-group vocabulary heads for language-specific stopword
-    mining). r9 surgery: tokenize + per-batch (lang, term) counting
-    are FUSED in one Arrow pass (grouped_token_counts_arrow — map-side
-    combine inside the Arrow batch), so the shuffle and the
-    Arrow→JVM boundary carry per-batch vocabularies, never the raw
-    ~200-tokens/doc stream the old explode plan materialized. The
-    final grouped SUM is exact; the window input is |vocab per lang|."""
+    mining). Two size-gated plans (same results, pinned in
+    tests/test_arrow_text.py):
+
+    * corpus above the gate — r9 surgery: tokenize + per-batch
+      (lang, term) counting FUSED in one Arrow pass
+      (grouped_token_counts_arrow — map-side combine inside the Arrow
+      batch), so the shuffle and the Arrow→JVM boundary carry
+      per-batch vocabularies, never the raw ~200-tokens/doc stream
+      (sf1: 2.13 → 0.78 s warm);
+    * small corpus — the JVM explode → grouped count plan: the Arrow
+      path's ~0.3-0.4 s python-worker fixed cost EXCEEDS the whole
+      JVM plan there (measured at sf0.1: 0.38 vs 0.79 s), the same
+      fixed-cost-vs-slope trade every Arrow kernel in this repo gates
+      on (file size standing in for catalog stats).
+
+    Either way the window input is |vocab per lang|, not |tokens|."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
-    freq = (
-        X.grouped_token_counts_arrow(d, "lang")
-        .groupBy("lang", "term")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    if table_bytes(sf_dir, "documents") > 4 * 1024 * 1024:
+        freq = (
+            X.grouped_token_counts_arrow(d, "lang")
+            .groupBy("lang", "term")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        tok = d.select(
+            "lang",
+            F.explode(X.tokens(X.normalize_text("text"))).alias("term"),
+        )
+        freq = tok.groupBy("lang", "term").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
     return (
         freq.withColumn("rnk", F.row_number().over(w))

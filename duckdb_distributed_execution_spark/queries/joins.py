@@ -20,11 +20,7 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.operators.asof import asof_join
-from duckdb_distributed_execution_spark.queries import (
-    load,
-    register,
-    shuffle_hash_if_big,
-)
+from duckdb_distributed_execution_spark.queries import load, register
 
 
 @register(
@@ -228,7 +224,43 @@ def join_multi_star(spark, sf_dir):
     3.71 → 1.94 s (README floor decomposition has the per-stage
     attribution; the bucketed-layout variant in
     tools/probe_relational_floors.py shows the residual is agg/join
-    CPU, not shuffle — pre-bucketed facts do not improve it)."""
+    CPU, not shuffle — pre-bucketed facts do not improve it).
+
+    Below the gate (small SF), the whole rewrite is withheld: the
+    extra pre-aggregation exchange and the snowflake-prefilter
+    broadcast chain are pure fixed cost when AQE broadcasts the fact
+    side anyway (measured at sf0.1: 0.49 s simple vs 0.76 s rewritten,
+    same session) — the identical fixed-cost-vs-slope gate every
+    Arrow kernel here uses, with file size standing in for stats."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    orders_dated = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    if table_bytes(sf_dir, "orders") <= 64 * 1024 * 1024:
+        return (
+            orders_dated
+            .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 exact_sum(rev).alias("revenue"))
+        )
+    return join_multi_star_scale_plan(spark, sf_dir)
+
+
+def join_multi_star_scale_plan(spark, sf_dir):
+    """The big-SF branch of join_multi_star, module-level so
+    tests/test_plans.py can pin its result equality to the simple
+    plan at oracle scale (both branches must stay interchangeable)."""
     t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
@@ -255,7 +287,7 @@ def join_multi_star(spark, sf_dir):
         )
     )
     return (
-        shuffle_hash_if_big(orders, sf_dir, "orders")
+        orders.hint("shuffle_hash")
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

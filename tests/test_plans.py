@@ -174,12 +174,13 @@ def test_aqe_skew_join_split(spark, tmp_path):
 # never actually run.)
 HEADLINE_SHUFFLE_BUDGETS = {
     "agg_pricing_summary": 1,   # one partial→final agg exchange
-    # r9 plans: SHUFFLE_HASH is SIZE-GATED (shuffle_hash_if_big) so
-    # at smoke scale the hint is withheld and AQE broadcasts the
-    # small build side — the counts below are the small-SF topology;
-    # at sf10 the gate adds the pinned shuffle join instead of sorts.
-    "join_multi_star": 2,       # per-orderkey fact agg + final agg
-    #                             (orders side broadcasts at this SF)
+    # r9 plans are SIZE-GATED (queries.table_bytes standing in for
+    # catalog stats): at smoke scale join_multi_star takes the simple
+    # broadcast shape and q9 withholds its SHUFFLE_HASH hint, so the
+    # counts below are the small-SF topology; at sf10 the gates flip
+    # to agg-below-join + shuffle-hash (branch equality pinned by
+    # test_join_multi_star_branches_agree).
+    "join_multi_star": 1,       # AQE broadcasts every dim; fact agg
     "sessionize_window_sql": 1, # one keyed window exchange
     "dedup_minhash_lsh": 3,     # signature → band bucket → verify
     "tpch_q9_partsupp": 2,      # scalar supplier-count agg + final
@@ -210,7 +211,7 @@ HEADLINE_EXECUTED = {
     # HEADLINE_SHUFFLE_BUDGETS for why the counts grew at SMOKE scale
     # while the sf10 wall time halved)
     "agg_pricing_summary": (1, 2),
-    "join_multi_star": (2, 7),
+    "join_multi_star": (1, 6),
     "sessionize_window_sql": (1, 4),
     "dedup_minhash_lsh": (3, 7),
     "tpch_q9_partsupp": (2, 8),
@@ -313,3 +314,20 @@ def test_runtime_bloom_filter_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_multi_star_branches_agree(spark):
+    """The size gate swaps PLANS, never results: the scale plan
+    (agg-below-join + snowflake prefilter + SHUFFLE_HASH) must return
+    exactly the simple plan's rows at oracle scale."""
+    from tests.conftest import SF_ORACLE
+
+    from duckdb_distributed_execution_spark.queries.joins import (
+        join_multi_star_scale_plan,
+    )
+
+    simple = all_queries()["join_multi_star"].fn(spark, SF_ORACLE)
+    scale = join_multi_star_scale_plan(spark, SF_ORACLE)
+    rs = {tuple(r) for r in simple.collect()}
+    rc = {tuple(r) for r in scale.collect()}
+    assert rs == rc and len(rs) > 0
