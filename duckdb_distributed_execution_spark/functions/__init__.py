@@ -166,6 +166,18 @@ def ensure_min_parallelism(df):
     NARROW projected relation feeding the heavy stage, not the raw
     table, so the shuffle moves minimal bytes."""
     sc = df.sparkSession.sparkContext
+    # Under AQE, ``df.rdd`` FORCES execution of every upstream query
+    # stage just to read a partition count — on a python-kernel chain
+    # (assign→encode) that silently runs the whole chain once and
+    # throws the result away (measured ~3× the real cost of the
+    # wave-62 serve at sf1, round 9). When the plan already contains
+    # an explicit-parallelism producer — a user Repartition(N) (AQE
+    # never coalesces those) or a MapInPandas (partition-preserving,
+    # and every kernel in this repo min-parallelizes its own input) —
+    # the probe can't change anything: skip it.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "Repartition" in plan or "MapInPandas" in plan:
+        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df

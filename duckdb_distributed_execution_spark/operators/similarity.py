@@ -1362,6 +1362,96 @@ def pq_encode(
     )
 
 
+def pq_encode_numpy(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dsub: int = 8,
+    passthrough: tuple = (),
+    quant: float = 1e6,
+) -> DataFrame:
+    """PQ encoding as ONE numpy matmul per Arrow batch (round-9
+    surgery on the wave-62 build path): per (vector, subspace) the
+    argmin-quantized-squared-L2 code. Replaces ``pq_encode``'s
+    rows·m·k interpreted ``sq_l2`` relation + struct-min shuffle —
+    AND the corpus-sized join-back every call site followed it with:
+    ``passthrough`` carries extra columns (the ``cid`` of an
+    already-assigned corpus) straight through the kernel, so an
+    assigned corpus encodes to (id, cid, sub, code) in the SAME
+    pipelined stage as the assignment, zero shuffles.
+
+    Determinism contract (the ``ivf_assign_numpy`` convention):
+    subspace d² via the oracle's expansion ⟨s,s⟩−2⟨s,c⟩+⟨c,c⟩,
+    quantized to ⌊d²·quant+.5⌋ BEFORE the argmin, ties to the lowest
+    code — mirrored by ``ORDER BY CAST(floor(dist*1e6+0.5) AS
+    BIGINT), code`` in the ann_ivf_pq_served_topk oracle. numpy's
+    pairwise dot summation can differ from DuckDB's sequential fold
+    in last ulps; the quantization makes a flipped pick a
+    measure-zero boundary event, and the oracle hash would catch it
+    loudly. (``pq_encode`` keeps the raw-double struct-min
+    convention for the wave-48 ADC family whose oracles pin it.)"""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cb_rows = codebook.select("sub", "code", "cv").collect()
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), list(r["cv"]))
+        )
+    subs_sorted = sorted(by_sub)
+    if subs_sorted != list(range(m)):
+        raise ValueError(f"codebook subs {subs_sorted} != range({m})")
+    CB, CBcc, CBcodes = [], [], []
+    for s in range(m):
+        entries = sorted(by_sub[s])  # ascending code: argmin's first
+        C = np.asarray([e[1] for e in entries], dtype=np.float64)
+        CB.append(C)
+        CBcc.append(np.einsum("ij,ij->i", C, C))
+        CBcodes.append(np.asarray([e[0] for e in entries],
+                                  dtype=np.int32))
+    b = spark.sparkContext.broadcast((CB, CBcc, CBcodes))
+    dt = dict(df.dtypes)
+    cols = [id_col, *passthrough, vec_col]
+
+    def fn(batches):
+        kCB, kcc, kcodes = b.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            out = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                S_ = V[:, s * dsub:(s + 1) * dsub]
+                ss = np.einsum("ij,ij->i", S_, S_)
+                D = ss[:, None] - 2.0 * (S_ @ kCB[s].T) + kcc[s][None, :]
+                DQ = np.floor(D * quant + 0.5).astype(np.int64)
+                out[:, s] = kcodes[s][np.argmin(DQ, axis=1)]
+            data = {id_col: np.repeat(pdf[id_col].values, m)}
+            for p in passthrough:
+                data[p] = np.repeat(pdf[p].values, m)
+            data["sub"] = np.tile(np.arange(m, dtype=np.int32), n)
+            data["code"] = out.reshape(-1)
+            yield pd.DataFrame(data)
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    schema = ", ".join(
+        [f"{id_col} {dt[id_col]}"]
+        + [f"{p} {dt[p]}" for p in passthrough]
+        + ["sub int", "code int"]
+    )
+    return ensure_min_parallelism(df.select(*cols)).mapInPandas(
+        fn, schema=schema
+    )
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -1499,11 +1589,17 @@ def ivf_pq_serve_topk(
 
     # ADC over ONLY the probed cells (codes is cid-sorted at build
     # time — the IN filter prunes row groups), fanned out per probing
-    # query by the broadcast probe map
+    # query by the broadcast probe map. NO ensure_min_parallelism
+    # here: under AQE, its ``df.rdd`` partition probe FORCES execution
+    # of every upstream query stage — on a python-kernel codes chain
+    # that silently ran the whole assign+encode once just to read a
+    # partition count (measured ~3× the serve cost at sf1, r9).
+    # Parallelism is already set by the codes producer (the kernel
+    # chain inherits the min-parallelized corpus; the persisted table
+    # reads standard parquet splits), and the ADC stage itself is
+    # codegen join/agg, not an interpreted fold.
     cand_codes = (
-        ensure_min_parallelism(
-            codes.filter(F.col(cid_col).isin(probed))
-        )
+        codes.filter(F.col(cid_col).isin(probed))
         .join(F.broadcast(probe_df), on=cid_col)
         .join(F.broadcast(lut), on=["query_id", "sub", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
@@ -1520,7 +1616,14 @@ def ivf_pq_serve_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    raw = cells.filter(F.col(cid_col).isin(probed)).select(
+    # ``cells`` may be the persisted cid-sorted cells table (filter by
+    # probed cid → parquet row-group pruning) or a raw corpus relation
+    # without an assignment column (inline-build callers avoid
+    # re-deriving the assignment just to prune a |Q|·rerank-row fetch)
+    raw = (
+        cells.filter(F.col(cid_col).isin(probed))
+        if cid_col in cells.columns else cells
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
     )
     sim = dot_product(F.col("__qv"), F.col("__nv")) / (

@@ -518,8 +518,10 @@ def ann_served_multiprobe_topk(spark, sf_dir):
              FROM corp c JOIN cb ON cb.sub = c.sub),
     enc AS (SELECT vec_id, sub, code FROM (
               SELECT vec_id, sub, code,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                        ORDER BY dist, code) AS rn
+                     ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, sub
+                       ORDER BY CAST(floor(dist * 1000000.0 + 0.5)
+                                     AS BIGINT), code) AS rn
               FROM encd) WHERE rn = 1),
     qp AS (SELECT vec_id AS query_id, cid FROM assign
            WHERE vec_id < 29 AND rn <= 2),
@@ -578,7 +580,7 @@ def ann_ivf_pq_served_topk(spark, sf_dir):
     from duckdb_distributed_execution_spark.operators.similarity import (
         ivf_assign_numpy,
         ivf_pq_serve_topk,
-        pq_encode,
+        pq_encode_numpy,
         pq_subvectors,
     )
 
@@ -597,11 +599,20 @@ def ann_ivf_pq_served_topk(spark, sf_dir):
     corpus = e.filter(F.col("vec_id") >= 24)
     queries = e.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 29))
     cells = ivf_assign_numpy(corpus, cents)
-    codes = pq_encode(corpus, cb, m=8, dsub=8).join(
-        cells.select("vec_id", "cid"), on="vec_id"
+    # encode the ASSIGNED corpus with cid passing straight through the
+    # Arrow kernel — assign→encode pipelines in one stage, deleting
+    # the rows·m·k interpreted sq_l2 relation, its struct-min shuffle,
+    # and the corpus-sized join-back (r9 surgery; oracle's enc CTE
+    # mirrors the quantized-argmin convention). The rerank branch
+    # reads raw vectors straight from the parquet-backed corpus (a
+    # plain pruned scan) instead of re-deriving the assignment a
+    # second time — cid-pruning the rerank source only pays when the
+    # cells relation is the PERSISTED cid-sorted table.
+    codes = pq_encode_numpy(
+        cells, cb, m=8, dsub=8, passthrough=("cid",)
     )
     out = ivf_pq_serve_topk(
-        codes, cells, queries, cents, cb, k=5, nprobe=2, rerank=12
+        codes, corpus, queries, cents, cb, k=5, nprobe=2, rerank=12
     )
     return out.select(
         "query_id", "neighbor_id", "rank",

@@ -2166,12 +2166,15 @@ class Engine:
                 "overwrite"
             ).parquet(cbpath)
             self._attach_managed(f"{name}__codebook", cbpath)
-            codes = S.pq_encode(
-                corpus, self.table(f"{name}__codebook"),
+            # encode the PERSISTED cells relation (it carries vector
+            # AND cid) — one Arrow pass, cid passes through the
+            # kernel; no interpreted sq_l2 relation, no struct-min
+            # shuffle, no corpus-sized join-back (r9 surgery)
+            codes = S.pq_encode_numpy(
+                self.table(f"{name}__cells"),
+                self.table(f"{name}__codebook"),
                 id_col, vec_col, m=pq_m, dsub=pq_dsub,
-            ).join(
-                self.table(f"{name}__cells").select(id_col, "cid"),
-                on=id_col,
+                passthrough=("cid",),
             )
             kpath = self._managed_path(f"{name}__codes")
             codes.sort("cid").write.mode("overwrite").parquet(kpath)
@@ -2327,13 +2330,11 @@ class Engine:
             # skips as already-applied, codes lands) — the streaming
             # path's exactly-once loop re-runs this method with the
             # same (app, batch_id).
-            codes = S.pq_encode(
+            codes = S.pq_encode_numpy(
                 assigned, self.table(f"{name}__codebook"),
                 meta["id_col"], meta["vec_col"],
                 m=meta["pq_m"], dsub=meta["pq_dsub"],
-            ).join(
-                assigned.select(meta["id_col"], "cid"),
-                on=meta["id_col"],
+                passthrough=("cid",),
             )
             self._append_files(
                 f"{name}__codes", codes.sort("cid"), "vector_upsert",
