@@ -22,6 +22,8 @@ Two concerns live here:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -153,6 +155,9 @@ def oracle_exact_avg_rounded(expr: str) -> str:
 # Vector ops (array<float|double> columns)
 # ---------------------------------------------------------------------------
 
+_REPARTITION_TRUE_RE = re.compile(r"Repartition \d+, true")
+
+
 def ensure_min_parallelism(df):
     """Repartition ``df`` up to the cluster's default parallelism when
     its plan would otherwise run on fewer tasks (a single-row-group
@@ -171,12 +176,19 @@ def ensure_min_parallelism(df):
     # (assign→encode) that silently runs the whole chain once and
     # throws the result away (measured ~3× the real cost of the
     # wave-62 serve at sf1, round 9). When the plan already contains
-    # an explicit-parallelism producer — a user Repartition(N) (AQE
-    # never coalesces those) or a MapInPandas (partition-preserving,
-    # and every kernel in this repo min-parallelizes its own input) —
-    # the probe can't change anything: skip it.
+    # an explicit-parallelism producer — a user repartition (shuffling
+    # ``Repartition N, true`` / ``RepartitionByExpression``; AQE never
+    # coalesces those) or a MapInPandas (partition-preserving, and
+    # every kernel in this repo min-parallelizes its own input) — the
+    # probe can't change anything: skip it. ``coalesce(n)`` renders as
+    # ``Repartition n, false`` and REDUCES parallelism, so it must NOT
+    # match (it is exactly the narrow-input case the helper fixes).
     plan = df._jdf.queryExecution().analyzed().toString()
-    if "Repartition" in plan or "MapInPandas" in plan:
+    if (
+        _REPARTITION_TRUE_RE.search(plan)
+        or "RepartitionByExpression" in plan
+        or "MapInPandas" in plan
+    ):
         return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
