@@ -293,7 +293,8 @@ def oracle_quality_score(expr: str) -> str:
 
 def doc_features_arrow(df, id_col: str = "doc_id",
                        text_col: str = "text",
-                       carry_cols: tuple[str, ...] = ()):
+                       carry_cols: tuple[str, ...] = (),
+                       emit_stopwords: bool = False):
     """One Arrow-batched pass computing the three per-doc features the
     ingest funnel consumes — ``quality`` (= quality_score), ``fp``
     (= fingerprint) and ``n_words`` (= size(split(text, ' '))) — with
@@ -380,16 +381,23 @@ def doc_features_arrow(df, id_col: str = "doc_id",
             out["quality"] = quality
             out["fp"] = fpcol
             out["n_words"] = nwords
+            if emit_stopwords:
+                # Same swc the quality term consumed, surfaced as the
+                # JVM stopword_count's bigint (null on null text).
+                swl = np.full(len(pdf), None, dtype=object)
+                swl[mask] = swc.astype(np.int64)
+                out["n_stopwords"] = swl
             yield pd.DataFrame(out)
 
     carry = "".join(f", {c} {dt[c]}" for c in carry_cols)
+    sw_field = ", n_stopwords long" if emit_stopwords else ""
     return ensure_min_parallelism(
         df.select(id_col, *carry_cols, text_col)
     ).mapInPandas(
         run,
         schema=(
             f"{id_col} {dt[id_col]}{carry}, "
-            "quality double, fp string, n_words long"
+            f"quality double, fp string, n_words long{sw_field}"
         ),
     )
 

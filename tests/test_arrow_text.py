@@ -195,3 +195,43 @@ def test_grouped_token_counts_arrow_on_real_corpus(spark):
     assert sorted(map(tuple, jvm.collect())) == sorted(
         map(tuple, arrow.collect())
     )
+
+
+def test_doc_features_arrow_stopwords_matches_jvm(spark, docs):
+    """r9 text_quality surgery: the opt-in n_stopwords column must be
+    exactly the JVM stopword_count (bigint, null on null text), and
+    the default-off form must keep its original schema."""
+    assert "n_stopwords" not in X.doc_features_arrow(
+        docs, "doc_id", "text"
+    ).columns
+    jvm = docs.select(
+        "doc_id", X.stopword_count("text").alias("n_stopwords")
+    ).collect()
+    arrow = X.doc_features_arrow(
+        docs, "doc_id", "text", emit_stopwords=True
+    ).select("doc_id", "n_stopwords").collect()
+    j = {r["doc_id"]: r["n_stopwords"] for r in jvm}
+    a = {r["doc_id"]: r["n_stopwords"] for r in arrow}
+    assert j == a
+
+
+def test_text_quality_gated_paths_identical(spark):
+    """Both size-gated text_quality plans (Arrow fused kernel vs
+    min-parallelized JVM expressions) must return identical rows on
+    the same corpus — the gate may only change the plan, never the
+    result."""
+    from duckdb_distributed_execution_spark.queries import all_queries
+
+    fn = all_queries()["text_quality"].fn
+    sf = "/root/testdata/sf0.01"
+    import duckdb_distributed_execution_spark.queries as Q
+
+    real = Q.table_bytes
+    got_small = fn(spark, sf)  # below the 2 MB gate: JVM path
+    try:
+        Q.table_bytes = lambda *_a, **_k: 1 << 30  # force Arrow path
+        got_big = fn(spark, sf)
+    finally:
+        Q.table_bytes = real
+    assert got_small.exceptAll(got_big).limit(1).count() == 0
+    assert got_big.exceptAll(got_small).limit(1).count() == 0
