@@ -98,6 +98,31 @@ def exact_avg(col: Column | str, wide: bool = False) -> Column:
     return exact_sum(c, wide=wide) / F.count(c)
 
 
+def spark_exact_sum(expr: str) -> Column:
+    """Single-parse Spark-SQL twin of ``exact_sum`` over an expression
+    STRING — one py4j round trip instead of ~8 Column calls. Round-9
+    profiling showed Python-side plan construction was ~25% of the
+    sf0.1 bench wall, nearly all py4j socket latency; the hot builders
+    now ship one SQL string per aggregate and let the JVM parser build
+    the tree. The ``D`` suffixes are load-bearing: a bare
+    ``1000000.0`` parses as DECIMAL(8,1) in SQL text and silently
+    retypes the whole aggregate to decimal — with ``D`` every
+    intermediate is a DOUBLE, and the result is bit-identical to the
+    Column form (pinned in tests/test_properties.py)."""
+    return F.expr(
+        f"(sum(CAST(floor(({expr}) * 1000000.0D + 0.5D) AS BIGINT))"
+        " / 1000000.0D)"
+    )
+
+
+def spark_exact_avg(expr: str) -> Column:
+    """Single-parse twin of ``exact_avg`` (see spark_exact_sum)."""
+    return F.expr(
+        f"((sum(CAST(floor(({expr}) * 1000000.0D + 0.5D) AS BIGINT))"
+        f" / 1000000.0D) / count({expr}))"
+    )
+
+
 def oracle_exact_sum(expr: str, wide: bool = False) -> str:
     """DuckDB SQL text mirroring exact_sum()."""
     if wide:

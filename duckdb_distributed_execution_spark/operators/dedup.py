@@ -416,34 +416,33 @@ def minhash_lsh_pairs(
         )
         .select("doc", minhash_base(F.col("s")).alias("h"))
     )
+    # Aggregate/banding expressions ship as SQL strings (r9): the
+    # Column-by-Column construction of 8 affine mins + 4 band hashes
+    # + the pair-unroll HOFs cost ~1,800 py4j round trips per build
+    # (~0.5 s of the sf0.1 bench wall before any task ran); one JVM
+    # parse per expression builds the identical trees.
     sig = exploded.groupBy("doc").agg(
         *[
-            F.min(_affine(F.col("h"), a, b)).alias(f"mh_{i}")
+            F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"mh_{i}")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ],
         F.collect_set("h").alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = num_hashes // band_size
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)],
-            )
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
     # candidates: same value in ANY band → stack bands, bucket the
     # (doc, bucket) pairs ONLY — shingle arrays never ride through
     # this shuffle.
-    stacked = sig.select(*band_cols, "doc").select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(n_bands)
-            ])
-        ).alias("bucket"),
+    band_terms = ", ".join(
+        "concat('{b}:', md5(concat_ws('_', '{b}', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * band_size + r}" for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    stacked = sig.select(
+        "doc", F.explode(F.expr(f"array({band_terms})")).alias("bucket")
     )
     # Enforce the hot-bucket cap BEFORE collecting anything: a window
     # COUNT over the bucket key tags every band row with its bucket
@@ -470,16 +469,10 @@ def minhash_lsh_pairs(
         .groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda a: F.transform(
-                    F.col("docs"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
+    pair_structs = F.expr(
+        "filter(flatten(transform(docs, a -> transform(docs, "
+        "b -> named_struct('id_a', a, 'id_b', b)))), "
+        "p -> p.id_a < p.id_b)"
     )
     cand = (
         buckets.select(F.explode(pair_structs).alias("p"))

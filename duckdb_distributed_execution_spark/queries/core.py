@@ -98,21 +98,32 @@ def agg_global(spark, sf_dir):
 def agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape — the flagship grouped aggregation (the
     reference's GROUP_BY_MERGE path, result_merger.cpp:56-139, done
-    right: partial/final agg with exact decimal arithmetic)."""
+    right: partial/final agg with exact decimal arithmetic).
+
+    r9: aggregates built via spark_exact_sum/avg expression strings —
+    one JVM parse each instead of ~10 py4j round trips (plan
+    construction was ~40% of this query's bench wall at sf0.1);
+    bit-identical results (functions/__init__.py docstring + pytest
+    pin)."""
+    from duckdb_distributed_execution_spark.functions import (
+        spark_exact_avg,
+        spark_exact_sum,
+    )
+
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        li.filter(F.expr("l_shipdate <= TIMESTAMP '2001-09-02'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum("l_quantity").alias("sum_qty"),
-            exact_sum("l_extendedprice").alias("sum_base_price"),
-            exact_sum(disc_price).alias("sum_disc_price"),
-            exact_sum(charge).alias("sum_charge"),
-            exact_avg("l_quantity").alias("avg_qty"),
-            exact_avg("l_extendedprice").alias("avg_price"),
-            exact_avg("l_discount").alias("avg_disc"),
+            spark_exact_sum("l_quantity").alias("sum_qty"),
+            spark_exact_sum("l_extendedprice").alias("sum_base_price"),
+            spark_exact_sum(disc_price).alias("sum_disc_price"),
+            spark_exact_sum(charge).alias("sum_charge"),
+            spark_exact_avg("l_quantity").alias("avg_qty"),
+            spark_exact_avg("l_extendedprice").alias("avg_price"),
+            spark_exact_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

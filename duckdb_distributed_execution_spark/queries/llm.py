@@ -425,8 +425,10 @@ def text_quality(spark, sf_dir):
         )
     return ensure_min_parallelism(d.select("doc_id", "text")).select(
         "doc_id",
-        F.round(X.quality_score("text"), 6).alias("quality"),
-        X.stopword_count("text").alias("n_stopwords"),
+        F.round(F.expr(X.spark_quality_score_sql("text")), 6).alias(
+            "quality"
+        ),
+        F.expr(X.spark_stopword_count_sql("text")).alias("n_stopwords"),
     )
 
 

@@ -1030,30 +1030,34 @@ def tpch_q9_partsupp(spark, sf_dir):
     )
     sup_n = t["supplier"].agg(F.count(F.lit(1)).alias("__s_cnt"))
     red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
-    m = sum(
-        F.when(
-            (F.col("l_partkey") * 7 + 13 * i) % F.col("__s_cnt")
-            == F.col("l_suppkey"),
-            1,
-        ).otherwise(0)
+    # Membership multiplicity + scaled-long profit as TWO expression
+    # strings (r9): the old F.when/arithmetic Column chains cost ~300
+    # py4j round trips per construction (~0.3 s of this query's bench
+    # wall — plan building, not execution); one JVM parse each builds
+    # the identical trees (D-suffixed literals keep every intermediate
+    # DOUBLE — see functions.spark_exact_sum).
+    m = " + ".join(
+        f"(CASE WHEN (l_partkey * 7 + 13 * {i}) % __s_cnt = l_suppkey"
+        " THEN 1 ELSE 0 END)"
         for i in range(4)
     )
     supplycost = (
-        (F.col("l_partkey") * 131 + F.col("l_suppkey") * 77) % 99900 + 100
-    ).cast("double") / F.lit(100.0)
+        "(CAST((l_partkey * 131 + l_suppkey * 77) % 99900 + 100 AS DOUBLE)"
+        " / 100.0D)"
+    )
     profit = (
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        - supplycost * F.col("l_quantity")
+        "l_extendedprice * (1 - l_discount)"
+        f" - {supplycost} * l_quantity"
     )
     li = (
         t["lineitem"]
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
         .crossJoin(F.broadcast(sup_n))
-        .withColumn("__m", m)
+        .withColumn("__m", F.expr(m))
         .filter(F.col("__m") >= 1)
         .withColumn(
-            "__profit", F.floor(profit * F.lit(1_000_000.0) + F.lit(0.5))
-            * F.col("__m"),
+            "__profit",
+            F.expr(f"floor(({profit}) * 1000000.0D + 0.5D) * __m"),
         )
     )
     li = (

@@ -235,3 +235,28 @@ def test_text_quality_gated_paths_identical(spark):
         Q.table_bytes = real
     assert got_small.exceptAll(got_big).limit(1).count() == 0
     assert got_big.exceptAll(got_small).limit(1).count() == 0
+
+
+def test_spark_sql_twins_match_column_builders(spark, docs):
+    """r9 planning-latency surgery: the single-parse SQL twin strings
+    (spark_normalize_sql / spark_tokens_sql / spark_stopword_count_sql
+    / spark_quality_score_sql) must build trees whose results are
+    bit-identical to the Column builders on adversarial inputs."""
+    a = docs.select(
+        "doc_id",
+        X.normalize_text("text").alias("nn"),
+        X.tokens(X.normalize_text("text")).alias("tk"),
+        X.stopword_count("text").alias("sw"),
+        X.quality_score("text").alias("q"),
+    )
+    b = docs.select(
+        "doc_id",
+        F.expr(X.spark_normalize_sql("text")).alias("nn"),
+        F.expr(X.spark_tokens_sql(X.spark_normalize_sql("text"))).alias("tk"),
+        F.expr(X.spark_stopword_count_sql("text")).alias("sw"),
+        F.expr(X.spark_quality_score_sql("text")).alias("q"),
+    )
+    assert a.schema == b.schema
+    ra = sorted(map(repr, a.collect()))
+    rb = sorted(map(repr, b.collect()))
+    assert ra == rb

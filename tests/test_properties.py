@@ -226,3 +226,35 @@ def test_keyed_row_number_property(spark, rows, nparts, sample):
         ).collect()
     }
     assert got == expected
+
+
+def test_spark_exact_expr_twins_bit_identical(spark):
+    """r9: spark_exact_sum/spark_exact_avg (single-parse SQL strings)
+    must be bit-identical to exact_sum/exact_avg Column forms — same
+    values AND same DOUBLE schema (a bare 1000000.0 literal would
+    silently retype the aggregate to decimal)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_distributed_execution_spark.functions import (
+        exact_avg,
+        exact_sum,
+        spark_exact_avg,
+        spark_exact_sum,
+    )
+
+    df = spark.range(10007).select(
+        (F.col("id") % 13).alias("k"),
+        ((F.col("id") * 97 % 1000) / 100.0 - 3.21).alias("x"),
+    )
+    a = df.groupBy("k").agg(
+        exact_sum("x").alias("s"), exact_avg("x").alias("av"),
+        exact_sum(F.col("x") * (F.lit(1) - F.col("x"))).alias("sx"),
+    )
+    b = df.groupBy("k").agg(
+        spark_exact_sum("x").alias("s"), spark_exact_avg("x").alias("av"),
+        spark_exact_sum("x * (1 - x)").alias("sx"),
+    )
+    assert a.schema == b.schema
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
