@@ -280,6 +280,119 @@ def minhash_signatures_df(
     )
 
 
+def minhash_sig_rows_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Per-doc MinHash signature rows ``(doc, mh_0..k-1, sh)`` in ONE
+    Arrow pass — semantically identical to the explode → groupBy(min,
+    collect_set) plan over ``word_shingles`` but with ZERO exchange:
+    normalize (RE2, same chain + parity argument as
+    tokens_exploded_arrow), n-gram shingling, md5 base hashes, the k
+    affine mins and the distinct-hash set are all computed inside the
+    batch, so nothing shuffles to build signatures at any scale. The
+    JVM plan pays two java.util.regex passes, an interpreted
+    zip_with/filter shingle build, a |shingles|-row explode AND the
+    groupBy exchange of the hashed-shingle stream — measured (warm,
+    same session, 32 threads): sf0.1 0.77 → 0.52 s, organic sf1
+    4.48 → 0.79 s (5.6×), signature rows bit-identical including the
+    distinct-set contents.
+
+    Docs whose shingle set is empty (fewer than ``shingle_n`` tokens)
+    drop their row, exactly like the explode plan. ``sh`` element
+    ORDER differs from collect_set's (both unspecified); every
+    consumer reads sizes/intersections only."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from duckdb_distributed_execution_spark.functions import (
+        ensure_min_parallelism,
+    )
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
+    B = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
+    dt = dict(df.dtypes)
+    md5 = hashlib.md5
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            if not len(pdf):
+                continue
+            x = pa.array(pdf[text_col].str.lower(), type=pa.string())
+            x = pc.replace_substring_regex(x, "[^a-z0-9 ]", " ")
+            x = pc.replace_substring_regex(x, " +", " ")
+            x = pc.utf8_trim(x, " ")
+            toks = pc.split_pattern(x, " ")
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks).to_pandas().values
+            n_sh = np.maximum(lens - (shingle_n - 1), 0)
+            doc_ids = np.repeat(pdf[id_col].values, n_sh)
+            if not len(doc_ids):
+                # every doc in the batch is below shingle_n tokens —
+                # the explode plan emits no rows for them either.
+                continue
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.concatenate(
+                [np.arange(s, s + m) for s, m in zip(starts, n_sh)]
+            )
+            if shingle_n == 1:
+                sh_strs = flat[idx]
+            elif shingle_n == 2:
+                sh_strs = np.array(
+                    [flat[i] + " " + flat[i + 1] for i in idx],
+                    dtype=object,
+                )
+            else:
+                sh_strs = np.array(
+                    [" ".join(flat[i : i + shingle_n]) for i in idx],
+                    dtype=object,
+                )
+            sdf = pd.DataFrame({"doc": doc_ids, "s": sh_strs})
+            sdf = sdf.drop_duplicates()
+            h = np.fromiter(
+                (
+                    int(md5(s.encode()).hexdigest()[:7], 16)
+                    for s in sdf["s"].values
+                ),
+                dtype=np.int64,
+                count=len(sdf),
+            )
+            # distinct shingles can md5-collide into equal base hashes;
+            # collect_set dedupes the VALUES, so mirror that here.
+            sdf = pd.DataFrame(
+                {"doc": sdf["doc"].values, "h": h}
+            ).drop_duplicates()
+            hv = sdf["h"].values
+            order = np.argsort(sdf["doc"].values, kind="stable")
+            docs_sorted = sdf["doc"].values[order]
+            hv = hv[order]
+            uniq, start_idx = np.unique(docs_sorted, return_index=True)
+            AM = (A * hv.reshape(1, -1) + B) % MINHASH_P
+            mins = np.minimum.reduceat(AM, start_idx, axis=1)
+            sh_lists = np.split(hv, start_idx[1:])
+            out = {"doc": uniq}
+            for i in range(num_hashes):
+                out[f"mh_{i}"] = mins[i]
+            out["sh"] = [list(v) for v in sh_lists]
+            yield pd.DataFrame(out)
+
+    mh_cols = ", ".join(f"mh_{i} long" for i in range(num_hashes))
+    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
+        run, schema=f"doc {dt[id_col]}, {mh_cols}, sh array<long>"
+    )
+
+
 def oracle_minhash_sig(shingles_expr: str, i: int) -> str:
     a, b = minhash_coeffs(i + 1)[i]
     return (
@@ -392,42 +505,48 @@ def minhash_lsh_pairs(
     cap=4096 to linear at 256); a pair lost to one dropped hot band
     still has the other n_bands-1 chances to surface."""
     assert num_hashes % band_size == 0
-    # ONE md5 pass over all (doc, shingle) rows produces both the k
-    # min-hash signature AND the distinct hashed-shingle set used by
-    # verification, in a single grouped aggregate.  persist (lazy,
-    # MEMORY_AND_DISK) materializes it once on first use, so the three
-    # consumers below (banding + two verify joins) never recompute the
-    # hash fan-out — previously 3 full md5 passes.  Lazy persist beats
-    # an eager localCheckpoint twice over: no extra up-front job (the
-    # cache fills inside the first consumer's stage — measured 2.15 s
-    # → 1.73 s at sf0.1), and lineage survives, so losing a cached
-    # executor block at cluster scale means recompute, not job death.
-    para = df.sparkSession.sparkContext.defaultParallelism
-    shingle_col = (
-        shingles
-        if shingles is not None
-        else word_shingles(F.col(text_col), shingle_n)
-    )
-    exploded = (
-        df.repartition(para, id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingle_col).alias("s"),
+    # Signature rows (doc, mh_0..k-1, sh): the default text/word-
+    # shingle path runs the fused Arrow kernel (minhash_sig_rows_arrow
+    # — zero-exchange, one RE2+md5 pass per batch; sf0.1 0.77→0.52 s,
+    # sf1 4.48→0.79 s, bit-identical rows); a custom ``shingles``
+    # expression (the wave-60 token-gram variant) keeps the JVM
+    # explode → groupBy(min, collect_set) plan, where ONE md5 pass
+    # produces both the signature and the distinct-hash verify set.
+    # Either way the rows persist (lazy, MEMORY_AND_DISK) so the three
+    # consumers below (banding + two verify joins) materialize them
+    # once.  Lazy persist beats an eager localCheckpoint twice over:
+    # no extra up-front job (the cache fills inside the first
+    # consumer's stage — measured 2.15 s → 1.73 s at sf0.1), and
+    # lineage survives, so losing a cached executor block at cluster
+    # scale means recompute, not job death.
+    if shingles is None:
+        sig = minhash_sig_rows_arrow(
+            df, id_col, text_col, shingle_n, num_hashes
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        para = df.sparkSession.sparkContext.defaultParallelism
+        exploded = (
+            df.repartition(para, id_col)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(shingles).alias("s"),
+            )
+            .select("doc", minhash_base(F.col("s")).alias("h"))
         )
-        .select("doc", minhash_base(F.col("s")).alias("h"))
-    )
-    # Aggregate/banding expressions ship as SQL strings (r9): the
-    # Column-by-Column construction of 8 affine mins + 4 band hashes
-    # + the pair-unroll HOFs cost ~1,800 py4j round trips per build
-    # (~0.5 s of the sf0.1 bench wall before any task ran); one JVM
-    # parse per expression builds the identical trees.
-    sig = exploded.groupBy("doc").agg(
-        *[
-            F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(f"mh_{i}")
-            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-        ],
-        F.collect_set("h").alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        # Aggregate/banding expressions ship as SQL strings (r9): the
+        # Column-by-Column construction of 8 affine mins + 4 band
+        # hashes + the pair-unroll HOFs cost ~1,800 py4j round trips
+        # per build (~0.5 s of the sf0.1 bench wall before any task
+        # ran); one JVM parse per expression builds identical trees.
+        sig = exploded.groupBy("doc").agg(
+            *[
+                F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(
+                    f"mh_{i}"
+                )
+                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+            ],
+            F.collect_set("h").alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = num_hashes // band_size
     # candidates: same value in ANY band → stack bands, bucket the
     # (doc, bucket) pairs ONLY — shingle arrays never ride through

@@ -260,3 +260,71 @@ def test_spark_sql_twins_match_column_builders(spark, docs):
     ra = sorted(map(repr, a.collect()))
     rb = sorted(map(repr, b.collect()))
     assert ra == rb
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_minhash_sig_rows_arrow_matches_jvm(spark, docs, n):
+    """r9 minhash surgery: the fused Arrow signature kernel must be
+    row-identical (ids, every affine min, the distinct-hash SET) to
+    the explode → groupBy(min, collect_set) plan it replaces — on
+    adversarial inputs and for every shingle width."""
+    from duckdb_distributed_execution_spark.operators import dedup as D
+
+    jvm = (
+        docs.repartition(4, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(D.word_shingles(F.col("text"), n)).alias("s"),
+        )
+        .select("doc", D.minhash_base(F.col("s")).alias("h"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.expr(f"min(({a} * h + {b}) % {D.MINHASH_P})").alias(
+                    f"mh_{i}"
+                )
+                for i, (a, b) in enumerate(D.minhash_coeffs(8))
+            ],
+            F.sort_array(F.collect_set("h")).alias("sh"),
+        )
+    )
+    arrow = D.minhash_sig_rows_arrow(docs, "doc_id", "text", n, 8).select(
+        "doc",
+        *[f"mh_{i}" for i in range(8)],
+        F.sort_array("sh").alias("sh"),
+    )
+    assert sorted(map(repr, jvm.collect())) == sorted(
+        map(repr, arrow.collect())
+    )
+
+
+def test_minhash_sig_rows_arrow_on_real_corpus(spark):
+    from duckdb_distributed_execution_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jvm = (
+        d.repartition(4, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(D.word_shingles(F.col("text"), 2)).alias("s"),
+        )
+        .select("doc", D.minhash_base(F.col("s")).alias("h"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.expr(f"min(({a} * h + {b}) % {D.MINHASH_P})").alias(
+                    f"mh_{i}"
+                )
+                for i, (a, b) in enumerate(D.minhash_coeffs(8))
+            ],
+            F.sort_array(F.collect_set("h")).alias("sh"),
+        )
+    )
+    arrow = D.minhash_sig_rows_arrow(d, "doc_id", "text", 2, 8).select(
+        "doc",
+        *[f"mh_{i}" for i in range(8)],
+        F.sort_array("sh").alias("sh"),
+    )
+    assert jvm.count() == arrow.count()
+    assert jvm.exceptAll(arrow).limit(1).count() == 0
+    assert arrow.exceptAll(jvm).limit(1).count() == 0
