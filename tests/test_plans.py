@@ -182,7 +182,10 @@ HEADLINE_SHUFFLE_BUDGETS = {
     # test_join_multi_star_branches_agree).
     "join_multi_star": 1,       # AQE broadcasts every dim; fact agg
     "sessionize_window_sql": 1, # one keyed window exchange
-    "dedup_minhash_lsh": 3,     # signature → band bucket → verify
+    "dedup_minhash_lsh": 2,     # band bucket → verify (r9: the fused
+    #                             Arrow sig kernel emits signature
+    #                             rows with ZERO exchange — the old
+    #                             explode→groupBy sig shuffle is gone)
     "tpch_q9_partsupp": 2,      # scalar supplier-count agg + final
     #                             agg (orders broadcasts at this SF)
 }
@@ -213,7 +216,9 @@ HEADLINE_EXECUTED = {
     "agg_pricing_summary": (1, 2),
     "join_multi_star": (1, 6),
     "sessionize_window_sql": (1, 4),
-    "dedup_minhash_lsh": (3, 7),
+    "dedup_minhash_lsh": (2, 6),  # r9 fused sig kernel: −1 exchange,
+    #                               −1 codegen span (the sig groupBy
+    #                               stage no longer exists)
     "tpch_q9_partsupp": (2, 8),
 }
 
