@@ -828,6 +828,212 @@ def cosine_banded_pairs(
     )
 
 
+def cosine_banded_pairs_fused(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.8,
+    n_tables: int = 16,
+    band_bits: int = 12,
+    dim: int = 64,
+    plant: tuple | None = None,
+) -> DataFrame:
+    """Single-task fused twin of ``plant_near_dups →
+    cosine_banded_pairs(verify='numpy')`` for corpora below the scale
+    gate (guide §1.2/§2.4: at toy scale the distributed plan is pure
+    fixed cost — 6 jobs: sig persist materialization, a bucket
+    broadcast, the pair-distinct exchange, two verify-map broadcasts
+    each re-scanning the corpus through interpreted cast/zip_with
+    HOFs, and the verify Arrow pass). This form computes the SAME
+    numpy math — float32→float64 exact casts, the identical
+    (n×dim)@(dim×T·b) sign matmul against the shared
+    ``_rademacher_planes`` literals, per-(block, table, bucket)
+    collision pairs, einsum dot / norm verify, 4-decimal round — in
+    ONE mapInPandas task over the coalesced corpus: zero exchanges,
+    zero broadcasts, one Arrow boundary.
+
+    ``plant`` = (every, shift_scale, id_offset) additionally folds
+    plant_near_dups into the kernel: clone = f64(v) + c·f64(roll(v))
+    — the same two IEEE-double ops per element in the same order as
+    the JVM zip_with (elementwise casts and +/* are deterministic, so
+    the planted vectors are bit-identical).
+
+    Callers gate on corpus file size (table_bytes), the identical
+    fixed-cost-vs-slope gate every Arrow kernel here uses; above the
+    gate the distributed form's bucketed self-join + broadcast verify
+    is the designed scale shape."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _rademacher_planes(n_tables * band_bits, dim)
+    P = np.asarray(planes, dtype=np.float64).T  # dim x (T*b)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+    thr = float(threshold)
+    blk_cols = [block_col] if block_col else []
+    sel = df.select(id_col, *blk_cols, vec_col)
+    id_t = dict(sel.dtypes)[id_col]
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        ids = pdf[id_col].to_numpy()
+        blk = (
+            pdf[block_col].to_numpy()
+            if block_col
+            else np.zeros(len(pdf), dtype=np.int64)
+        )
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        if plant is not None:
+            every, shift_scale, id_offset = plant
+            m = (ids % every) == 0
+            C = V[m] + float(shift_scale) * np.roll(V[m], -1, axis=1)
+            ids = np.concatenate([ids, ids[m] + id_offset])
+            blk = np.concatenate([blk, blk[m]])
+            V = np.vstack([V, C])
+        n = len(ids)
+        S = (V @ P) >= 0.0
+        B = S.reshape(n, n_tables, band_bits) @ weights  # n x T
+        ia_parts: list = []
+        ib_parts: list = []
+        for t in range(n_tables):
+            order = np.lexsort((B[:, t], blk))
+            bs, bb = blk[order], B[order, t]
+            bounds = np.flatnonzero(
+                np.r_[True, (bs[1:] != bs[:-1]) | (bb[1:] != bb[:-1]), True]
+            )
+            starts, ends = bounds[:-1], bounds[1:]
+            for gi in np.flatnonzero((ends - starts) >= 2):
+                idx = order[starts[gi] : ends[gi]]
+                r, c = np.triu_indices(len(idx), k=1)
+                ia_parts.append(idx[r])
+                ib_parts.append(idx[c])
+        if not ia_parts:
+            return
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        ida, idb = ids[ia], ids[ib]
+        swap = ida > idb
+        ia[swap], ib[swap] = ib[swap], ia[swap]
+        uniq = np.unique(ia.astype(np.int64) * n + ib)
+        ia, ib = uniq // n, uniq % n
+        A, Bv = V[ia], V[ib]
+        dots = np.einsum("ij,ij->i", A, Bv)
+        sims = dots / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(Bv, axis=1)
+        )
+        mask = sims >= thr
+        yield pd.DataFrame(
+            {
+                "id_a": ids[ia[mask]],
+                "id_b": ids[ib[mask]],
+                "sim": np.round(sims[mask], 4),
+            }
+        )
+
+    return sel.coalesce(1).mapInPandas(
+        run, schema=f"id_a {id_t}, id_b {id_t}, sim double"
+    )
+
+
+def semantic_dedup_pairs_fused(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_seeds: int = 8,
+    threshold: float = 0.3,
+    assign_round: int = 6,
+    row_block: int = 4096,
+) -> DataFrame:
+    """Single-task fused twin of semantic_dedup_seeded's three-job
+    plan (seed collect → assign_nearest_seed_numpy Arrow pass →
+    groupBy(cluster) exchange → cosine_pairs_blocked_numpy Arrow
+    pass) for corpora below the scale gate. Same numpy math in ONE
+    mapInPandas task: rows sorted by id, the k lowest ids are the
+    seeds (the orderBy/limit collect's contract), assignment is the
+    identical rounded-cosine matmul with the ascending-seed-id argmax
+    tie-break, and the within-cluster pass replicates
+    cosine_pairs_blocked_numpy exactly (id-sorted rows, row_block
+    chunked (chunk×dim)@(dim×n) score matmul, upper triangle,
+    4-decimal round). Zero exchanges, zero collect jobs, one Arrow
+    boundary. Above the gate the per-cluster applyInPandas remains
+    the designed IVF-blocked scale shape (cluster count = the
+    parallelism)."""
+    import numpy as np
+    import pandas as pd
+
+    sel = df.select(id_col, vec_col)
+    id_t = dict(sel.dtypes)[id_col]
+    thr = float(threshold)
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        seed_ids = ids[:k_seeds]
+        S = V[:k_seeds]
+        Sn = np.linalg.norm(S, axis=1)
+        sims = np.round(
+            (V @ S.T) / np.outer(np.linalg.norm(V, axis=1), Sn),
+            assign_round,
+        )
+        best = seed_ids[np.argmax(sims, axis=1)]
+        out_c: list = []
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for cid in seed_ids:
+            m = best == cid
+            cn = int(m.sum())
+            if cn < 2:
+                continue
+            cV = V[m]
+            cids = ids[m]  # ascending (global id sort)
+            norms = np.linalg.norm(cV, axis=1)
+            cols_idx = np.arange(cn)
+            for s in range(0, cn, row_block):
+                e = min(s + row_block, cn)
+                Sc = (cV[s:e] @ cV.T) / np.outer(norms[s:e], norms)
+                mask = (Sc >= thr) & (
+                    cols_idx[None, :] > np.arange(s, e)[:, None]
+                )
+                r, c = np.nonzero(mask)
+                out_c.append(np.repeat(cid, len(r)))
+                out_a.append(cids[r + s])
+                out_b.append(cids[c])
+                out_s.append(np.round(Sc[r, c], 4))
+        if not out_a:
+            return
+        yield pd.DataFrame(
+            {
+                "cluster": np.concatenate(out_c),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return sel.coalesce(1).mapInPandas(
+        run,
+        schema=f"cluster long, id_a {id_t}, id_b {id_t}, sim double",
+    )
+
+
 def plant_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

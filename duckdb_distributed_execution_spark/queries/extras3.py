@@ -332,13 +332,35 @@ def semantic_dedup_seeded(spark, sf_dir):
     the fold plan's Θ(pairs·dim) interpreted higher-order-function
     work (the same treatment the banded bucket pass got in round 4;
     the r4 judge flagged this block pass as the template's missing
-    sibling)."""
+    sibling).
+
+    r9 optimization (guide §1.2): below a corpus-size gate the whole
+    pipeline (seed pick → assign → within-cluster pairs) runs as ONE
+    fused single-task Arrow kernel (semantic_dedup_pairs_fused — same
+    numpy ops, zero exchanges and no separate seed-collect job vs the
+    distributed form's 3 jobs / 2 Arrow stages of fixed cost — the
+    floor decomposition README §perf records); above it the
+    per-cluster applyInPandas stays the designed IVF-blocked scale
+    shape. tests/test_operators.py pins fused == distributed row
+    equality."""
     from duckdb_distributed_execution_spark.operators.similarity import (
         assign_nearest_seed_numpy,
         cosine_pairs_blocked_numpy,
+        semantic_dedup_pairs_fused,
     )
+    from duckdb_distributed_execution_spark.queries import table_bytes
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    # Gate measured same-session: sf0.1 fused 0.22 s vs 0.53 s / 3
+    # jobs distributed; sf1 (5.9 MB) a wash (1.25 vs 1.28 s) — the
+    # gate stays below sf1 so the cluster-parallel applyInPandas
+    # keeps the scale decades (sf1/sf10 A/B rows) on the designed
+    # IVF-blocked shape.
+    if table_bytes(sf_dir, "embeddings") <= 4 * 1024 * 1024:
+        return semantic_dedup_pairs_fused(
+            e, id_col="vec_id", vec_col="embedding", k_seeds=8,
+            threshold=0.3, assign_round=6,
+        )
     # Seeds are k x dim floats — driver-bounded by construction, the
     # same budget kmeans_train's centroid loop holds.
     seeds = [

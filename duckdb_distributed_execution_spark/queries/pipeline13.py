@@ -57,6 +57,16 @@ from duckdb_distributed_execution_spark.queries import load, register
 _EVERY, _SHIFT, _THRESH = 7, 0.4, 0.8
 _N_TABLES, _BAND_BITS = 16, 12
 
+# Corpus-size gate for the fused single-task kernel (r9): below this
+# the distributed plan is pure fixed cost (6 jobs at sf0.1 for a
+# ~2k-row corpus; measured same-session 0.96 → 0.27 s fused); above
+# it the single task loses to the bucketed self-join + broadcast
+# verify (sf1, 5.9 MB / 20k rows: fused 4.2 s vs distributed 2.1 s —
+# the per-bucket pair work parallelizes, the kernel serializes it).
+# File size stands in for catalog stats, the same convention as every
+# other Arrow-kernel gate in this repo.
+_FUSED_GATE_BYTES = 4 * 1024 * 1024
+
 _PLANTED_BODY = oracle_planted_corpus_sql(
     every=_EVERY, shift_scale=_SHIFT,
 )
@@ -113,7 +123,28 @@ def dedup_embedding_cosine_banded(spark, sf_dir):
     the interpreted fold at 200k pairs). Pair sets and 4-decimal sims
     are identical to the fold in every measured run (the r4 judge's
     independent check agrees); tests/test_operators.py pins the
-    fold==numpy equivalence on the planted corpus."""
+    fold==numpy equivalence on the planted corpus.
+
+    r9 optimization (guide §1.2): below a corpus-size gate the whole
+    pipeline (plant → sig → bucket pairs → verify) runs as ONE fused
+    single-task Arrow kernel (cosine_banded_pairs_fused — same numpy
+    ops, zero exchanges/broadcasts/persists vs the distributed form's
+    6 jobs of fixed cost); above it the bucketed self-join +
+    broadcast-verify plan is the designed scale shape.
+    tests/test_operators.py pins fused == distributed row equality."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        cosine_banded_pairs_fused,
+    )
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
+    if table_bytes(sf_dir, "embeddings") <= _FUSED_GATE_BYTES:
+        e = load(spark, sf_dir, "embeddings")["embeddings"]
+        return cosine_banded_pairs_fused(
+            e, "vec_id", "embedding", "label",
+            threshold=_THRESH, n_tables=_N_TABLES,
+            band_bits=_BAND_BITS, dim=64,
+            plant=(_EVERY, _SHIFT, 10_000_000),
+        )
     return cosine_banded_pairs(
         _planted(spark, sf_dir), "vec_id", "embedding", "label",
         threshold=_THRESH, n_tables=_N_TABLES, band_bits=_BAND_BITS,

@@ -1101,3 +1101,69 @@ def test_extract_features_real_decode(spark):
              for r in M.extract_features(media, dim=8, decode_stub=False).collect()}
     assert feats[0][0] == 1.0 and feats[0][1] == 1.0   # png, width 1
     assert feats[4][0] == 5.0 and feats[4][5] == 12000.0  # wav, rate
+
+
+def test_cosine_banded_pairs_fused_matches_distributed(spark):
+    """r9 fused single-task kernel (plant → LSH sig → bucket pairs →
+    verify in one mapInPandas) must be row-identical to the
+    distributed plan it gates in for below the scale gate — including
+    the planted clones, which the kernel recomputes in numpy with the
+    same IEEE-double ops the JVM zip_with performs."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        cosine_banded_pairs,
+        cosine_banded_pairs_fused,
+        plant_near_dups,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    planted = plant_near_dups(
+        e, "vec_id", "embedding", every=7, shift_scale=0.4
+    )
+    dist = cosine_banded_pairs(
+        planted, "vec_id", "embedding", "label",
+        threshold=0.8, n_tables=16, band_bits=12, dim=64,
+        verify="numpy",
+    )
+    fused = cosine_banded_pairs_fused(
+        e, "vec_id", "embedding", "label",
+        threshold=0.8, n_tables=16, band_bits=12, dim=64,
+        plant=(7, 0.4, 10_000_000),
+    )
+    got = {(r.id_a, r.id_b): r.sim for r in fused.collect()}
+    exp = {(r.id_a, r.id_b): r.sim for r in dist.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_semantic_dedup_pairs_fused_matches_distributed(spark):
+    """r9 fused single-task kernel (seed pick → assign → per-cluster
+    pairs in one mapInPandas) must be row-identical to the
+    collect + assign_nearest_seed_numpy + cosine_pairs_blocked_numpy
+    plan it gates in for below the scale gate."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        assign_nearest_seed_numpy,
+        cosine_pairs_blocked_numpy,
+        semantic_dedup_pairs_fused,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    seeds = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.orderBy("vec_id").limit(8).collect()
+    ]
+    clustered = assign_nearest_seed_numpy(
+        e, seeds, id_col="vec_id", vec_col="embedding",
+        out_col="cluster", round_decimals=6,
+    )
+    dist = cosine_pairs_blocked_numpy(
+        clustered, block_col="cluster", id_col="vec_id",
+        vec_col="embedding", threshold=0.3,
+    )
+    fused = semantic_dedup_pairs_fused(
+        e, id_col="vec_id", vec_col="embedding",
+        k_seeds=8, threshold=0.3, assign_round=6,
+    )
+    got = {(r.cluster, r.id_a, r.id_b): r.sim for r in fused.collect()}
+    exp = {(r.cluster, r.id_a, r.id_b): r.sim for r in dist.collect()}
+    assert got == exp and len(got) > 0
