@@ -1225,6 +1225,72 @@ def brute_force_topk_numpy(
     )
 
 
+def brute_force_topk_fused(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_id_below: int = 5,
+) -> DataFrame:
+    """Single-task fused twin of the collect + brute_force_topk_numpy
+    + rank-window plan for corpora below the scale gate (r9, guide
+    §1.2): ONE mapInPandas task splits the coalesced table into
+    queries (id < ``query_id_below``) and corpus rows, runs the same
+    (n×dim)@(dim×q) float64 score matmul, and ranks per query with
+    the identical (sim DESC, neighbor id ASC) lexsort the distributed
+    per-batch prune + window use — no seed-collect job, no window
+    exchange, one Arrow boundary (3 jobs → 1 measured at sf0.1).
+    Above the gate the streaming per-batch top-k prune is the
+    designed exact-scan shape (the corpus never fits one task)."""
+    import numpy as np
+    import pandas as pd
+
+    dt = dict(df.dtypes)
+    sel = df.select(id_col, vec_col)
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        qm = ids < query_id_below
+        qids, Q = ids[qm], V[qm]
+        cids, C = ids[~qm], V[~qm]
+        if not len(qids) or not len(cids):
+            return
+        Qn = np.linalg.norm(Q, axis=1)
+        S = (C @ Q.T) / np.outer(np.linalg.norm(C, axis=1), Qn)
+        out_q, out_n, out_r, out_s = [], [], [], []
+        for j in range(len(qids)):
+            order = np.lexsort((cids, -S[:, j]))[: min(k, len(cids))]
+            out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+            out_n.append(cids[order])
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+            out_s.append(np.round(S[order, j], 4))
+        yield pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "rank": np.concatenate(out_r),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return sel.coalesce(1).mapInPandas(
+        run,
+        schema=(
+            f"query_id long, neighbor_id {dt[id_col]}, "
+            "rank int, sim double"
+        ),
+    )
+
+
 def assign_nearest_seed_numpy(
     df: DataFrame,
     seeds: list[tuple[int, list[float]]],

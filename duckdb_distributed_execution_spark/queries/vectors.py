@@ -147,12 +147,25 @@ def ann_bruteforce_topk(spark, sf_dir):
     never shuffles — the 100 TB exact-scan shape. The fold-based
     operator (similarity.brute_force_topk) stays for callers needing
     the oracle's exact summation order; at 4-decimal rounding the two
-    agree on every measured corpus."""
+    agree on every measured corpus.
+
+    r9: below a 4 MB corpus gate the collect + scan + window plan
+    (3 jobs of fixed cost at sf0.1) fuses into ONE single-task Arrow
+    kernel (brute_force_topk_fused — same matmul, same lexsort rank
+    order); above it the per-batch top-k prune + window stays the
+    designed exact-scan shape."""
     from duckdb_distributed_execution_spark.operators.similarity import (
+        brute_force_topk_fused,
         brute_force_topk_numpy,
     )
+    from duckdb_distributed_execution_spark.queries import table_bytes
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    if table_bytes(sf_dir, "embeddings") <= 4 * 1024 * 1024:
+        return brute_force_topk_fused(
+            e, id_col="vec_id", vec_col="embedding", k=10,
+            query_id_below=5,
+        )
     queries = [
         (r.vec_id, [float(x) for x in r.embedding])
         for r in e.filter(F.col("vec_id") < 5).collect()

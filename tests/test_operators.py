@@ -1167,3 +1167,34 @@ def test_semantic_dedup_pairs_fused_matches_distributed(spark):
     got = {(r.cluster, r.id_a, r.id_b): r.sim for r in fused.collect()}
     exp = {(r.cluster, r.id_a, r.id_b): r.sim for r in dist.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_brute_force_topk_fused_matches_distributed(spark):
+    """r9 fused single-task kernel (query split → score matmul →
+    per-query lexsort rank in one mapInPandas) must be row-identical
+    to the collect + per-batch-prune + rank-window plan it gates in
+    for below the scale gate."""
+    from duckdb_distributed_execution_spark.operators.similarity import (
+        brute_force_topk_fused,
+        brute_force_topk_numpy,
+    )
+    from duckdb_distributed_execution_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")["embeddings"]
+    queries = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    dist = brute_force_topk_numpy(
+        e.filter(F.col("vec_id") >= 5), queries,
+        id_col="vec_id", vec_col="embedding", k=10,
+    )
+    fused = brute_force_topk_fused(
+        e, id_col="vec_id", vec_col="embedding", k=10,
+        query_id_below=5,
+    )
+    got = {(r.query_id, r.neighbor_id): (r.rank, r.sim)
+           for r in fused.collect()}
+    exp = {(r.query_id, r.neighbor_id): (r.rank, r.sim)
+           for r in dist.collect()}
+    assert got == exp and len(got) > 0
