@@ -1198,3 +1198,58 @@ def test_brute_force_topk_fused_matches_distributed(spark):
     exp = {(r.query_id, r.neighbor_id): (r.rank, r.sim)
            for r in dist.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_boilerplate_ngrams_array_distinct_matches_global(spark):
+    """r9: boilerplate_ngrams dedups doc-grams per row
+    (array_distinct before the explode) instead of a global DISTINCT
+    exchange. The two forms must agree — asserted on a synthetic
+    corpus with real boilerplate (repeated headers inside one source)
+    because the testdata corpora produce EMPTY results for this query
+    at every SF, which would make the oracle comparison vacuous."""
+    from pyspark.sql import Window
+
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    header = "all rights reserved contact us terms of service"
+    rows = [
+        (i, "web", f"{header} unique body {i} filler words here {i}")
+        for i in range(20)
+    ] + [
+        (100 + i, "web", f"different text entirely number {i} no shared")
+        for i in range(5)
+    ] + [
+        # duplicate grams INSIDE one doc — the case where a naive
+        # per-row dedup and the global DISTINCT could diverge if the
+        # per-doc count leaked into doc_freq
+        (200, "web", f"{header} middle words {header} tail"),
+        (300, "news", "single doc source never flagged at threshold"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+    def freq(grams):
+        return grams.groupBy("source", "g").agg(
+            F.count(F.lit(1)).alias("doc_freq")
+        )
+
+    old = freq(
+        d.select(
+            "doc_id", "source",
+            F.explode(word_shingles(F.col("text"), 4)).alias("g"),
+        ).distinct().drop("doc_id")
+    )
+    new = freq(
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 4))
+            ).alias("g"),
+        )
+    )
+    got = {(r.source, r.g): r.doc_freq for r in new.collect()}
+    exp = {(r.source, r.g): r.doc_freq for r in old.collect()}
+    assert got == exp and len(got) > 0
+    # the header grams really are boilerplate-frequent (non-vacuous)
+    assert max(got.values()) >= 21
