@@ -32,11 +32,73 @@ from pyspark.sql import functions as F
 last_round_count = 0
 
 
+def connected_components_fused(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Single-task union-find twin of connected_components for edge
+    sets below the caller's scale gate (r9, guide §1.2): the
+    alternating-star loop is the designed 100 TB shape, but at toy
+    scale every round costs 2 keyed shuffles + a checkpoint + a
+    convergence count — ~15 jobs for a 3-round graph. This form runs
+    min-id union-find over the coalesced edge list in ONE mapInPandas
+    task (pure integer ops — exactly the min-reachable-id the
+    recursive-CTE oracle defines; no floating point anywhere, so
+    equality with the iterative path is graph-theoretic, not
+    numerical). Same contract: only nodes appearing in ≥1 edge row
+    are returned; self-loop-only nodes are their own component."""
+    import pandas as pd
+
+    dt = dict(edges.dtypes)
+    node_t = dt[src]
+    sel = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                un, vn = u is None or pd.isna(u), v is None or pd.isna(v)
+                if not un:
+                    nodes.add(u)
+                if not vn:
+                    nodes.add(v)
+                if un or vn or u == v:
+                    continue
+                ra, rb = find(u), find(v)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # smaller id stays root ⇒ comp = min
+        if not nodes:
+            return
+        out = sorted(nodes)
+        yield pd.DataFrame(
+            {"node": out, "comp": [find(n) for n in out]}
+        )
+
+    return sel.coalesce(1).mapInPandas(
+        run, schema=f"node {node_t}, comp {node_t}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    fused: bool = False,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable
     via the undirected edge set.  Only vertices that appear in at
@@ -57,8 +119,16 @@ def connected_components(
     ~2× wall on the sf0.1 pair graphs (test_operators pins the round
     count).  Edge growth is bounded: large-star output is ≤ 2(n−1)
     edges after dedup (paper Lemma 1), so peak state never exceeds
-    the bidirectional input."""
+    the bidirectional input.
+
+    ``fused=True`` (r9) routes through connected_components_fused —
+    the single-task union-find twin callers gate in below a corpus
+    scale threshold (queries pass table_bytes-derived hints; the
+    iterative loop stays the default and the only path above the
+    gate). The fused path does not touch last_round_count."""
     global last_round_count
+    if fused:
+        return connected_components_fused(edges, src, dst)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -136,11 +206,12 @@ def dedup_clusters(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    fused: bool = False,
 ) -> DataFrame:
     """Cluster summary from a near-dup pair set: one row per duplicate
     cluster with the canonical keep id (min member) and member count.
     """
-    cc = connected_components(edges, src, dst)
+    cc = connected_components(edges, src, dst, fused=fused)
     return cc.groupBy(F.col("comp").alias("keep_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -642,6 +642,17 @@ def _cc_edges(spark, sf_dir):
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, block_col="lang")
 
 
+def _cc_fused(sf_dir):
+    """Scale gate for the single-task union-find CC twin (r9): below
+    it the alternating-star loop is ~15 jobs of pure fixed cost
+    (measured 5-16 s at sf0.1 for a 3-round graph); above it the
+    iterative loop is the designed shape. Same table_bytes stats
+    stand-in as every other gate."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
+    return table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024
+
+
 @register(
     "dedup_connected_components",
     oracle="WITH RECURSIVE "
@@ -655,7 +666,9 @@ def dedup_connected_components(spark, sf_dir):
     the SimHash near-dup pair graph)."""
     from duckdb_distributed_execution_spark.operators import graph as G
 
-    cc = G.connected_components(_cc_edges(spark, sf_dir))
+    cc = G.connected_components(
+        _cc_edges(spark, sf_dir), fused=_cc_fused(sf_dir)
+    )
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
 
 
@@ -673,7 +686,7 @@ def dedup_cluster_keep_one(spark, sf_dir):
     size — the row set a pipeline anti-joins against to drop dups."""
     from duckdb_distributed_execution_spark.operators import graph as G
 
-    return G.dedup_clusters(_cc_edges(spark, sf_dir))
+    return G.dedup_clusters(_cc_edges(spark, sf_dir), fused=_cc_fused(sf_dir))
 
 
 @register(
@@ -704,7 +717,9 @@ def dedup_cluster_keep_best(spark, sf_dir):
     from duckdb_distributed_execution_spark.operators import graph as G
 
     d = load(spark, sf_dir, "documents")["documents"]
-    cc = G.connected_components(_cc_edges(spark, sf_dir))
+    cc = G.connected_components(
+        _cc_edges(spark, sf_dir), fused=_cc_fused(sf_dir)
+    )
     q = d.select("doc_id", X.hashed_logit("text").alias("logit"))
     joined = cc.join(q, cc["node"] == q["doc_id"]).select(
         F.col("comp").alias("component"), "doc_id", "logit"

@@ -53,9 +53,19 @@ def dup_cluster_size_histogram(spark, sf_dir):
     after runs on the |components| aggregate; the singleton count is
     a tagged-union combine of two 1-row aggregates."""
     from duckdb_distributed_execution_spark.operators import graph as G
-    from duckdb_distributed_execution_spark.queries.llm import _cc_edges
+    from duckdb_distributed_execution_spark.queries.llm import (
+        _cc_edges,
+        _cc_fused,
+    )
 
-    cc = G.connected_components(_cc_edges(spark, sf_dir))
+    # cc feeds BOTH the size histogram and the paired-node count; a
+    # localCheckpoint stops the second consumer from re-running the
+    # whole simhash-edge + CC pipeline (r9 — the fused CC path has no
+    # internal checkpoint, unlike the iterative loop whose per-round
+    # checkpoints made recomputation cheap by accident).
+    cc = G.connected_components(
+        _cc_edges(spark, sf_dir), fused=_cc_fused(sf_dir)
+    ).localCheckpoint()
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
     hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters")

@@ -143,7 +143,9 @@ def cluster_safe_split(spark, sf_dir):
     d = load(spark, sf_dir, "documents")["documents"]
     edges = _cc_edges(spark, sf_dir).select("id_a", "id_b")
     edges = edges.localCheckpoint()  # feeds CC and the leak count
-    cc = G.connected_components(edges).select(
+    from duckdb_distributed_execution_spark.queries.llm import _cc_fused
+
+    cc = G.connected_components(edges, fused=_cc_fused(sf_dir)).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
     comp = d.select("doc_id").join(cc, "doc_id", "left").select(

@@ -1253,3 +1253,35 @@ def test_boilerplate_ngrams_array_distinct_matches_global(spark):
     assert got == exp and len(got) > 0
     # the header grams really are boilerplate-frequent (non-vacuous)
     assert max(got.values()) >= 21
+
+
+def test_connected_components_fused_matches_iterative(spark):
+    """r9 single-task union-find twin must label every node with the
+    same min-reachable component id as the alternating-star loop —
+    pure integer graph semantics, asserted on the real sf0.01 simhash
+    pair graph (361 nodes) plus a hand-built chain + self-loop +
+    singleton-edge graph covering the contract's edge cases."""
+    from duckdb_distributed_execution_spark.operators import graph as G
+    from duckdb_distributed_execution_spark.queries.llm import _cc_edges
+
+    edges = _cc_edges(spark, "/root/testdata/sf0.01")
+    it = {(r.node, r.comp)
+          for r in G.connected_components(edges).collect()}
+    fu = {(r.node, r.comp)
+          for r in G.connected_components(edges, fused=True).collect()}
+    assert it == fu and len(it) > 0
+
+    hand = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1),      # chain -> comp 1
+         (10, 10),                            # self-loop only
+         (20, 21),                            # pair
+         (None, 30), (31, None)],             # null sides
+        "id_a LONG, id_b LONG",
+    )
+    it = {(r.node, r.comp)
+          for r in G.connected_components(hand).collect()}
+    fu = {(r.node, r.comp)
+          for r in G.connected_components(hand, fused=True).collect()}
+    assert it == fu
+    comp = dict(fu)
+    assert comp[5] == 1 and comp[10] == 10 and comp[21] == 20
