@@ -257,8 +257,12 @@ def pagerank(
             .alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # r9 (guide §2.4): the update joins the CHECKPOINTED pr (which
+        # carries deg) instead of deg — the old deg join recomputed
+        # und.groupBy(u) every iteration, one extra shuffle per round
+        # for the identical (u, deg) rows.
         pr = (
-            deg.join(summed, deg["u"] == summed["node"], "left")
+            pr.join(summed, pr["u"] == summed["node"], "left")
             .select(
                 "u",
                 "deg",
