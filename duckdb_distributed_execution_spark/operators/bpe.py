@@ -265,6 +265,31 @@ def bpe_apply_expr(word_col, merges, passes: int = 3, sep: str = "|"):
     return s
 
 
+def bpe_apply_py(merges, passes: int = 3, sep: str = "|"):
+    """Python mirror of :func:`bpe_apply_expr` — a callable
+    text → encoded string with BYTE-IDENTICAL semantics: the same
+    per-char split regex ("(.)" excludes newlines in java.util.regex,
+    RE2 and Python's re alike), the same rank-ordered literal
+    replace-all chain (both String.replace and str.replace scan
+    left-to-right over non-overlapping occurrences), the same pass
+    count. Used by the fused Arrow MinHash kernel's token-shingle
+    path (r9) so the Python side reproduces the JVM encoder exactly;
+    tests pin kernel == JVM row equality on the real corpus."""
+    import re
+
+    char_split = re.compile("(.)")
+
+    def apply(text: str) -> str:
+        s = sep + char_split.sub("\\1" + sep, text)
+        for a, b in merges:
+            pat, rep = sep + a + sep + b + sep, sep + a + b + sep
+            for _ in range(passes):
+                s = s.replace(pat, rep)
+        return s
+
+    return apply
+
+
 def bpe_token_count_expr(encoded_col, sep: str = "|"):
     """Token count of a ``bpe_apply_expr`` string: separator count − 1
     (the empty word encodes to a single separator → 0 tokens)."""

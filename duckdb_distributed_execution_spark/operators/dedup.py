@@ -280,12 +280,92 @@ def minhash_signatures_df(
     )
 
 
+def _minhash_doc_hashes(pdf, id_col, text_col, shingle_n, shingle_fn):
+    """One batch → deduped ``(doc, h)`` pandas frame (md5-based 28-bit
+    base hashes over distinct shingles) — the exact per-batch math of
+    the signature kernel, shared by :func:`minhash_sig_rows_arrow`
+    and the fused single-task twin :func:`minhash_lsh_pairs_fused` so
+    the two plans can never drift. Returns ``None`` when no doc in
+    the batch reaches ``shingle_n`` tokens (the explode plan emits no
+    rows for those either)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    md5 = hashlib.md5
+    pdf = pdf[pdf[text_col].notna()]
+    if not len(pdf):
+        return None
+    if shingle_fn is not None:
+        sh_lists = [shingle_fn(t) for t in pdf[text_col].values]
+        n_sh = np.fromiter(
+            (len(x) for x in sh_lists),
+            dtype=np.int64,
+            count=len(sh_lists),
+        )
+        doc_ids = np.repeat(pdf[id_col].values, n_sh)
+        if not len(doc_ids):
+            return None
+        sh_strs = np.array(
+            [s for lst in sh_lists for s in lst], dtype=object
+        )
+    else:
+        x = pa.array(pdf[text_col].str.lower(), type=pa.string())
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]", " ")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim(x, " ")
+        toks = pc.split_pattern(x, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks).to_pandas().values
+        n_sh = np.maximum(lens - (shingle_n - 1), 0)
+        doc_ids = np.repeat(pdf[id_col].values, n_sh)
+        if not len(doc_ids):
+            # every doc in the batch is below shingle_n tokens —
+            # the explode plan emits no rows for them either.
+            return None
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.concatenate(
+            [np.arange(s, s + m) for s, m in zip(starts, n_sh)]
+        )
+        if shingle_n == 1:
+            sh_strs = flat[idx]
+        elif shingle_n == 2:
+            sh_strs = np.array(
+                [flat[i] + " " + flat[i + 1] for i in idx],
+                dtype=object,
+            )
+        else:
+            sh_strs = np.array(
+                [" ".join(flat[i : i + shingle_n]) for i in idx],
+                dtype=object,
+            )
+    sdf = pd.DataFrame({"doc": doc_ids, "s": sh_strs})
+    sdf = sdf.drop_duplicates()
+    h = np.fromiter(
+        (
+            int(md5(s.encode()).hexdigest()[:7], 16)
+            for s in sdf["s"].values
+        ),
+        dtype=np.int64,
+        count=len(sdf),
+    )
+    # distinct shingles can md5-collide into equal base hashes;
+    # collect_set dedupes the VALUES, so mirror that here.
+    return pd.DataFrame({"doc": sdf["doc"].values, "h": h}).drop_duplicates()
+
+
 def minhash_sig_rows_arrow(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int,
     num_hashes: int,
+    shingle_fn=None,
 ) -> DataFrame:
     """Per-doc MinHash signature rows ``(doc, mh_0..k-1, sh)`` in ONE
     Arrow pass — semantically identical to the explode → groupBy(min,
@@ -304,13 +384,16 @@ def minhash_sig_rows_arrow(
     Docs whose shingle set is empty (fewer than ``shingle_n`` tokens)
     drop their row, exactly like the explode plan. ``sh`` element
     ORDER differs from collect_set's (both unspecified); every
-    consumer reads sizes/intersections only."""
-    import hashlib
+    consumer reads sizes/intersections only.
 
+    ``shingle_fn`` (r9) replaces the built-in word-shingle chain with
+    a per-doc Python callable text → list of shingle strings — the
+    token-space LSH (wave 60) passes the exact Python mirror of its
+    JVM BPE-encode + array_shingles expression, so the whole
+    signature relation keeps the zero-exchange kernel plan instead of
+    falling back to the explode → groupBy form."""
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     from duckdb_distributed_execution_spark.functions import (
         ensure_min_parallelism,
@@ -320,62 +403,17 @@ def minhash_sig_rows_arrow(
     A = np.array([a for a, _ in coeffs], dtype=np.int64).reshape(-1, 1)
     B = np.array([b for _, b in coeffs], dtype=np.int64).reshape(-1, 1)
     dt = dict(df.dtypes)
-    md5 = hashlib.md5
 
     def run(batches):
         for pdf in batches:
-            pdf = pdf[pdf[text_col].notna()]
-            if not len(pdf):
-                continue
-            x = pa.array(pdf[text_col].str.lower(), type=pa.string())
-            x = pc.replace_substring_regex(x, "[^a-z0-9 ]", " ")
-            x = pc.replace_substring_regex(x, " +", " ")
-            x = pc.utf8_trim(x, " ")
-            toks = pc.split_pattern(x, " ")
-            lens = pc.list_value_length(toks).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            flat = pc.list_flatten(toks).to_pandas().values
-            n_sh = np.maximum(lens - (shingle_n - 1), 0)
-            doc_ids = np.repeat(pdf[id_col].values, n_sh)
-            if not len(doc_ids):
-                # every doc in the batch is below shingle_n tokens —
-                # the explode plan emits no rows for them either.
-                continue
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            idx = np.concatenate(
-                [np.arange(s, s + m) for s, m in zip(starts, n_sh)]
+            dh = _minhash_doc_hashes(
+                pdf, id_col, text_col, shingle_n, shingle_fn
             )
-            if shingle_n == 1:
-                sh_strs = flat[idx]
-            elif shingle_n == 2:
-                sh_strs = np.array(
-                    [flat[i] + " " + flat[i + 1] for i in idx],
-                    dtype=object,
-                )
-            else:
-                sh_strs = np.array(
-                    [" ".join(flat[i : i + shingle_n]) for i in idx],
-                    dtype=object,
-                )
-            sdf = pd.DataFrame({"doc": doc_ids, "s": sh_strs})
-            sdf = sdf.drop_duplicates()
-            h = np.fromiter(
-                (
-                    int(md5(s.encode()).hexdigest()[:7], 16)
-                    for s in sdf["s"].values
-                ),
-                dtype=np.int64,
-                count=len(sdf),
-            )
-            # distinct shingles can md5-collide into equal base hashes;
-            # collect_set dedupes the VALUES, so mirror that here.
-            sdf = pd.DataFrame(
-                {"doc": sdf["doc"].values, "h": h}
-            ).drop_duplicates()
-            hv = sdf["h"].values
-            order = np.argsort(sdf["doc"].values, kind="stable")
-            docs_sorted = sdf["doc"].values[order]
+            if dh is None:
+                continue
+            hv = dh["h"].values
+            order = np.argsort(dh["doc"].values, kind="stable")
+            docs_sorted = dh["doc"].values[order]
             hv = hv[order]
             uniq, start_idx = np.unique(docs_sorted, return_index=True)
             AM = (A * hv.reshape(1, -1) + B) % MINHASH_P
@@ -469,6 +507,167 @@ def oracle_minhash_lsh_sql(
     """
 
 
+def minhash_lsh_pairs_fused(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    verify_threshold: float = 0.4,
+    max_bucket: int = 256,
+    candidates_only: bool = False,
+    shingle_fn=None,
+) -> DataFrame:
+    """Fused twin of :func:`minhash_lsh_pairs` for corpora below the
+    scale gate (guide §1.2/§2.4). The signature relation keeps the
+    PARALLEL zero-exchange Arrow kernel (per-doc md5/BPE work is the
+    real compute here — a fully single-task form measured SLOWER at
+    sf0.1: word 0.74 → 1.2 s — so only the post-signature pipeline
+    fuses); everything after it — banding, hot-bucket cap, pair
+    distinct, exact-Jaccard verify — collapses into ONE numpy task
+    behind a single ~5 MB repartition(1) exchange of the narrow sig
+    rows. The distributed form pays a persisted sig, the band-bucket
+    window exchange, the pair-distinct exchange and TWO verify joins
+    shipping ~130-element hash arrays per candidate (~10 stages of
+    fixed cost at toy scale, and the verify joins dominate when
+    banding is non-discriminative — the token-space query emits 412k
+    candidates at sf0.1).
+
+    Result-identical to the distributed form by construction:
+
+    - signature rows come from the SAME kernel
+      (:func:`minhash_sig_rows_arrow`), so mins and hash sets are
+      bit-identical;
+    - banding groups docs by the raw per-band min-tuple — the
+      distributed form buckets on ``md5('b_mh0_mh1')``, a rename of
+      the same key (md5 collisions between distinct tuples are the
+      only divergence, probability ~2⁻¹²⁸; equality is pinned
+      empirically at sf0.01 and sf0.1);
+    - the hot-bucket cap (1 < n ≤ max_bucket), unordered-pair
+      distinct, and exact Jaccard use the same integer set sizes and
+      the same double arithmetic (inter/(|a|+|b|−inter), int → f64
+      casts in the same order) so the emitted doubles are
+      bit-identical.
+
+    A provably-lossless length prefilter cheapens the verify: for
+    distinct-element sets J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    pair with min < (θ−1e-9)·max can never pass the θ filter (the
+    1e-9 margin dwarfs the 1-ulp rounding of the double compare;
+    pairs kept by the margin are verified exactly anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    id_t = dict(df.dtypes)[id_col]
+    thr = float(verify_threshold)
+    sig = minhash_sig_rows_arrow(
+        df, id_col, text_col, shingle_n, num_hashes, shingle_fn=shingle_fn
+    )
+    mh_names = [f"mh_{i}" for i in range(num_hashes)]
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        uniq = pdf["doc"].values
+        mins = np.vstack([pdf[m].values for m in mh_names])  # k x n
+        doc_h = [
+            np.sort(np.asarray(x, dtype=np.int64)) for x in pdf["sh"].values
+        ]
+        sizes = np.fromiter(
+            (len(x) for x in doc_h), dtype=np.int64, count=len(doc_h)
+        )
+        n = len(uniq)
+        ia_parts: list = []
+        ib_parts: list = []
+        for b in range(n_bands):
+            band = mins[b * band_size : (b + 1) * band_size]  # bs x n
+            order_b = np.lexsort(tuple(band[::-1]))
+            sorted_band = band[:, order_b]
+            diff = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, dtype=bool)
+            for r in range(band_size):
+                diff |= sorted_band[r, 1:] != sorted_band[r, :-1]
+            bounds = np.flatnonzero(np.r_[True, diff, True])
+            starts, ends = bounds[:-1], bounds[1:]
+            ok = np.flatnonzero(
+                ((ends - starts) >= 2) & ((ends - starts) <= max_bucket)
+            )
+            for gi in ok:
+                idx = order_b[starts[gi] : ends[gi]]
+                r, c = np.triu_indices(len(idx), k=1)
+                ia_parts.append(idx[r])
+                ib_parts.append(idx[c])
+        if not ia_parts:
+            return
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        # unordered pair, emitted (smaller id, larger id) like the
+        # p.id_a < p.id_b filter of the distributed unroll.
+        ida, idb = uniq[ia], uniq[ib]
+        swap = ida > idb
+        ia[swap], ib[swap] = ib[swap], ia[swap]
+        keys = np.unique(ia.astype(np.int64) * n + ib)
+        ia, ib = keys // n, keys % n
+        if candidates_only:
+            yield pd.DataFrame({"id_a": uniq[ia], "id_b": uniq[ib]})
+            return
+        sa, sb = sizes[ia], sizes[ib]
+        lo = np.minimum(sa, sb).astype(np.float64)
+        hi = np.maximum(sa, sb).astype(np.float64)
+        keep = lo >= (thr - 1e-9) * hi
+        ia, ib, sa, sb = ia[keep], ib[keep], sa[keep], sb[keep]
+        if not len(ia):
+            return
+        # exact |A∩B| per surviving pair: pairs are sorted by ia, so
+        # group by ia and binary-search each partner's hashes against
+        # A's sorted array in one vectorized searchsorted per group.
+        inter = np.empty(len(ia), dtype=np.int64)
+        g_uniq, g_start = np.unique(ia, return_index=True)
+        g_end = np.append(g_start[1:], len(ia))
+        for gi in range(len(g_uniq)):
+            s, e = g_start[gi], g_end[gi]
+            a_sorted = doc_h[g_uniq[gi]]
+            flat_b = np.concatenate([doc_h[j] for j in ib[s:e]])
+            pos = np.searchsorted(a_sorted, flat_b)
+            pos[pos == len(a_sorted)] = 0
+            hit = (a_sorted[pos] == flat_b).astype(np.int64)
+            seg = np.concatenate(
+                ([0], np.cumsum(sb[s:e].astype(np.int64))[:-1])
+            )
+            inter[s:e] = np.add.reduceat(hit, seg)
+        inter_d = inter.astype(np.float64)
+        union = (sa + sb).astype(np.float64) - inter_d
+        jac = inter_d / union
+        mask = jac >= thr
+        if not mask.any():
+            return
+        yield pd.DataFrame(
+            {
+                "id_a": uniq[ia[mask]],
+                "id_b": uniq[ib[mask]],
+                "jaccard": jac[mask],
+            }
+        )
+
+    out_schema = (
+        f"id_a {id_t}, id_b {id_t}"
+        if candidates_only
+        else f"id_a {id_t}, id_b {id_t}, jaccard double"
+    )
+    # repartition(1), not coalesce(1): coalesce would collapse the
+    # upstream sig kernel to one task too; the exchange it costs is
+    # one narrow ~|docs|·(8 longs + hash set) spill, and it is the
+    # ONLY exchange in the whole plan.
+    return sig.repartition(1).mapInPandas(run, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -480,6 +679,8 @@ def minhash_lsh_pairs(
     max_bucket: int = 256,
     candidates_only: bool = False,
     shingles: Column | None = None,
+    shingle_fn=None,
+    fuse: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection:
     shingle → k min-hashes → bands of ``band_size`` → same-band-bucket
@@ -505,6 +706,17 @@ def minhash_lsh_pairs(
     cap=4096 to linear at 256); a pair lost to one dropped hot band
     still has the other n_bands-1 chances to surface."""
     assert num_hashes % band_size == 0
+    # ``fuse`` (r9): callers below the corpus-size gate route the
+    # ENTIRE pipeline through the single-task kernel (guide §1.2 —
+    # at toy scale the distributed plan is ~10 stages of fixed cost;
+    # the queries gate on table_bytes like every fused kernel here).
+    # Only the fixed shingle chains have a Python twin, so a custom
+    # ``shingles`` Column keeps the distributed form.
+    if fuse and shingles is None:
+        return minhash_lsh_pairs_fused(
+            df, id_col, text_col, shingle_n, num_hashes, band_size,
+            verify_threshold, max_bucket, candidates_only, shingle_fn,
+        )
     # Signature rows (doc, mh_0..k-1, sh): the default text/word-
     # shingle path runs the fused Arrow kernel (minhash_sig_rows_arrow
     # — zero-exchange, one RE2+md5 pass per batch; sf0.1 0.77→0.52 s,
@@ -519,9 +731,14 @@ def minhash_lsh_pairs(
     # consumer's stage — measured 2.15 s → 1.73 s at sf0.1), and
     # lineage survives, so losing a cached executor block at cluster
     # scale means recompute, not job death.
+    # ``shingle_fn`` (r9): a per-doc Python mirror of the shingle
+    # expression routes custom-shingle callers (the wave-60 token
+    # variant) through the SAME zero-exchange kernel; only a Column
+    # override without a Python twin falls back to the explode plan.
     if shingles is None:
         sig = minhash_sig_rows_arrow(
-            df, id_col, text_col, shingle_n, num_hashes
+            df, id_col, text_col, shingle_n, num_hashes,
+            shingle_fn=shingle_fn,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
         para = df.sparkSession.sparkContext.defaultParallelism

@@ -146,11 +146,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs: shingle → 8 min-hashes → 4 bands →
-    bucket join → exact-Jaccard verify (operators/dedup.py)."""
+    bucket join → exact-Jaccard verify (operators/dedup.py). Below
+    the corpus-size gate the post-signature pipeline fuses into one
+    numpy task (r9, minhash_lsh_pairs_fused — bit-identical, pinned
+    by test + selfcheck); above it the designed distributed shape."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
     pairs = D.minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
         verify_threshold=0.12,
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

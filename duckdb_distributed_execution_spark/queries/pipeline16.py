@@ -604,10 +604,13 @@ def minhash_lsh_selectivity(spark, sf_dir):
     break both this hash and the pytest gate."""
     from duckdb_distributed_execution_spark.operators import dedup as D
 
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
         candidates_only=True,
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     )
     # Tagged UNION + pivot agg instead of a 1-row scalar cross join
     # (same pattern as embedding_banded_selectivity).

@@ -275,10 +275,13 @@ def dedup_threshold_curve(spark, sf_dir):
     thresholds cost the same as one. Jaccard values are exact
     rationals (integer set sizes divided once), so θ comparisons are
     engine-identical without rounding."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
     pairs = D.minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
         verify_threshold=min(_CURVE_THRESHOLDS),
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     )
     th = F.array(*[F.lit(float(t)) for t in _CURVE_THRESHOLDS])
     swept = pairs.select(

@@ -147,10 +147,13 @@ def dedup_cross_source_matrix(spark, sf_dir):
     two broadcast-able hash joins of |pairs| rows, and the rollup key
     space is |sources|². Mean Jaccard uses the exact-decimal rounded
     convention."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
     pairs = D.minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
         verify_threshold=0.12,
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     )
     src = d.select("doc_id", "source")
     joined = (

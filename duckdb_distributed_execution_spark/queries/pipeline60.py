@@ -67,13 +67,25 @@ def dedup_minhash_token_lsh(spark, sf_dir):
     3-grams feed the standard MinHash-LSH pipeline: 8 min-hashes →
     4 bands → capped bucket join → exact-Jaccard verify ≥ 0.5.
     The token-space twin of dedup_minhash_lsh — what a dedup stage
-    that protects the MODEL's view of the data runs."""
+    that protects the MODEL's view of the data runs.
+
+    r9: the signature relation routes through the fused Arrow kernel
+    via ``shingle_fn`` — a per-doc Python mirror of the JVM
+    encode+shingle expression (bpe_apply_py: same char-split regex,
+    same literal replace-all chain, same pass count; then the same
+    split/filter/3-gram-distinct), so token signatures get the
+    zero-exchange kernel plan word signatures got (sig stage 0.98 →
+    0.79 s at sf0.1, rows bit-identical —
+    test_token_shingle_fn_matches_jvm). Token 3-grams over a 17-merge
+    vocabulary are non-discriminative under 4 bands (412k candidates
+    from 5k docs at sf0.1), so the verify joins dominated the
+    distributed plan; below the corpus-size gate the post-signature
+    pipeline fuses into one numpy task (minhash_lsh_pairs_fused —
+    length-prefilter + searchsorted verify; 6.0 → 1.7 s at sf0.1
+    same-session, bit-identical pairs)."""
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     d = load(spark, sf_dir, "documents")["documents"]
-    enc = bpe_apply_expr(F.col("text"), BPE_MERGES)
-    toks = F.filter(
-        F.split(enc, "\\|"),
-        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
-    )
     pairs = D.minhash_lsh_pairs(
         d,
         "doc_id",
@@ -81,6 +93,30 @@ def dedup_minhash_token_lsh(spark, sf_dir):
         num_hashes=8,
         band_size=2,
         verify_threshold=_THRESH,
-        shingles=D.array_shingles(toks, _N, _SEP),
+        shingle_fn=token_shingles_py(BPE_MERGES, _N, _SEP),
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def token_shingles_py(merges, n: int, sep: str):
+    """Per-doc Python twin of the query's JVM shingle expression:
+    bpe_apply_expr → split('|') → drop ''/' ' tokens →
+    array_shingles(n, sep) — distinct n-grams in first-occurrence
+    order (order is irrelevant downstream; only the SET feeds md5)."""
+    from duckdb_distributed_execution_spark.operators.bpe import (
+        bpe_apply_py,
+    )
+
+    enc = bpe_apply_py(merges)
+
+    def fn(text: str):
+        toks = [t for t in enc(text).split("|") if t not in ("", " ")]
+        return list(
+            dict.fromkeys(
+                sep.join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            )
+        )
+
+    return fn

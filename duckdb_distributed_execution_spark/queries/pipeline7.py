@@ -311,9 +311,12 @@ def minhash_candidate_recall(spark, sf_dir):
         blocked, "doc_id", "text", n=2, threshold=_RECALL_T,
         block_col="__blk",
     ).select("id_a", "id_b")
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", shingle_n=2, num_hashes=8, band_size=2,
         verify_threshold=0.0,
+        fuse=table_bytes(sf_dir, "documents") <= 4 * 1024 * 1024,
     ).select("id_a", "id_b")
     hits = truth.join(cand, on=["id_a", "id_b"], how="left_semi")
     return (

@@ -328,3 +328,114 @@ def test_minhash_sig_rows_arrow_on_real_corpus(spark):
     assert jvm.count() == arrow.count()
     assert jvm.exceptAll(arrow).limit(1).count() == 0
     assert arrow.exceptAll(jvm).limit(1).count() == 0
+
+
+def test_token_shingle_fn_matches_jvm(spark):
+    """r9 wave-60 routing: the per-doc Python mirror of the JVM
+    BPE-encode + array_shingles expression (token_shingles_py →
+    bpe_apply_py) must produce signature rows identical to the
+    explode plan over the JVM column — every affine min AND the
+    distinct-hash set — on the real corpus, so routing the token
+    variant through the fused kernel cannot change any pair."""
+    from duckdb_distributed_execution_spark.operators import dedup as D
+    from duckdb_distributed_execution_spark.operators.bpe import (
+        bpe_apply_expr,
+    )
+    from duckdb_distributed_execution_spark.queries.pipeline60 import (
+        BPE_MERGES,
+        _N,
+        _SEP,
+        token_shingles_py,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    enc = bpe_apply_expr(F.col("text"), BPE_MERGES)
+    toks = F.filter(
+        F.split(enc, "\\|"),
+        lambda t: (t != F.lit("")) & (t != F.lit(" ")),
+    )
+    jvm = (
+        d.repartition(4, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(D.array_shingles(toks, _N, _SEP)).alias("s"),
+        )
+        .select("doc", D.minhash_base(F.col("s")).alias("h"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.expr(f"min(({a} * h + {b}) % {D.MINHASH_P})").alias(
+                    f"mh_{i}"
+                )
+                for i, (a, b) in enumerate(D.minhash_coeffs(8))
+            ],
+            F.sort_array(F.collect_set("h")).alias("sh"),
+        )
+    )
+    kern = D.minhash_sig_rows_arrow(
+        d, "doc_id", "text", _N, 8,
+        shingle_fn=token_shingles_py(BPE_MERGES, _N, _SEP),
+    ).select(
+        "doc",
+        *[f"mh_{i}" for i in range(8)],
+        F.sort_array("sh").alias("sh"),
+    )
+    assert jvm.count() == kern.count()
+    assert jvm.exceptAll(kern).limit(1).count() == 0
+    assert kern.exceptAll(jvm).limit(1).count() == 0
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(shingle_n=2, verify_threshold=0.12),
+        dict(shingle_n=2, verify_threshold=0.0),
+        dict(shingle_n=2, candidates_only=True),
+    ],
+    ids=["verify_0.12", "verify_0.0", "candidates_only"],
+)
+def test_minhash_lsh_pairs_fused_matches_distributed(spark, kw):
+    """r9 fused post-signature kernel (banding + hot-bucket cap +
+    pair distinct + length-prefiltered exact-Jaccard verify in one
+    numpy task) must be row-identical — including the jaccard
+    DOUBLES — to the distributed plan it gates in for, at every
+    threshold shape the six query sites use."""
+    from duckdb_distributed_execution_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    dist = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2, **kw
+    )
+    fused = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2, fuse=True, **kw
+    )
+    got = sorted(map(tuple, fused.collect()))
+    exp = sorted(map(tuple, dist.collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_minhash_lsh_pairs_fused_token_variant(spark):
+    """The token-space twin (shingle_fn) through the fused kernel:
+    pairs identical to the distributed token plan."""
+    from duckdb_distributed_execution_spark.operators import dedup as D
+    from duckdb_distributed_execution_spark.queries.pipeline60 import (
+        BPE_MERGES,
+        _N,
+        _SEP,
+        _THRESH,
+        token_shingles_py,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fn = token_shingles_py(BPE_MERGES, _N, _SEP)
+    dist = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2,
+        verify_threshold=_THRESH, shingle_fn=fn,
+    )
+    fused = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2,
+        verify_threshold=_THRESH, shingle_fn=fn, fuse=True,
+    )
+    got = sorted(map(tuple, fused.collect()))
+    exp = sorted(map(tuple, dist.collect()))
+    assert got == exp and len(got) > 0

@@ -182,10 +182,14 @@ HEADLINE_SHUFFLE_BUDGETS = {
     # test_join_multi_star_branches_agree).
     "join_multi_star": 1,       # AQE broadcasts every dim; fact agg
     "sessionize_window_sql": 1, # one keyed window exchange
-    "dedup_minhash_lsh": 2,     # band bucket → verify (r9: the fused
-    #                             Arrow sig kernel emits signature
-    #                             rows with ZERO exchange — the old
-    #                             explode→groupBy sig shuffle is gone)
+    "dedup_minhash_lsh": 1,     # r9 fused post-sig kernel: the only
+    #                             exchange left is the repartition(1)
+    #                             feeding the single numpy task
+    #                             (banding/cap/pairs/verify); the sig
+    #                             kernel itself is zero-exchange.
+    #                             Above the 4 MB corpus gate the
+    #                             distributed shape (band bucket →
+    #                             verify, 2 exchanges) returns.
     "tpch_q9_partsupp": 2,      # scalar supplier-count agg + final
     #                             agg (orders broadcasts at this SF)
 }
@@ -216,9 +220,10 @@ HEADLINE_EXECUTED = {
     "agg_pricing_summary": (1, 2),
     "join_multi_star": (1, 6),
     "sessionize_window_sql": (1, 4),
-    "dedup_minhash_lsh": (2, 6),  # r9 fused sig kernel: −1 exchange,
-    #                               −1 codegen span (the sig groupBy
-    #                               stage no longer exists)
+    "dedup_minhash_lsh": (1, 2),  # r9 fused post-sig kernel: one
+    #                               repartition(1) exchange, two thin
+    #                               codegen spans around the Python
+    #                               stages (gated scales only)
     "tpch_q9_partsupp": (2, 8),
 }
 
