@@ -175,9 +175,15 @@ def test_failed_task_raises(engine, spark):
     df = spark.range(10).select(
         (F.lit(10) / (F.col("id") - 5)).alias("x")  # div by zero at id=5
     )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    with pytest.raises(Exception):
-        df.collect()
+    try:
+        with pytest.raises(Exception):
+            df.collect()
+    finally:
+        # The session is shared suite-wide; leaking ANSI mode changes
+        # later tests' expression semantics AND codegen span counts.
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_registration_lifecycle(engine):

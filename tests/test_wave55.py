@@ -105,22 +105,32 @@ def test_calibration_bins_partition_the_corpus(spark):
 
 
 def test_ensure_min_parallelism(spark):
-    """No-op on well-partitioned inputs; repartitions up to
-    defaultParallelism otherwise (the r6 guard for single-row-group
-    parquet scans that would serialize CPU-heavy stages)."""
+    """Scale-adaptive (r9): a starved input is fanned out in
+    proportion to its Catalyst size estimate — one task per ~64 KB,
+    floor 4, cap defaultParallelism — so toy inputs don't pay the
+    per-concurrent-task Python handshake across every core while big
+    single-row-group inputs still reach full parallelism. No-op on
+    well-partitioned or explicitly-repartitioned inputs."""
     from duckdb_distributed_execution_spark.functions import (
         ensure_min_parallelism,
     )
 
-    target = spark.sparkContext.defaultParallelism
+    cap = spark.sparkContext.defaultParallelism
     narrow = spark.range(0, 1000).coalesce(1)
     widened = ensure_min_parallelism(narrow)
-    assert widened.rdd.getNumPartitions() == target
+    # 1000 bigints estimate ≪ 64 KB·4, so the floor applies.
+    assert widened.rdd.getNumPartitions() == 4
     assert widened.count() == 1000
 
-    wide = spark.range(0, 1000).repartition(target + 4)
+    # A size estimate past 64 KB × cap must reach the cap: ~8 MB of
+    # ids at local[8] wants ≥128 tasks, clamped to defaultParallelism.
+    big = spark.range(0, 1_000_000).coalesce(1)
+    fanned = ensure_min_parallelism(big)
+    assert fanned.rdd.getNumPartitions() == cap
+
+    wide = spark.range(0, 1000).repartition(cap + 4)
     same = ensure_min_parallelism(wide)
-    assert same is wide, "well-partitioned input must pass through"
+    assert same is wide, "explicitly repartitioned input must pass through"
 
 
 def test_split_leakage_audit_naive_split_leaks(spark):
