@@ -337,3 +337,40 @@ def test_streaming_ppl_screen_matches_batch(spark):
     }
     assert got == want
     assert 0 < len(got) <= 0.11 * len(batch)
+
+
+def test_run_to_memory_sizes_state_partitions(spark):
+    """r9: run_to_memory sizes the stateful shuffle from the recorded
+    source backlog (one partition per 32 MB, floor 4, cap = session
+    conf) and restores the session conf afterwards. The tiny smoke
+    backlog must run its state operator at the floor; a fake huge
+    backlog must stay at the session cap. The actually-used partition
+    count is read from the terminated query's progress."""
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = int(prev)
+    assert cap > 4, "session conf must exceed the floor for this test"
+
+    def state_partitions(q):
+        return q.lastProgress["stateOperators"][0]["numShufflePartitions"]
+
+    # Tiny backlog (smoke events ≈ tens of KB) → floor of 4.
+    stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
+    q = S.run_to_memory(stream, "sized_floor_sink")
+    assert state_partitions(q) == 4
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # Fake huge backlog → cap at the session conf (read_events_stream
+    # recorded the real size at plan build; force the fake afterwards).
+    stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
+    S._SOURCE_BYTES[id(spark)] = 100 << 30
+    q = S.run_to_memory(stream, "sized_cap_sink")
+    assert state_partitions(q) == cap
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    # No recorded source → conf untouched (session default applies).
+    stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
+    S._SOURCE_BYTES.pop(id(spark), None)
+    q = S.run_to_memory(stream, "sized_none_sink")
+    assert state_partitions(q) == cap
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
