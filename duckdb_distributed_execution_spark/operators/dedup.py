@@ -895,36 +895,39 @@ def simhash_df(
     into the signature. ~10× faster than the Column-lambda form on a
     corpus."""
     para = df.sparkSession.sparkContext.defaultParallelism
+    keep = list(keep_cols or [])
     tok = df.repartition(para, id_col).select(
         F.col(id_col).alias("doc"),
-        *[F.col(c) for c in (keep_cols or [])],
+        *[F.col(c) for c in keep],
         F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("t"),
     )
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
-    votes = tok.select(
+    # Vote/fold expressions ship as SQL strings (r9 expression-twin
+    # discipline): the Column-by-Column build of ``bits`` vote columns
+    # + ``bits`` sums + the ``bits``-term signature fold cost ~600
+    # py4j round trips at bits=60 (~3 s of pure plan construction at
+    # any scale); one JVM parse per select builds identical trees.
+    # The L suffixes keep every literal BIGINT like the
+    # F.lit(...).cast("long") originals.
+    votes = tok.selectExpr(
         "doc",
-        *[F.col(c) for c in (keep_cols or [])],
+        *keep,
+        "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS __h",
+    ).selectExpr(
+        "doc",
+        *keep,
         *[
-            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"v_{b}")
+            f"((SHIFTRIGHT(__h, {b}) & 1) * 2 - 1) AS v_{b}"
             for b in range(bits)
         ],
     )
-    agg = votes.groupBy("doc", *[F.col(c) for c in (keep_cols or [])]).agg(
-        *[F.sum(f"v_{b}").alias(f"v_{b}") for b in range(bits)]
+    agg = votes.groupBy("doc", *[F.col(c) for c in keep]).agg(
+        *[F.expr(f"sum(v_{b})").alias(f"v_{b}") for b in range(bits)]
     )
-    sig = agg.select(
-        "doc",
-        *[F.col(c) for c in (keep_cols or [])],
-        sum(
-            [
-                F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-                for b in range(bits)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    fold = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(bits)
     )
-    return sig
+    return agg.selectExpr("doc", *keep, f"(0L + {fold}) AS simhash")
 
 
 def simhash_pairs(

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
+
 _SCALE = 1e9
 _CHUNK = 256
 
@@ -319,6 +321,6 @@ def kcenter_greedy(
             dtype=np.float64,
         )
         picks.append((t, cur_id, seldq / quant))
-    return spark.createDataFrame(
-        picks, f"sel_round long, {id_col} long, dist double"
+    return local_rows_df(
+        spark, picks, f"sel_round long, {id_col} long, dist double"
     ).select("sel_round", id_col, F.round("dist", 4).alias("dist"))

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
+
 NANOS = 1_000_000_000
 
 
@@ -134,8 +136,8 @@ def logreg_fit(
     f = feats.join(labels, id_col).localCheckpoint()
     w = {b: 0 for b in range(n_buckets + 1)}
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(b, w[b]) for b in sorted(w)], "bucket long, w long"
+        wdf = local_rows_df(
+            spark, [(b, w[b]) for b in sorted(w)], "bucket long, w long"
         )
         z = (
             f.join(F.broadcast(wdf), "bucket")

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
+
 
 def disc_percentiles_by_group(
     df: DataFrame,
@@ -72,8 +74,10 @@ def disc_percentiles_by_group(
     # Callers are allowlisted in tools/plancheck.py as
     # "quantile-spine".
     spine = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(name, float(p)) for name, p in ps], "p_name STRING, p DOUBLE"
+        local_rows_df(
+            df.sparkSession,
+            [(name, float(p)) for name, p in ps],
+            "p_name STRING, p DOUBLE",
         )
     )
     targets = (

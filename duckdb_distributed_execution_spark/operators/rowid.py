@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
+
 
 def assign_stable_row_ids(
     df: DataFrame,
@@ -61,8 +63,10 @@ def assign_stable_row_ids(
     for r in counts:
         offsets[r["__pid"]] = acc
         acc += r["count"]
-    offset_df = df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "__pid INT, __off LONG"
+    offset_df = local_rows_df(
+        df.sparkSession,
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid INT, __off LONG",
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
@@ -113,8 +117,8 @@ def assign_running_sum(
         rows.append((int(r["__pid"]), n_acc, s_acc))
         n_acc += r["__c"]
         s_acc += int(r["__s"] or 0)
-    offset_df = df.sparkSession.createDataFrame(
-        rows, "__pid INT, __noff LONG, __soff LONG"
+    offset_df = local_rows_df(
+        df.sparkSession, rows, "__pid INT, __noff LONG, __soff LONG"
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     out = with_pid.join(F.broadcast(offset_df), on="__pid").withColumn(
@@ -269,7 +273,7 @@ def keyed_row_number(
         + key_fields
         + [T.StructField("__off", T.LongType())]
     )
-    offset_df = df.sparkSession.createDataFrame(rows, schema)
+    offset_df = local_rows_df(df.sparkSession, rows, schema)
     w = Window.partitionBy("__b", *key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__b", bucket_expr)

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_distributed_execution_spark.functions import dot_product, l2_norm
+from duckdb_distributed_execution_spark.functions import (
+    dot_product,
+    l2_norm,
+    local_rows_df,
+)
 from duckdb_distributed_execution_spark.queries.vectors import (
     _hyperplanes,
     _rademacher_planes,
@@ -1524,7 +1528,8 @@ def kmeans_train(
     prev = [list(map(float, c)) for c in centroids]
 
     for _ in range(max_iter):
-        cdf = spark.createDataFrame(
+        cdf = local_rows_df(
+            spark,
             [(i, v) for i, v in enumerate(prev)],
             f"cid INT, {vec_col} ARRAY<DOUBLE>",
         )
@@ -1554,7 +1559,8 @@ def kmeans_train(
         if shift < tol:
             break
 
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i, v) for i, v in enumerate(prev)],
         f"cid INT, {vec_col} ARRAY<DOUBLE>",
     )
@@ -1842,8 +1848,8 @@ def ivf_pq_serve_topk(
         for qi in range(len(qrows))
         for ci in set(int(x) for x in probe_idx[qi])
     ]
-    probe_df = spark.createDataFrame(
-        pairs, f"query_id {qid_type}, {cid_col} long"
+    probe_df = local_rows_df(
+        spark, pairs, f"query_id {qid_type}, {cid_col} long"
     )
     probed = sorted({c for _, c in pairs})
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.functions import (
     EXACT_DECIMAL,
     dot_product,
@@ -143,12 +144,13 @@ def rag_hybrid_rrf(spark, sf_dir):
     d, e = (lambda t: (t["documents"], t["embeddings"]))(
         load(spark, sf_dir, "documents", "embeddings")
     )
-    q = spark.createDataFrame(
+    q = local_rows_df(
+        spark,
         [(qid, t) for qid, a, b, _ in _RRF_QUERIES for t in (a, b)],
         "query_id STRING, term STRING",
     )
-    qvec = spark.createDataFrame(
-        [(qid, v) for qid, _, _, v in _RRF_QUERIES], "query_id STRING, qid LONG"
+    qvec = local_rows_df(
+        spark, [(qid, v) for qid, _, _, v in _RRF_QUERIES], "query_id STRING, qid LONG"
     )
     from duckdb_distributed_execution_spark.functions import (
         ensure_min_parallelism,

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.queries import load, register
 
 # ---------------------------------------------------------------------------
@@ -113,7 +114,7 @@ def quantile_sketch_bound(spark, sf_dir):
         F.sum("cnt").over(wc).alias("cum"),
         (F.sum("cnt").over(wc) - F.col("cnt")).alias("cum_before"),
     )
-    ps = spark.createDataFrame(list(_QS_PS), "p_name STRING, p DOUBLE")
+    ps = local_rows_df(spark, list(_QS_PS), "p_name STRING, p DOUBLE")
     est = (
         ps.crossJoin(F.broadcast(mm))
         .join(

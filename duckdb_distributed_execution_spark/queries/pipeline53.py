@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.operators.rowid import (
     keyed_row_number,
 )
@@ -58,8 +59,8 @@ def abtest_quantile_effects(spark, sf_dir):
         u.select("arm", "user_id", "y"), ["arm"], ["y", "user_id"],
         id_col="rn",
     ).join(F.broadcast(na), "arm")
-    pcts = spark.range(0).sparkSession.createDataFrame(
-        [(p,) for p in _PCTS], "pct int"
+    pcts = local_rows_df(
+        spark.range(0).sparkSession, [(p,) for p in _PCTS], "pct int"
     )
     hits = rk.crossJoin(F.broadcast(pcts)).filter(
         F.col("rn")

@@ -30,6 +30,7 @@ import math
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.operators.quantiles import (
     disc_percentiles_by_group,
 )
@@ -209,7 +210,7 @@ def preference_bradley_terry(spark, sf_dir):
             i: int(math.floor(raw[i] * 1e9 / tot + 0.5)) for i in items
         }
     spark_rows = [(i, round(rn[i] / 1e9, 6)) for i in items]
-    return spark.createDataFrame(spark_rows, "model STRING, strength DOUBLE")
+    return local_rows_df(spark, spark_rows, "model STRING, strength DOUBLE")
 
 
 @register(

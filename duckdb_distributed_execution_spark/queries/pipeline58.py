@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.operators.mlfit import (
     hashed_features,
     logreg_fit,
@@ -123,7 +124,7 @@ def quality_classifier_train(spark, sf_dir):
     contract (operators/mlfit.py::logreg_fit)."""
     _, _, w = _fit(spark, sf_dir)
     rows = [(b, round(w[b] / 1e9, 6)) for b in sorted(w)]
-    return spark.createDataFrame(rows, "bucket LONG, weight DOUBLE")
+    return local_rows_df(spark, rows, "bucket LONG, weight DOUBLE")
 
 
 @register(
@@ -153,8 +154,8 @@ def quality_classifier_apply(spark, sf_dir):
     floor(+0.5)-quantized to nanos so the per-lang mean is an exact
     integer sum on both engines."""
     d, feats, w = _fit(spark, sf_dir)
-    spark_w = spark.createDataFrame(
-        [(b, w[b]) for b in sorted(w)], "bucket long, w long"
+    spark_w = local_rows_df(
+        spark, [(b, w[b]) for b in sorted(w)], "bucket long, w long"
     )
     zf = (
         feats.join(F.broadcast(spark_w), "bucket")

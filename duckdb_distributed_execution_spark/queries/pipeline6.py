@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
 from duckdb_distributed_execution_spark.operators import text as X
 from duckdb_distributed_execution_spark.operators.asof import asof_join
 from duckdb_distributed_execution_spark.operators.rowid import (
@@ -190,7 +191,8 @@ def bm25_retrieval_topk(spark, sf_dir):
     terms so the float sum is a single commutative add.
     """.format(k1=_BM25_K1, b=_BM25_B)
     d = load(spark, sf_dir, "documents")["documents"]
-    q = spark.createDataFrame(
+    q = local_rows_df(
+        spark,
         [(qid, t) for qid, *ts in _BM25_QUERIES for t in ts],
         "query_id STRING, term STRING",
     )

@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from duckdb_distributed_execution_spark.functions import local_rows_df
+
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("sql", T.StringType()),
@@ -144,14 +146,14 @@ class QueryRecorder:
             )
             for r in self._records
         ]
-        return self._spark.createDataFrame(rows, STATS_SCHEMA)
+        return local_rows_df(self._spark, rows, STATS_SCHEMA)
 
     def history_df(self) -> DataFrame:
         by_sql: dict[str, list[int]] = {}
         for r in self._records:
             by_sql.setdefault(r.sql, []).append(r.query_duration_ms)
         rows = [(sql, lat) for sql, lat in by_sql.items()]
-        return self._spark.createDataFrame(rows, HISTORY_SCHEMA)
+        return local_rows_df(self._spark, rows, HISTORY_SCHEMA)
 
     def clear(self) -> None:
         self._records.clear()

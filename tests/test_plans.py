@@ -230,6 +230,13 @@ HEADLINE_EXECUTED = {
 
 @pytest.mark.parametrize("name", sorted(HEADLINE_EXECUTED))
 def test_headline_executed_plan(spark, name):
+    # The session is shared suite-wide and the dedup operators persist
+    # intermediates lazily (never unpersisted — consumers are lazy
+    # DataFrames); a cached relation from an earlier test substitutes
+    # an InMemoryTableScan into a matching subtree here and changes
+    # the codegen-span count. Pin the query's OWN plan, the same
+    # discipline bench.py applies before every timed run.
+    spark.catalog.clearCache()
     df = all_queries()[name].fn(spark, SF_SMOKE)
     s = summarize_executed(df)
     shuf, min_cg = HEADLINE_EXECUTED[name]
@@ -253,6 +260,7 @@ def test_headline_executed_plan_sf001(spark, name):
     (0 flagged, tools/plancheck.py --execute --sf sf0.01)."""
     from tests.conftest import SF_ORACLE
 
+    spark.catalog.clearCache()  # see test_headline_executed_plan
     df = all_queries()[name].fn(spark, SF_ORACLE)
     s = summarize_executed(df)
     shuf, min_cg = HEADLINE_EXECUTED[name]
