@@ -324,3 +324,68 @@ def kcenter_greedy(
     return local_rows_df(
         spark, picks, f"sel_round long, {id_col} long, dist double"
     ).select("sel_round", id_col, F.round("dist", 4).alias("dist"))
+
+
+def kcenter_greedy_fused(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+    quant: float = 1e6,
+) -> DataFrame:
+    """Size-gated single-task twin of :func:`kcenter_greedy` (guide
+    §1.2: at toy scale the distributed loop is 3 jobs × (k−1) rounds
+    of pure fixed cost — mapInPandas scan, checkpointed least-fold,
+    argmax fetch, plus a pushed-filter vec fetch — while the compute
+    is microseconds). The whole greedy loop runs in ONE coalesced
+    mapInPandas task over the corpus, result-identical by
+    construction: the same ``dot(e,e) − 2·(V@c) + dot(c,c)`` numpy
+    expansion per row (row dots are row-local, so batching cannot
+    change them; the K=dim axis the BLAS kernel reduces over is the
+    same in both forms), the same ⌊d²·quant+.5⌋ int64 quantization
+    BEFORE the fold, the same elementwise least across rounds, the
+    same (max dq, then min id) pick, and the same min-id first pick.
+    Callers gate on corpus file size (table_bytes ≤ 4 MB, the repo's
+    standard stats stand-in); above the gate the distributed loop —
+    whose per-round scan parallelizes — is untouched."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"sel_round long, {id_col} long, dist double"
+
+    def run(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0]
+        )
+        ids = pdf[id_col].values
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        ee = np.einsum("ij,ij->i", V, V)
+        sel = int(np.argmin(ids))
+        picks = [(0, int(ids[sel]), 0.0)]
+        cur = V[sel]
+        dist = None
+        for t in range(1, k):
+            cc = float(np.dot(cur, cur))
+            d = ee - 2.0 * (V @ cur) + cc
+            dq = np.floor(d * quant + 0.5).astype(np.int64)
+            dist = dq if dist is None else np.minimum(dist, dq)
+            m = dist.max()
+            cand = np.flatnonzero(dist == m)
+            sel = int(cand[np.argmin(ids[cand])])
+            picks.append((t, int(ids[sel]), float(int(dist[sel]) / quant)))
+            cur = V[sel]
+        yield pd.DataFrame(
+            picks, columns=["sel_round", id_col, "dist"]
+        )
+
+    return (
+        df.select(id_col, vec_col)
+        .coalesce(1)
+        .mapInPandas(run, schema=schema)
+        .select("sel_round", id_col, F.round("dist", 4).alias("dist"))
+    )

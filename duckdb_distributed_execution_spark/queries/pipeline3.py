@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-from functools import reduce
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -157,24 +156,28 @@ def embedding_random_projection(spark, sf_dir):
     """
     e = load(spark, sf_dir, "embeddings")["embeddings"]
 
-    def proj(j: int):
+    # The add/subtract chain ships as ONE SQL string per output column
+    # (r9 expression-twin discipline): the Column-by-Column build was
+    # 8 × 64 = 512 py4j round trips ≈ 3 s of plan construction per
+    # call at ANY scale, vs 0.3 s of execution at sf0.01. SQL +/- is
+    # left-associative exactly like the Python reduce, so the parsed
+    # tree — and the IEEE evaluation order — is identical; the 0.0D
+    # suffix keeps the leading negation DOUBLE (a bare 0.0 parses as
+    # DECIMAL and would retype the chain).
+    def proj_sql(j: int) -> str:
         terms = [
-            (
-                _jl_sign(i, j),
-                F.element_at("embedding", i + 1).cast("double"),
-            )
+            (_jl_sign(i, j), f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)")
             for i in range(_PROJ_IN_DIM)
         ]
         sign0, t0 = terms[0]
-        expr = t0 if sign0 > 0 else (F.lit(0.0) - t0)
-        expr = reduce(
-            lambda acc, st: acc + st[1] if st[0] > 0 else acc - st[1],
-            terms[1:],
-            expr,
-        )
-        return F.round(expr, 4).alias(f"p{j}")
+        expr = t0 if sign0 > 0 else f"(0.0D - {t0})"
+        for sg, t in terms[1:]:
+            expr += f" {'+' if sg > 0 else '-'} {t}"
+        return f"ROUND({expr}, 4) AS p{j}"
 
-    return e.select("vec_id", *[proj(j) for j in range(_PROJ_OUT_DIM)])
+    return e.selectExpr(
+        "vec_id", *[proj_sql(j) for j in range(_PROJ_OUT_DIM)]
+    )
 
 
 _N_SHARDS = 16

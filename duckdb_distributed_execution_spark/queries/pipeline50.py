@@ -80,4 +80,14 @@ def coreset_kcenter_greedy(spark, sf_dir):
     operators/linalg.py::kcenter_greedy — it is vanishingly unlikely,
     not impossible."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    from duckdb_distributed_execution_spark.queries import table_bytes
+
+    # r9 size gate: below 4 MB the whole greedy loop runs in one task
+    # (15 fixed-cost jobs → 1); above, the distributed per-round scan.
+    if table_bytes(sf_dir, "embeddings") <= 4 * 1024 * 1024:
+        from duckdb_distributed_execution_spark.operators.linalg import (
+            kcenter_greedy_fused,
+        )
+
+        return kcenter_greedy_fused(e, "vec_id", "embedding", k=_K)
     return kcenter_greedy(e, "vec_id", "embedding", k=_K)
