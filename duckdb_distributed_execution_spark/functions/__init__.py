@@ -23,10 +23,71 @@ Two concerns live here:
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Operator-internal lazy persists (the minhash/ngram/setsim signature
+# relations, the k-core edge list, the BPE merge-loop state) are never
+# unpersisted by their lazy consumers, so a long-lived multi-query
+# session accumulates cached relations (guide §5: unpersist when
+# done; bench.py and the plan-pin tests clearCache around them, but a
+# real Engine session has no such sweep). Every such persist registers
+# here — weak-keyed by the session object so a dropped session frees
+# its entries — and Engine.release_operator_caches() unpersists them
+# without touching user-managed caches (cache_table / persist calls
+# outside the operators).
+_TRACKED_PERSISTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def persist_tracked(df, level=None):
+    """``df.persist(level)`` + registration for facade-level release.
+    ``level=None`` keeps pyspark's own default storage level."""
+    df = df.persist() if level is None else df.persist(level)
+    _TRACKED_PERSISTS.setdefault(df.sparkSession, []).append(df)
+    return df
+
+
+def release_operator_persists(spark) -> int:
+    """Unpersist every operator-internal tracked persist on this
+    session (blocking=False — async block drop, like unpersist()'s
+    default). Returns the number of relations released."""
+    dfs = _TRACKED_PERSISTS.pop(spark, [])
+    for df in dfs:
+        df.unpersist()
+    return len(dfs)
+
+
+# Defensive ceiling for the size-gated fused single-task kernels
+# (guide §1.2). Every query site routes to a fused kernel only below
+# a ~4 MB table_bytes gate (≲50k rows in this repo's corpora), but the
+# operators themselves must defend: an ungated future caller passing a
+# large relation would otherwise get a silent one-task death march.
+# Counted at RUNTIME inside the kernel (driver-side Catalyst estimates
+# are unknown for mid-pipeline relations), ~40× above any gated input
+# so it can only fire on misuse.
+FUSED_KERNEL_MAX_ROWS = 2_000_000
+
+
+def check_fused_input_rows(n_rows: int, what: str, limit: int | None = None) -> None:
+    """Raise if a single-task fused kernel received more rows than any
+    gated caller can send — fail loudly instead of serializing a
+    large corpus through one task (r9 verdict, What's wrong #5).
+    Kernels capture ``limit`` driver-side at construction (the module
+    global is read where the operator is built, so tests can lower it;
+    executor workers re-import this module and would not see a
+    monkeypatched value)."""
+    if limit is None:
+        limit = FUSED_KERNEL_MAX_ROWS
+    if n_rows > limit:
+        raise RuntimeError(
+            f"{what}: fused single-task kernel received {n_rows} rows "
+            f"(max {limit}); this path exists for inputs under the "
+            "~4 MB scale gate — route large inputs through the "
+            "distributed form"
+        )
 
 
 def local_rows_df(spark, rows, schema):

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from duckdb_distributed_execution_spark.functions import persist_tracked
 from duckdb_distributed_execution_spark.operators.text import (
     normalize_text,
     oracle_normalize,
@@ -136,7 +137,8 @@ def bpe_train_merges(
             F.col("t").alias("word"),
             "f",
         )
-    ).persist()
+    )
+    words = persist_tracked(words)
     state = words.select(
         "w",
         "word",
@@ -144,7 +146,7 @@ def bpe_train_merges(
     ).select("w", "p", F.expr("substr(word, p, 1)").alias("s"))
     bests = []
     for it in range(1, iterations + 1):
-        state = state.persist()
+        state = persist_tracked(state)
         best, state = _merge_round(state, words, it)
         bests.append(best)
     out = bests[0]

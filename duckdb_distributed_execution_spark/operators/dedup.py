@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from duckdb_distributed_execution_spark.functions import persist_tracked
 from duckdb_distributed_execution_spark.operators.text import normalize_text, tokens
 
 
@@ -558,6 +559,12 @@ def minhash_lsh_pairs_fused(
     import numpy as np
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+    from duckdb_distributed_execution_spark.functions import (
+        check_fused_input_rows,
+    )
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     id_t = dict(df.dtypes)[id_col]
@@ -576,6 +583,7 @@ def minhash_lsh_pairs_fused(
             if len(parts) > 1
             else parts[0]
         )
+        check_fused_input_rows(len(pdf), "minhash_lsh_pairs_fused", fused_cap)
         uniq = pdf["doc"].values
         mins = np.vstack([pdf[m].values for m in mh_names])  # k x n
         doc_h = [
@@ -736,10 +744,13 @@ def minhash_lsh_pairs(
     # variant) through the SAME zero-exchange kernel; only a Column
     # override without a Python twin falls back to the explode plan.
     if shingles is None:
-        sig = minhash_sig_rows_arrow(
-            df, id_col, text_col, shingle_n, num_hashes,
-            shingle_fn=shingle_fn,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = persist_tracked(
+            minhash_sig_rows_arrow(
+                df, id_col, text_col, shingle_n, num_hashes,
+                shingle_fn=shingle_fn,
+            ),
+            StorageLevel.MEMORY_AND_DISK,
+        )
     else:
         para = df.sparkSession.sparkContext.defaultParallelism
         exploded = (
@@ -755,15 +766,18 @@ def minhash_lsh_pairs(
         # hashes + the pair-unroll HOFs cost ~1,800 py4j round trips
         # per build (~0.5 s of the sf0.1 bench wall before any task
         # ran); one JVM parse per expression builds identical trees.
-        sig = exploded.groupBy("doc").agg(
-            *[
-                F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(
-                    f"mh_{i}"
-                )
-                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-            ],
-            F.collect_set("h").alias("sh"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = persist_tracked(
+            exploded.groupBy("doc").agg(
+                *[
+                    F.expr(f"min(({a} * h + {b}) % {MINHASH_P})").alias(
+                        f"mh_{i}"
+                    )
+                    for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+                ],
+                F.collect_set("h").alias("sh"),
+            ),
+            StorageLevel.MEMORY_AND_DISK,
+        )
     n_bands = num_hashes // band_size
     # candidates: same value in ANY band → stack bands, bucket the
     # (doc, bucket) pairs ONLY — shingle arrays never ride through
@@ -777,6 +791,15 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     )
+    # r10 probe, REVERTED: carrying size(sh) through the band exchange
+    # to length-prefilter candidates before the verify joins (the
+    # fused kernel's J ≤ min/max rule) measured a 6-15% REGRESSION at
+    # sf1 (interleaved A/B: word 5.05→5.81 s, token 10.2→10.8 s) — the
+    # banding pass must decode the cached ~130-element `sh` arrays
+    # just to size them, the band/pair exchanges widen, and the filter
+    # only prunes 17% of token candidates (0.1% word at θ=0.12), not
+    # the hypothesized majority. The prefilter stays in the fused
+    # kernel, where sizes are a free numpy byproduct.
     stacked = sig.select(
         "doc", F.explode(F.expr(f"array({band_terms})")).alias("bucket")
     )
@@ -820,6 +843,7 @@ def minhash_lsh_pairs(
         # Jaccard verification (tests gate candidates / possible pairs
         # so a vacuous banding config can never pass CI).
         return cand
+    pruned = cand
     # Jaccard verification joins the 28-bit hashed shingle sets back,
     # only for surviving candidates — reusing the checkpointed
     # signature table (collect_set = distinct base hashes; jaccard()
@@ -828,8 +852,8 @@ def minhash_lsh_pairs(
     # (≤ |set|²/2²⁸ ≈ 1e-5 per pair).
     sh = sig.select("doc", "sh")
     verified = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
-                  on="id_a")
+        pruned.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+                    on="id_a")
         .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
               on="id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
@@ -907,14 +931,17 @@ def simhash_df(
     # py4j round trips at bits=60 (~3 s of pure plan construction at
     # any scale); one JVM parse per select builds identical trees.
     # The L suffixes keep every literal BIGINT like the
-    # F.lit(...).cast("long") originals.
+    # F.lit(...).cast("long") originals. keep names are backtick-quoted
+    # so a reserved-word or non-identifier column parses like the old
+    # F.col() path did (r10 advice).
+    keep_q = [f"`{c}`" for c in keep]
     votes = tok.selectExpr(
         "doc",
-        *keep,
+        *keep_q,
         "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS __h",
     ).selectExpr(
         "doc",
-        *keep,
+        *keep_q,
         *[
             f"((SHIFTRIGHT(__h, {b}) & 1) * 2 - 1) AS v_{b}"
             for b in range(bits)
@@ -927,7 +954,7 @@ def simhash_df(
         f"(CASE WHEN v_{b} > 0 THEN {1 << b}L ELSE 0L END)"
         for b in range(bits)
     )
-    return agg.selectExpr("doc", *keep, f"(0L + {fold}) AS simhash")
+    return agg.selectExpr("doc", *keep_q, f"(0L + {fold}) AS simhash")
 
 
 def simhash_pairs(
@@ -1052,23 +1079,27 @@ def setsim_prefix_join(
     # sides of the candidate self-join — lazy persist so the shingle
     # regexes and the freq+window subtree are computed once (same
     # rationale as minhash_lsh_pairs' persist).
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_tracked(
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        ).filter(F.size("sh") > 0),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     sized = sh.withColumn("sz", F.size("sh"))
     tok = sized.select("doc", "sz", F.explode("sh").alias("tk"))
     freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("f"))
     rw = Window.partitionBy("doc").orderBy("f", "tk")
-    pre = (
+    pre = persist_tracked(
         tok.join(freq, "tk")
         .withColumn("rn", F.row_number().over(rw))
         .filter(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
         )
-        .select("tk", "doc", "sz")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        .select("tk", "doc", "sz"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     pre_b = pre.select(
         F.col("tk"),
         F.col("doc").alias("doc_b"),

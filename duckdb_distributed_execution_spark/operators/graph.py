@@ -50,12 +50,19 @@ def connected_components_fused(
     are returned; self-loop-only nodes are their own component."""
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+    from duckdb_distributed_execution_spark.functions import (
+        check_fused_input_rows,
+    )
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     dt = dict(edges.dtypes)
     node_t = dt[src]
     sel = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
 
     def run(batches):
         parent: dict = {}
+        n_seen = 0
 
         def find(x):
             root = x
@@ -67,6 +74,10 @@ def connected_components_fused(
 
         nodes = set()
         for pdf in batches:
+            n_seen += len(pdf)
+            check_fused_input_rows(
+                n_seen, "connected_components_fused", fused_cap
+            )
             for u, v in zip(pdf["u"], pdf["v"]):
                 un, vn = u is None or pd.isna(u), v is None or pd.isna(v)
                 if not un:
@@ -399,8 +410,11 @@ def kcore(
     # self-join — exactly once. Lazy MEMORY_AND_DISK, same rationale
     # as minhash_lsh_pairs: no extra up-front job, lineage survives
     # block loss at cluster scale.
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from duckdb_distributed_execution_spark.functions import persist_tracked
+
+    und = persist_tracked(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     alive = und.select("u").distinct().localCheckpoint()
     for _ in range(rounds):

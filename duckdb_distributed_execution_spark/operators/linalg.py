@@ -41,7 +41,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from duckdb_distributed_execution_spark.functions import local_rows_df
+from duckdb_distributed_execution_spark.functions import (
+    check_fused_input_rows,
+    local_rows_df,
+)
 
 _SCALE = 1e9
 _CHUNK = 256
@@ -351,6 +354,9 @@ def kcenter_greedy_fused(
     import numpy as np
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     schema = f"sel_round long, {id_col} long, dist double"
 
     def run(batches):
@@ -362,6 +368,7 @@ def kcenter_greedy_fused(
             if len(parts) > 1
             else parts[0]
         )
+        check_fused_input_rows(len(pdf), "kcenter_greedy_fused", fused_cap)
         ids = pdf[id_col].values
         V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         ee = np.einsum("ij,ij->i", V, V)

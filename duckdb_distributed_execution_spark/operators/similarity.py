@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duckdb_distributed_execution_spark.functions import (
+    check_fused_input_rows,
     dot_product,
     l2_norm,
     local_rows_df,
@@ -720,11 +721,13 @@ def cosine_banded_candidates(
     # narrow (id, blk, table, bucket) rows, n_tables per vector — is
     # the same convention as minhash_lsh_pairs: no extra up-front
     # job, lineage survives block loss; the cached blocks live until
-    # session cleanup (documented leak, same as the other dedup
-    # operators' mid-pipeline persists).
+    # Engine.release_operator_caches() (r10 — tracked persist, same as
+    # the other dedup operators' mid-pipeline persists).
     from pyspark.storagelevel import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    from duckdb_distributed_execution_spark.functions import persist_tracked
+
+    sig = persist_tracked(sig, StorageLevel.MEMORY_AND_DISK)
     a = sig.select(
         F.col("__id").alias("id_a"), "__blk", "__t", "__bk"
     )
@@ -870,6 +873,9 @@ def cosine_banded_pairs_fused(
     import numpy as np
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     planes = _rademacher_planes(n_tables * band_bits, dim)
     P = np.asarray(planes, dtype=np.float64).T  # dim x (T*b)
     weights = (1 << np.arange(band_bits)).astype(np.int64)
@@ -887,6 +893,7 @@ def cosine_banded_pairs_fused(
             if len(parts) > 1
             else parts[0]
         )
+        check_fused_input_rows(len(pdf), "cosine_banded_pairs_fused", fused_cap)
         ids = pdf[id_col].to_numpy()
         blk = (
             pdf[block_col].to_numpy()
@@ -972,6 +979,9 @@ def semantic_dedup_pairs_fused(
     import numpy as np
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     sel = df.select(id_col, vec_col)
     id_t = dict(sel.dtypes)[id_col]
     thr = float(threshold)
@@ -985,6 +995,7 @@ def semantic_dedup_pairs_fused(
             if len(parts) > 1
             else parts[0]
         )
+        check_fused_input_rows(len(pdf), "semantic_dedup_pairs_fused", fused_cap)
         ids = pdf[id_col].to_numpy()
         V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         order = np.argsort(ids, kind="stable")
@@ -1249,6 +1260,9 @@ def brute_force_topk_fused(
     import numpy as np
     import pandas as pd
 
+    from duckdb_distributed_execution_spark import functions as _fx
+
+    fused_cap = _fx.FUSED_KERNEL_MAX_ROWS  # captured driver-side
     dt = dict(df.dtypes)
     sel = df.select(id_col, vec_col)
 
@@ -1261,6 +1275,7 @@ def brute_force_topk_fused(
             if len(parts) > 1
             else parts[0]
         )
+        check_fused_input_rows(len(pdf), "ann_bruteforce_topk_fused", fused_cap)
         ids = pdf[id_col].to_numpy()
         V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
         qm = ids < query_id_below

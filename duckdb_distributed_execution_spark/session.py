@@ -351,6 +351,21 @@ class Engine:
         if self.spark.catalog.isCached(name):
             self.spark.catalog.uncacheTable(name)
 
+    def release_operator_caches(self) -> int:
+        """Unpersist the operator-internal lazy persists (minhash /
+        ngram / set-similarity signature relations, k-core edge list,
+        BPE loop state — guide §5: cached data competes with execution
+        memory; unpersist when done). Their consumers are lazy
+        DataFrames, so the operators themselves can never know when
+        the caller is finished — this is the explicit session-level
+        cleanup hook. User-managed caches (cache_table) are untouched.
+        Returns the number of relations released."""
+        from duckdb_distributed_execution_spark.functions import (
+            release_operator_persists,
+        )
+
+        return release_operator_persists(self.spark)
+
     def list_tables(self) -> list[str]:
         return sorted(self._tables)
 
@@ -1060,14 +1075,30 @@ class Engine:
                       columns: list[str] | None = None) -> None:
         """INSERT VALUES; with ``columns`` a subset, omitted columns
         take their registered DEFAULT (or NULL) — the reference's
-        column-list INSERT semantics."""
+        column-list INSERT semantics.
+
+        Rows are verified against the schema EAGERLY on the driver
+        (r10 advice): local_rows_df's RDD path defers verification to
+        executor task runtime, which would surface a malformed VALUES
+        row as a nested Py4J worker exception during the constraint
+        scan instead of a clean driver-side TypeError at insert time.
+        The verifier is the same one createDataFrame(list, schema)
+        applies; VALUES lists are tiny, so the driver loop is free."""
+        from pyspark.sql.types import _make_type_verifier
+
         target = self.table(name)
         if columns is None:
+            verify = _make_type_verifier(target.schema)
+            for r in rows:
+                verify(r)
             df = _local_rows_df(self.spark, rows, target.schema)
         else:
             sub = T.StructType(
                 [target.schema[c] for c in columns]
             )
+            verify = _make_type_verifier(sub)
+            for r in rows:
+                verify(r)
             df = _local_rows_df(self.spark, rows, sub)
             for f in target.schema.fields:
                 if f.name not in columns:

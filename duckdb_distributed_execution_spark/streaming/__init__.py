@@ -15,23 +15,32 @@ against the batch result.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Source size of the stream most recently opened on each session
-# (id(spark) → on-disk bytes), recorded by the read_*_stream helpers
-# and consumed by run_to_memory's state-partition sizing. The same
-# file-size statistic every other scale gate in this repo uses
-# (queries.table_bytes — the stand-in for a catalog's ANALYZE stats).
-_SOURCE_BYTES: dict[int, int] = {}
+# Accumulated on-disk size of the stream sources opened on each
+# session since the last drain, recorded by the read_*_stream helpers
+# and CONSUMED (popped) by run_to_memory's state-partition sizing.
+# The same file-size statistic every other scale gate in this repo
+# uses (queries.table_bytes — the stand-in for a catalog's ANALYZE
+# stats). Weak-keyed by the session object (not id(): a GC'd
+# session's id can be reused and alias an unrelated session — r9
+# advice) and summed across sources (a stream-stream join's backlog
+# is both inputs, not just the last one read).
+_SOURCE_BYTES: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def note_stream_source_bytes(spark: SparkSession, path: str) -> None:
-    """Record the on-disk size of the stream source about to be
-    drained on this session — lets run_to_memory size stateful-shuffle
-    partitions from the backlog instead of the session constant."""
+    """Record the on-disk size of a stream source about to be drained
+    on this session — lets run_to_memory size stateful-shuffle
+    partitions from the backlog instead of the session constant.
+    Bytes ACCUMULATE across sources until run_to_memory consumes the
+    total, so multi-source pipelines size from their whole backlog."""
     try:
         if os.path.isdir(path):
             b = sum(
@@ -43,7 +52,7 @@ def note_stream_source_bytes(spark: SparkSession, path: str) -> None:
             b = os.path.getsize(path)
     except OSError:
         return
-    _SOURCE_BYTES[id(spark)] = b
+    _SOURCE_BYTES[spark] = _SOURCE_BYTES.get(spark, 0) + b
 
 
 def _events_schema(ts_is_nanos: bool) -> T.StructType:
@@ -249,10 +258,17 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     partition-count-independent: aggregations/joins/dedup are exact
     under any hash partitioning, and the global watermark is the min
     over partitions either way. The session conf is restored before
-    returning (the conf is only read at query start)."""
+    returning (the conf is only read at query start).
+
+    The recorded backlog is CONSUMED here (popped), so a later stream
+    built without a read_*_stream helper never inherits an unrelated
+    earlier stream's size. NOT thread-safe: the conf override is
+    session-global for the duration of the drain, so a query started
+    concurrently on the shared session inherits the reduced partition
+    count (single-threaded use — the test/bench pattern — is safe)."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    src_bytes = _SOURCE_BYTES.get(id(spark))
+    src_bytes = _SOURCE_BYTES.pop(spark, None)
     try:
         cap = int(prev)
     except ValueError:  # e.g. "auto" on some vendors' runtimes

@@ -1138,3 +1138,31 @@ def test_ann_hard_negative_facade_matches_query_twin(engine, spark):
         for r in ann_hard_negative_mining(spark, sf).collect()
     )
     assert got == want
+
+
+def test_release_operator_caches(engine):
+    """r10 verdict item 7: the operator-internal lazy persists (the
+    minhash signature relation here) accumulate in the CacheManager
+    because their consumers are lazy; Engine.release_operator_caches()
+    must empty it, and a second call must be a no-op."""
+    from duckdb_distributed_execution_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    engine.register_testdata(SF_SMOKE)
+    spark = engine.spark
+    spark.catalog.clearCache()
+    engine.release_operator_caches()  # drop leftovers from other tests
+
+    # fuse=False forces the distributed branch, whose signature
+    # relation is the tracked lazy persist.
+    pairs = minhash_lsh_pairs(
+        engine.table("documents"), "doc_id", "text", fuse=False
+    )
+    pairs.count()  # materializes the pipeline, filling the cache
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty()
+
+    assert engine.release_operator_caches() >= 1
+    assert jcm.isEmpty()
+    assert engine.release_operator_caches() == 0

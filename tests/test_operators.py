@@ -1285,3 +1285,35 @@ def test_connected_components_fused_matches_iterative(spark):
     assert it == fu
     comp = dict(fu)
     assert comp[5] == 1 and comp[10] == 10 and comp[21] == 20
+
+
+def test_fused_kernel_input_guard(spark, monkeypatch):
+    """r10 verdict item 8: the size-gated fused single-task kernels
+    defend against an ungated caller passing a large relation. The cap
+    is captured DRIVER-side at kernel construction (executor workers
+    re-import the module, so a runtime read would be unpatchable) —
+    lowering the module constant makes a tiny corpus trip the guard
+    end-to-end through the Py4J boundary."""
+    from duckdb_distributed_execution_spark import functions as FX
+    from duckdb_distributed_execution_spark.operators.graph import (
+        connected_components_fused,
+    )
+
+    # Helper unit semantics: at/below the limit is silent, above raises.
+    FX.check_fused_input_rows(10, "x", 10)
+    with pytest.raises(RuntimeError, match="fused single-task kernel"):
+        FX.check_fused_input_rows(11, "x", 10)
+
+    monkeypatch.setattr(FX, "FUSED_KERNEL_MAX_ROWS", 3)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="fused single-task kernel"):
+        D.minhash_lsh_pairs(docs, "doc_id", "text", fuse=True).count()
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    with pytest.raises(Exception, match="fused single-task kernel"):
+        connected_components_fused(edges, "u", "v").count()

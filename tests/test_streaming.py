@@ -360,17 +360,60 @@ def test_run_to_memory_sizes_state_partitions(spark):
     assert state_partitions(q) == 4
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
+    # The drain CONSUMES the recorded backlog (r10 advice: a later
+    # stream without a read_*_stream helper must not inherit it).
+    assert S._SOURCE_BYTES.get(spark) is None
+
     # Fake huge backlog → cap at the session conf (read_events_stream
     # recorded the real size at plan build; force the fake afterwards).
     stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
-    S._SOURCE_BYTES[id(spark)] = 100 << 30
+    S._SOURCE_BYTES[spark] = 100 << 30
     q = S.run_to_memory(stream, "sized_cap_sink")
     assert state_partitions(q) == cap
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
     # No recorded source → conf untouched (session default applies).
     stream = S.windowed_event_counts(S.read_events_stream(spark, events_path))
-    S._SOURCE_BYTES.pop(id(spark), None)
+    S._SOURCE_BYTES.pop(spark, None)
     q = S.run_to_memory(stream, "sized_none_sink")
     assert state_partitions(q) == cap
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_state_sizing_holds_across_micro_batches(spark, tmp_path):
+    """r10 verdict item 9: the backlog-derived state-partition sizing
+    is read once at query start and holds for EVERY micro-batch of a
+    multi-batch drain (maxFilesPerTrigger=1 over a multi-file source),
+    and the session conf is restored afterwards."""
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    src = str(tmp_path / "events_multi")
+    spark.read.parquet(events_path).repartition(3).write.parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    reader = spark.readStream.schema(spark.read.parquet(src).schema)
+    stream = S.windowed_event_counts(
+        reader.option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    S.note_stream_source_bytes(spark, src)
+    q = S.run_to_memory(stream, "multi_batch_sink")
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    fed = [p for p in progresses if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "expected a multi-batch drain"
+    for p in progresses:
+        assert p["stateOperators"][0]["numShufflePartitions"] == 4
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_source_bytes_accumulate_across_sources(spark):
+    """r10 advice: a multi-source pipeline (stream-stream join) sizes
+    its stateful shuffle from the SUM of its sources' backlogs, not
+    just the last one read."""
+    events_path = os.path.join(SF_SMOKE, "events.parquet")
+    S._SOURCE_BYTES.pop(spark, None)
+    S.read_events_stream(spark, events_path)
+    one = S._SOURCE_BYTES.get(spark)
+    assert one and one > 0
+    S.read_events_stream(spark, events_path)
+    assert S._SOURCE_BYTES.get(spark) == 2 * one
+    S._SOURCE_BYTES.pop(spark, None)
