@@ -20,7 +20,11 @@ from duckdb_distributed_execution_spark.functions import (
     oracle_exact_sum,
 )
 from duckdb_distributed_execution_spark.operators.asof import asof_join
-from duckdb_distributed_execution_spark.queries import load, register
+from duckdb_distributed_execution_spark.queries import (
+    SHUFFLE_HASH_GATE_BYTES,
+    load,
+    register,
+)
 
 
 @register(
@@ -226,12 +230,19 @@ def join_multi_star(spark, sf_dir):
     tools/probe_relational_floors.py shows the residual is agg/join
     CPU, not shuffle — pre-bucketed facts do not improve it).
 
-    Below the gate (small SF), the whole rewrite is withheld: the
-    extra pre-aggregation exchange and the snowflake-prefilter
-    broadcast chain are pure fixed cost when AQE broadcasts the fact
-    side anyway (measured at sf0.1: 0.49 s simple vs 0.76 s rewritten,
-    same session) — the identical fixed-cost-vs-slope gate every
-    Arrow kernel here uses, with file size standing in for stats."""
+    Two-stage gate (r10 — the r9 single 64 MB gate jumped straight
+    from "simple broadcast plan" to "full sf10 rewrite"; probing the
+    middle decade found the rewrite WITHOUT the hint already wins at
+    sf1). Measured same-session warm at sf1 (orders 25.7 MB): simple
+    2.02 s, rewrite+SHUFFLE_HASH 1.15 s, rewrite without hint
+    0.89 s — AQE's runtime join choice beats the forced shuffle-hash
+    until the fact sorts dominate. At sf0.1 (2.7 MB) the rewrite is
+    pure fixed cost (0.49 s simple vs 0.76 s rewritten, r9) — so:
+    ≤8 MB simple; >8 MB agg-below-join + snowflake prefilter; the
+    SHUFFLE_HASH pin only beyond 64 MB (sf10+: 3.71 → 1.94 s, r9),
+    where the build side is far beyond any broadcast budget and
+    sort-merge sorts are the next term. File size stands in for
+    catalog stats, as everywhere in this repo."""
     from duckdb_distributed_execution_spark.queries import table_bytes
 
     t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
@@ -240,7 +251,8 @@ def join_multi_star(spark, sf_dir):
     orders_dated = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     )
-    if table_bytes(sf_dir, "orders") <= 64 * 1024 * 1024:
+    ob = table_bytes(sf_dir, "orders")
+    if ob <= 8 * 1024 * 1024:
         return (
             orders_dated
             .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -254,13 +266,19 @@ def join_multi_star(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_items"),
                  exact_sum(rev).alias("revenue"))
         )
-    return join_multi_star_scale_plan(spark, sf_dir)
+    return join_multi_star_scale_plan(
+        spark, sf_dir, shuffle_hash=ob > SHUFFLE_HASH_GATE_BYTES
+    )
 
 
-def join_multi_star_scale_plan(spark, sf_dir):
+def join_multi_star_scale_plan(spark, sf_dir, shuffle_hash: bool = True):
     """The big-SF branch of join_multi_star, module-level so
     tests/test_plans.py can pin its result equality to the simple
-    plan at oracle scale (both branches must stay interchangeable)."""
+    plan at oracle scale (both branches must stay interchangeable).
+    ``shuffle_hash=False`` is the middle-decade form: same
+    agg-below-join + snowflake prefilter, but the fact-join strategy
+    is left to AQE's runtime stats (measured faster at sf1, where the
+    grouped fact side is broadcastable-ish and sorts are cheap)."""
     t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation", "region")
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     region = t["region"].filter(F.col("r_name").isin("AMERICA", "ASIA"))
@@ -286,8 +304,10 @@ def join_multi_star_scale_plan(spark, sf_dir):
             exact_sum_partial(rev).alias("__rev"),
         )
     )
+    if shuffle_hash:
+        orders = orders.hint("shuffle_hash")
     return (
-        orders.hint("shuffle_hash")
+        orders
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

@@ -156,21 +156,23 @@ def rag_hybrid_rrf(spark, sf_dir):
         ensure_min_parallelism,
     )
 
-    # N-wide tokenize + one pinned postings pass (tf feeds the dfreq
-    # broadcast AND the scoring join; broadcast subtrees don't share
-    # exchange reuse — r6, same fix as bm25_retrieval_topk)
+    # ONE Arrow pass emits the (doc, term, tf) postings for the six
+    # constant query terms directly (r10, term_counts_arrow — the term
+    # filter and per-doc count pushed inside the kernel, guide §2.3):
+    # the old shape exploded the full token stream across the Arrow
+    # boundary, semi-joined it and paid a (doc, term) exchange.
+    # Pinned because tf feeds the dfreq broadcast AND the scoring join
+    # (broadcast subtrees don't share exchange reuse — r6); the pin is
+    # now O(matching postings), not the token stream.
     from duckdb_distributed_execution_spark.operators.text import (
-        tokens_exploded_arrow,
+        term_counts_arrow,
     )
 
-    tok = tokens_exploded_arrow(d, "doc_id", "text")
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf = (
-        tok.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
+    tf = term_counts_arrow(
+        d, "doc_id", "text",
+        sorted({t for _, a, b, _ in _RRF_QUERIES for t in (a, b)}),
+    ).localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     lexscore = (
         tf.join(F.broadcast(q), "term")

@@ -90,6 +90,14 @@ def ingest_funnel_by_source(spark, sf_dir):
     flags; the LM relation joins per doc; every stage relation is
     reused from its standalone operator."""
     d = load(spark, sf_dir, "documents")["documents"]
+    # r10 probe, REVERTED: running the (independent) features+quota
+    # pin from a driver thread concurrently with the LM pin (guide
+    # §2.6 overlap) measured NEUTRAL-to-worse at sf1 — bench A/B 1.00
+    # (5.319 vs 5.305 s), warm-session runs slightly slower — the LM's
+    # wide stages already saturate local[32], so the overlap only adds
+    # scheduling contention. Worth re-probing on a real cluster where
+    # the LM tail leaves executors idle.
+    #
     # The bigram-LM relation is the expensive subtree and is consumed
     # THREE times (count, p90 probe, per-doc join) — pin it once.
     # Before the r6 localCheckpoint each consumer re-trained the LM

@@ -196,39 +196,32 @@ def bm25_retrieval_topk(spark, sf_dir):
         [(qid, t) for qid, *ts in _BM25_QUERIES for t in ts],
         "query_id STRING, term STRING",
     )
-    # normalize+tokenize+explode is the corpus-heavy stage and feeds
-    # BOTH the dl and tf branches — Arrow-kernel tokenize (r7: the
-    # java.util.regex chain was ~2 s of the sf1 wall; see
-    # tokens_exploded_arrow for the parity argument), N-wide even off
-    # a single-row-group input.
-    tok = X.tokens_exploded_arrow(d, "doc_id", "text")
-    # ONE tokenize pass: both the doc-length side and the tf side
-    # derive from the same postings aggregate, whose exchange Catalyst
-    # reuses (ReusedExchange) — the old shape hung dl and tf off `tok`
-    # directly, so the corpus was tokenized TWICE (r6; at organic sf1
-    # tokenization was most of the 8 s wall). The postings relation is
-    # the inverted index: |distinct (doc, term)| rows, map-side
-    # combined before the shuffle.
-    # localCheckpoint: postings feeds THREE consumers (dl→stats
-    # broadcast, dfreq broadcast, the scoring join) and broadcast
-    # subtrees don't share exchange reuse — unpinned, the
-    # tokenize+shuffle chain ran once per consumer (measured r6).
-    postings = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
-    )
-    dl = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("dl")
-    )
+    # ONE Arrow pass emits BOTH the per-doc length (BM25's normalizer,
+    # counting every token like the old exploded form) and the
+    # (doc, term, tf) postings for the six constant query terms
+    # (r10, term_counts_arrow — term filter + per-doc count pushed
+    # inside the kernel, guide §2.3). The old shape exploded the full
+    # token stream across the Arrow boundary into a |distinct
+    # (doc, term)| postings exchange and checkpointed THAT; the pinned
+    # relation is now O(|docs| + matching postings) narrow rows.
+    # localCheckpoint: the kernel output feeds THREE consumers
+    # (dl→stats broadcast, dfreq broadcast, the scoring join) and
+    # broadcast subtrees don't share exchange reuse — unpinned, the
+    # tokenize chain would run once per consumer (measured r6).
+    counts = X.term_counts_arrow(
+        d, "doc_id", "text",
+        sorted({t for _, *ts in _BM25_QUERIES for t in ts}),
+        doclen_col="dl",
+    ).localCheckpoint()
+    dl = counts.filter(F.col("term").isNull()).select("doc_id", "dl")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    tf = postings.join(
-        F.broadcast(q.select("term").distinct()), "term", "left_semi"
+    tf = counts.filter(F.col("term").isNotNull()).select(
+        "doc_id", "term", "tf"
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (

@@ -1066,8 +1066,16 @@ def tpch_q9_partsupp(spark, sf_dir):
         .join(F.broadcast(t["nation"]),
               F.col("n_nationkey") == F.col("s_nationkey"))
     )
+    # r10: the hint gate drops from 64 MB to 8 MB of orders — at sf1
+    # (25.7 MB) the projected orders side exceeds the broadcast budget
+    # so AQE falls back to sort-merge, and the sort-free shuffled hash
+    # build on the red-filtered (~1/8) lineitem side wins 1.9×
+    # (same-session warm: 2.90 → 1.57 s; agg-below-join probed too:
+    # 1.99 s, worse — the profit rows are 1-per-line already). At
+    # sf0.1 (2.7 MB) AQE broadcasts and the forced shuffle loses (r9),
+    # so the gate keeps the hint off there.
     return (
-        shuffle_hash_if_big(li, sf_dir, "orders")
+        shuffle_hash_if_big(li, sf_dir, "orders", threshold=8 * 1024 * 1024)
         .join(
             t["orders"].select("o_orderkey", "o_orderdate"),
             F.col("o_orderkey") == F.col("l_orderkey"),

@@ -439,3 +439,54 @@ def test_minhash_lsh_pairs_fused_token_variant(spark):
     got = sorted(map(tuple, fused.collect()))
     exp = sorted(map(tuple, dist.collect()))
     assert got == exp and len(got) > 0
+
+
+_TC_TERMS = ["spark", "window", "hash", "merge", "customer", "vector",
+             "a", "and", "multiple"]
+
+
+def _tc_pairs(spark, d):
+    """(old exploded+filtered tf, old per-doc token count) twins."""
+    old_tf = (
+        X.tokens_exploded_arrow(d, "doc_id", "text")
+        .filter(F.col("term").isin(_TC_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    old_dl = (
+        X.tokens_exploded_arrow(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    )
+    return old_tf, old_dl
+
+
+@pytest.mark.parametrize("source", ["adversarial", "corpus"])
+def test_term_counts_arrow_matches_exploded(spark, docs, source):
+    """r10: term_counts_arrow (term filter + per-doc count pushed
+    inside the kernel) must be row-identical to the exploded
+    semi-join + groupBy shape it replaces in rag_hybrid_rrf /
+    bm25_retrieval_topk, on adversarial inputs AND the sf0.01 corpus —
+    tf rows, and in the doclen variant also the per-doc token counts
+    (including the single empty token of empty/whitespace texts)."""
+    d = (
+        docs
+        if source == "adversarial"
+        else spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    )
+    old_tf, old_dl = _tc_pairs(spark, d)
+
+    new_tf = X.term_counts_arrow(d, "doc_id", "text", _TC_TERMS)
+    assert new_tf.exceptAll(old_tf).count() == 0
+    assert old_tf.exceptAll(new_tf).count() == 0
+
+    both = X.term_counts_arrow(d, "doc_id", "text", _TC_TERMS,
+                               doclen_col="dl")
+    dl = both.filter(F.col("term").isNull()).select("doc_id", "dl")
+    assert dl.exceptAll(old_dl).count() == 0
+    assert old_dl.exceptAll(dl).count() == 0
+    tf2 = both.filter(F.col("term").isNotNull()).select(
+        "doc_id", "term", "tf"
+    )
+    assert tf2.exceptAll(old_tf).count() == 0
+    assert old_tf.exceptAll(tf2).count() == 0
