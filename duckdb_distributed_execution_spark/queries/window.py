@@ -29,16 +29,33 @@ from duckdb_distributed_execution_spark.queries import load, register
     """,
 )
 def window_rownum_latest(spark, sf_dir):
-    """Latest order per customer — ROW_NUMBER + filter (the standard
-    distributed 'argmax per group')."""
+    """Latest order per customer — the distributed 'argmax per group'.
+
+    r10: computed as ``max(struct(o_orderdate, o_orderkey, ...))``
+    instead of ROW_NUMBER + ``rn = 1`` (guide §2.3: aggregate before
+    you shuffle). The struct's lexicographic max picks the same row
+    the (o_orderdate DESC, o_orderkey DESC) window head did —
+    o_orderkey is unique, so the comparison never reaches the payload
+    field — but the plan is a hash aggregate with map-side partials
+    (≤1 row per customer per map task crosses the exchange, no sort
+    on either side) where the window form sorts every partition twice
+    around the exchange even with Spark's WindowGroupLimit top-1
+    pushdown. Measured same-session warm: sf1 1.334 → 0.767 s, sf0.1
+    0.321 → 0.233 s; rows exceptAll-identical at both scales (pinned
+    in tests/test_plans.py) and the oracle still computes the
+    ROW_NUMBER form. At 100 TB this shape only improves: partial
+    argmax is the textbook combiner-friendly aggregation."""
     o = load(spark, sf_dir, "orders")["orders"]
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    m = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("m")
     )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    return m.select(
+        "o_custkey",
+        F.col("m.o_orderkey").alias("o_orderkey"),
+        F.col("m.o_orderdate").alias("o_orderdate"),
+        F.col("m.o_totalprice").alias("o_totalprice"),
     )
 
 

@@ -349,3 +349,47 @@ def test_join_multi_star_branches_agree(spark):
     rs = {tuple(r) for r in simple.collect()}
     rc = {tuple(r) for r in scale.collect()}
     assert rs == rc and len(rs) > 0
+
+
+def test_join_multi_star_middle_branch_agrees(spark):
+    """r10 two-stage gate: the middle-band form (same rewrite, fact
+    join left to AQE) must also return exactly the simple plan's
+    rows — the hint flag may swap join strategy, never results."""
+    from tests.conftest import SF_ORACLE
+
+    from duckdb_distributed_execution_spark.queries.joins import (
+        join_multi_star_scale_plan,
+    )
+
+    simple = all_queries()["join_multi_star"].fn(spark, SF_ORACLE)
+    mid = join_multi_star_scale_plan(spark, SF_ORACLE, shuffle_hash=False)
+    rs = {tuple(r) for r in simple.collect()}
+    rm = {tuple(r) for r in mid.collect()}
+    assert rs == rm and len(rs) > 0
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_window_rownum_latest_argmax_matches_window(spark, sf):
+    """r10: the max(struct) argmax form of window_rownum_latest must
+    be row-identical to the ROW_NUMBER + rn=1 window form it replaced
+    (o_orderkey is unique, so the struct's lexicographic max picks
+    the same row), at two scales."""
+    from pyspark.sql import Window
+
+    from duckdb_distributed_execution_spark.queries import load
+
+    got = all_queries()["window_rownum_latest"].fn(spark, sf)
+    o = load(spark, sf, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    exp = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    assert got.count() > 0
